@@ -14,11 +14,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.EventQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "qm1_media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops (those
+    * are covered by ScalaTest invariants instead).
     */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++
+      graft.queries.EventQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.VectorQueries.oracle ++
+      Map("qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql)
 }

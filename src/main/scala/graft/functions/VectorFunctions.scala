@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType(Float) embedding columns, computed in
+  * double via higher-order functions. Left-to-right sequential summation
+  * matches the oracle engine's list_dot_product exactly.
+  *
+  * Scale note: brute-force top-k is O(|Q|·|D|·dim) — fine for small
+  * query sets against broadcast; the LSH variant bounds candidates per
+  * bucket for corpus-scale ANN (see VectorQueries.qe2).
+  */
+object VectorFunctions {
+
+  /** Cast a float array to double element-wise (exact). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes` rows
+    * of `dim` weights in [-0.5, 0.5), seeded — generated driver-side as
+    * literals (tiny: planes×dim doubles), broadcast by constant folding.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (dot(v, plane) > 0). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Rounding.dround
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (SURVEY §7.5 extension mandate: exact dedup, MinHash-LSH, SimHash,
+  * n-gram Jaccard, language-ID, quality scoring, token stats,
+  * fingerprinting).
+  *
+  * Oracle coverage: qd1-qd5 and qd8 have exact DuckDB oracles. qd6/qd7
+  * build on xxhash64 (Spark-specific) → no SQL oracle; they are covered
+  * by ScalaTest invariants instead (planted near-duplicates must be
+  * found, disjoint docs must not).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // ---------------------------------------------------------------- qd1
+  /** Exact deduplication by content hash: every doc keeps its group size
+    * and whether it is the canonical (min doc_id) copy. At scale this is
+    * one hash-shuffle on a 32-char key — the standard exact-dedup shape.
+    */
+  def qd1(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .select("doc_id", "n_copies", "keep")
+  }
+
+  private val qd1Sql =
+    """SELECT doc_id,
+      | count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- qd2
+  /** Token statistics: counts + average token length. */
+  def qd2(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("sum_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        dround(col("sum_len").cast("double") / col("n_tokens"), 6).as("avg_token_len"))
+  }
+
+  private val qd2Sql =
+    """SELECT doc_id,
+      | CAST(length(text) AS INT) AS n_chars,
+      | CAST(len(toks) AS INT) AS n_tokens,
+      | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |       / len(toks), 6) AS avg_token_len
+      |FROM (SELECT doc_id, text,
+      |             regexp_split_to_array(trim(text), '\s+') AS toks
+      |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- qd3
+  /** Stopword-profile language ID: per-language exact token hit counts,
+    * argmax with lexicographic tie-break, 'unknown' when all zero.
+    */
+  def qd3(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("toks", tokens(col("text")))
+    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", langScore(col("toks"), words))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _) && col(s"s_$l") > 0
+      acc.when(isMax, l)
+    }.otherwise("unknown")
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("matches_label", col("pred_lang") === col("lang"))
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+        col("pred_lang") :+ col("matches_label"): _*)
+  }
+
+  private val qd3Sql = {
+    val langs = stopwords.map(_._1)
+    val scoreExprs = stopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($inList))) AS INT) AS s_$lang"
+    }
+    val arms = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'"
+    }
+    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       | pred_lang, pred_lang = lang AS matches_label
+       |FROM (
+       |  SELECT *, CASE ${arms.mkString(" ")} ELSE 'unknown' END AS pred_lang
+       |  FROM (
+       |    SELECT doc_id, lang, ${scoreExprs.mkString(", ")}
+       |    FROM (SELECT doc_id, lang,
+       |                 regexp_split_to_array(trim(text), '\\s+') AS toks
+       |          FROM documents)))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- qd4
+  /** Quality scoring: character-class ratios + length norm, one weighted
+    * score — the reference-free quality-filter shape used in pretraining
+    * data pipelines.
+    */
+  def qd4(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+    val space = (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).cast("double")
+    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    docs(s, dir)
+      .withColumn("alpha_ratio", dround(alpha / n, 6))
+      .withColumn("space_ratio", dround(space / n, 6))
+      .withColumn("digit_ratio", dround(digit / n, 6))
+      .withColumn("len_norm", dround(least(n / lit(500.0), lit(1.0)), 6))
+      .withColumn("quality_score",
+        dround(col("alpha_ratio") * 0.5 + (lit(1.0) - col("digit_ratio")) * 0.2
+          + col("len_norm") * 0.3, 6))
+      .select("doc_id", "alpha_ratio", "space_ratio", "digit_ratio",
+        "len_norm", "quality_score")
+  }
+
+  private val qd4Sql =
+    """SELECT doc_id, alpha_ratio, space_ratio, digit_ratio, len_norm,
+      | round(alpha_ratio * 0.5 + (1.0 - digit_ratio) * 0.2
+      |       + len_norm * 0.3, 6) AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |   round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |         / length(text), 6) AS alpha_ratio,
+      |   round(CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |         / length(text), 6) AS space_ratio,
+      |   round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |         / length(text), 6) AS digit_ratio,
+      |   round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) AS len_norm
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- qd5
+  /** Document fingerprint: lexicographic min over md5 of word 5-grams
+    * (winnowing-style content fingerprint, robust to doc reordering at
+    * the corpus level; md5 so the oracle can reproduce it).
+    */
+  def qd5(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("fingerprint",
+        when(size(col("toks")) < 5, md5(col("text")))
+          .otherwise(array_min(transform(
+            sequence(lit(1), size(col("toks")) - lit(4)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(5))))))))
+    val w = Window.partitionBy("fingerprint")
+    base
+      .withColumn("n_same_fp", count(lit(1)).over(w))
+      .select("doc_id", "fingerprint", "n_same_fp")
+  }
+
+  private val qd5Sql =
+    """SELECT doc_id, fingerprint,
+      | count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 5 THEN md5(text)
+      |         ELSE list_aggregate(
+      |           list_transform(range(1, len(toks) - 3),
+      |             i -> md5(array_to_string(toks[i:i+4], ' '))), 'min')
+      |    END AS fingerprint
+      |  FROM (SELECT doc_id, text,
+      |               regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  // ---------------------------------------------------------------- qd8
+  /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
+    * `source` (the blocking key), all in-block pairs scored on distinct
+    * word-3-gram sets. The block join is an equi-join on the blocking key
+    * — no global cross product; at 100 TB block sizes bound the
+    * quadratic term and MinHash-LSH (qd6) replaces it when blocks grow.
+    */
+  def qd8(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .select("doc_id", "source", "grams")
+    val a = g.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = g.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", dround(jaccard(col("ga"), col("gb")), 6))
+      .filter(col("jac") >= 0.01)
+      .select("source", "doc_a", "doc_b", "jac")
+  }
+
+  private val qd8Sql =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END) AS grams
+      |  FROM (SELECT doc_id, source,
+      |               regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents))
+      |SELECT source, doc_a, doc_b, jac FROM (
+      |  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+      |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.01""".stripMargin
+
+  // ---------------------------------------------------------------- qd6
+  /** MinHash-LSH near-duplicate candidates (no SQL oracle — xxhash64).
+    * Pipeline: word-3-gram shingles → 64-component minhash signature →
+    * 16 bands × 4 rows → band-bucket equi-join → per-doc candidate count
+    * + verified near-dup count (exact Jaccard ≥ 0.5 on candidates).
+    * Emits one row per doc so the result is stable on dup-free corpora.
+    */
+  def qd6(s: SparkSession, dir: String): DataFrame = {
+    val sig = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", minhashSignature(col("grams"), 64))
+      .withColumn("bands", bandHashes(col("sig"), 16, 4))
+      .select("doc_id", "grams", "sig", "bands")
+    val exploded = sig.select(
+      col("doc_id"), col("grams"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.grams").as("ga"), col("b.grams").as("gb"))
+      .distinct()
+      .withColumn("jac", jaccard(col("ga"), col("gb")))
+    val perDocCand = cand
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("jac")),
+        struct(col("doc_b").as("doc_id"), col("jac")))).as("x"))
+      .select("x.*")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.5, 1).otherwise(0)).as("n_near_dups"))
+    sig.select("doc_id")
+      .join(perDocCand, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
+  }
+
+  // ---------------------------------------------------------------- qd7
+  /** SimHash fingerprint + banded Hamming near-dup count (no SQL oracle).
+    * Explode tokens → xxhash64 per token → per-bit signed vote sums →
+    * 64-bit fingerprint; near-dups via 4×16-bit band blocking, verified
+    * with bit_count(xor) ≤ 6.
+    */
+  def qd7(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val bitVotes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _) // disjoint powers of two: sum == bitwise OR
+    val fps = votes.select(col("doc_id"), fp.as("simhash"))
+    val banded = fps.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band_idx"), col("bd.band_val"))
+    val near = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fa"), col("b.simhash").as("fb"))
+      .distinct()
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 6)
+    val perDoc = near
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    fps.join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("n_near"))
+      .select("doc_id", "simhash", "n_near")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd1_dedup_exact" -> (qd1 _),
+    "qd2_token_stats" -> (qd2 _),
+    "qd3_lang_id" -> (qd3 _),
+    "qd4_quality_score" -> (qd4 _),
+    "qd5_fingerprint" -> (qd5 _),
+    "qd6_minhash_lsh" -> (qd6 _),
+    "qd7_simhash" -> (qd7 _),
+    "qd8_ngram_jaccard" -> (qd8 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qd1_dedup_exact" -> qd1Sql,
+    "qd2_token_stats" -> qd2Sql,
+    "qd3_lang_id" -> qd3Sql,
+    "qd4_quality_score" -> qd4Sql,
+    "qd5_fingerprint" -> qd5Sql,
+    "qd8_ngram_jaccard" -> qd8Sql,
+    // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
+    // covered by ScalaTest invariants (TextQueriesSpec).
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Rounding.dround
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline (qe1), sign-LSH
+  * bucketed ANN as the scale path (qe2), and kNN majority-label
+  * classification on top of the exact neighbors (qe3).
+  */
+object VectorQueries {
+
+  private val K = 5
+  private val NQUERIES = 10
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("vec", toDouble(col("embedding")))
+      .withColumn("nrm", norm(col("vec")))
+      .select("vec_id", "label", "vec", "nrm")
+
+  /** Exact top-k neighbors (cosine) of each query vector. The query set
+    * is broadcast against the corpus — one scan, no shuffle of the big
+    * side; ranking is a per-query window.
+    */
+  private def topkExact(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        col("cosine"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- qe1
+  def qe1(s: SparkSession, dir: String): DataFrame =
+    topkExact(s, dir).select("query_id", "neighbor_id", "cosine", "rnk")
+
+  private val qe1Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, vec,
+       |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM p)
+       |WHERE rnk <= $K""".stripMargin
+
+  // ---------------------------------------------------------------- qe2
+  /** Sign-LSH ANN: 12 deterministic hyperplanes → 4096 buckets; queries
+    * only score candidates in their own bucket. No SQL oracle (bucket
+    * assignment is engine-side); recall vs qe1 is asserted in ScalaTest.
+    * At corpus scale the bucket equi-join replaces the full cross
+    * product; multi-probe (flip one bit) would raise recall.
+    */
+  def qe2(s: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(12, 64)
+    val e = embs(s, dir).withColumn("bucket", lshBucket(col("vec"), planes))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- qe3
+  /** kNN majority-label classification over the exact top-k neighbors
+    * (ties broken by smaller label), with the true label for accuracy
+    * inspection.
+    */
+  def qe3(s: SparkSession, dir: String): DataFrame = {
+    val nn = topkExact(s, dir)
+    val votes = nn.groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    val truth = embs(s, dir).select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    votes.join(truth, Seq("query_id"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .select("query_id", "pred_label", "votes", "true_label", "correct")
+  }
+
+  private val qe3Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, vec,
+       |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, d.label,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id),
+       |nn AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |    FROM p)
+       |  WHERE rnk <= $K),
+       |v AS (
+       |  SELECT query_id, label AS pred_label, count(*) AS votes,
+       |         row_number() OVER (PARTITION BY query_id
+       |             ORDER BY count(*) DESC, label) AS vr
+       |  FROM nn GROUP BY query_id, label)
+       |SELECT v.query_id, v.pred_label, v.votes, t.label AS true_label,
+       |       v.pred_label = t.label AS correct
+       |FROM v JOIN e t ON v.query_id = t.vec_id
+       |WHERE v.vr = 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe1_cosine_topk" -> (qe1 _),
+    "qe2_ann_lsh" -> (qe2 _),
+    "qe3_knn_label" -> (qe3 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qe1_cosine_topk" -> qe1Sql,
+    "qe3_knn_label" -> qe3Sql,
+    // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
+  )
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming over the `events` table (SURVEY §2.9: the
+  * reference has no streaming — this is the §7.5 extension surface).
+  *
+  * Batch/stream parity: `hourlyAgg` is the streaming twin of
+  * EventQueries.q20 — same grouping, same measures — so the memory-sink
+  * output can be asserted equal to the batch result in tests
+  * (EventsStreamingSpec).
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded by
+  * (#hours in watermark) × (#event types); sessionization state is one
+  * small struct per active user, evicted on timeout — both shapes run
+  * unchanged on a real cluster with a durable checkpoint dir.
+  */
+object EventsStreaming {
+
+  /** Event schema as Spark reads it with nanosAsLong (ts = ns Long). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream of the events table (one file = one microbatch
+    * locally; on a cluster this is any file/Kafka source with the same
+    * schema).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      // Glob-match ONLY the events table (the sf dir holds every table);
+      // the [t] forces glob interpretation — a bare file path is rejected
+      // by the file stream source ("basePath must be a directory").
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark for
+    * late data. Output schema matches EventQueries.q20.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"),
+        sum("value").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n_events"), col("approx_users"), col("sum_value"))
+
+  /** Per-user session state for the stateful sessionizer. */
+  case class SessionState(lastUs: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap-sessionization (1 h inactivity) via mapGroupsWithState —
+    * the streaming twin of EventQueries.q19. Emits the running per-user
+    * session counts on every update.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000L
+    events
+      .selectExpr("user_id", "ts div 1000 AS us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // Sort within the microbatch: arrival order is not time order.
+          val sorted = rows.map(_._2).toSeq.sorted
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val end = sorted.foldLeft(init) { (st, us) =>
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            SessionState(us, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(end)
+          UserSessions(uid, end.nSessions, end.nEvents)
+      }
+      .toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the result table (local test/dev harness).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

