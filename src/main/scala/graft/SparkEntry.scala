@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.EventQueries.queries ++
+      graft.queries.KpiQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.EventQueries.oracle ++
+      graft.queries.KpiQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       Map("qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql)

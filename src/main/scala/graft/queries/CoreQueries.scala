@@ -195,20 +195,25 @@ object CoreQueries {
       .withColumn("due", date_add(to_date(col("o_orderdate")), GraftConf.termDays))
       .withColumn("mora", datediff(lit(asOf).cast("date"), col("due")))
     val bucket = Buckets.bucketize(col("mora"), GraftConf.agingRanges, "fuera_de_rango")
+    // rollup + grouping_id: bucket rows AND the TOTAL row in ONE pass —
+    // a union of agg + re-agg would execute the whole saldo join twice
+    // (visible as two identical subtrees in the physical plan).
     val agg = open
-      .groupBy(bucket.as("categoria_mora"))
-      .agg(count(lit(1)).as("n_facturas"), dround(sum("saldo"), 2).as("saldo_total"))
-      .withColumn("orden", Buckets.bucketOrdinal(col("categoria_mora"), GraftConf.agingRanges))
+      .rollup(bucket.as("categoria_mora"))
+      .agg(count(lit(1)).as("n_facturas"), dround(sum("saldo"), 2).as("saldo_total"),
+        grouping_id().as("gid"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withPct = agg.withColumn("pct", dround(col("saldo_total") / sum("saldo_total").over(wAll), 6))
-    val total = agg.agg(
-      lit("TOTAL").as("categoria_mora"),
-      lit(99).cast("int").as("orden"),
-      sum("n_facturas").as("n_facturas"),
-      dround(sum("saldo_total"), 2).as("saldo_total"),
-      lit(1.0).as("pct"))
-    withPct.select("categoria_mora", "orden", "n_facturas", "saldo_total", "pct")
-      .unionByName(total.select("categoria_mora", "orden", "n_facturas", "saldo_total", "pct"))
+    agg
+      .withColumn("tot", max(when(col("gid") === 1, col("saldo_total"))).over(wAll))
+      .select(
+        coalesce(col("categoria_mora"), lit("TOTAL")).as("categoria_mora"),
+        when(col("gid") === 1, 99)
+          .otherwise(Buckets.bucketOrdinal(col("categoria_mora"), GraftConf.agingRanges))
+          .cast("int").as("orden"),
+        col("n_facturas"),
+        col("saldo_total"),
+        when(col("gid") === 1, 1.0)
+          .otherwise(dround(col("saldo_total") / col("tot"), 6)).as("pct"))
   }
 
   private val q06Sql = {
@@ -221,16 +226,17 @@ object CoreQueries {
        |  FROM (SELECT *, CAST(o_orderdate AS DATE) + ${GraftConf.termDays} AS due
        |        FROM saldo WHERE saldo > 0)),
        |agg AS (
-       |  SELECT categoria_mora, $ordExpr AS orden,
+       |  SELECT categoria_mora, GROUPING(categoria_mora) AS gid,
        |         count(*) AS n_facturas, round(sum(saldo), 2) AS saldo_total
        |  FROM (SELECT saldo, $caseExpr AS categoria_mora FROM open_inv)
-       |  GROUP BY 1)
-       |SELECT categoria_mora, orden, n_facturas, saldo_total,
-       |       round(saldo_total / sum(saldo_total) OVER (), 6) AS pct
-       |FROM agg
-       |UNION ALL
-       |SELECT 'TOTAL', 99, CAST(sum(n_facturas) AS BIGINT),
-       |       round(sum(saldo_total), 2), CAST(1.0 AS DOUBLE)
+       |  GROUP BY ROLLUP(categoria_mora))
+       |SELECT coalesce(categoria_mora, 'TOTAL') AS categoria_mora,
+       |  CAST(CASE WHEN gid = 1 THEN 99 ELSE $ordExpr END AS INT) AS orden,
+       |  n_facturas, saldo_total,
+       |  CASE WHEN gid = 1 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(saldo_total /
+       |            max(CASE WHEN gid = 1 THEN saldo_total END) OVER (), 6)
+       |  END AS pct
        |FROM agg""".stripMargin
   }
 

@@ -190,14 +190,27 @@ object TextQueries {
     * quadratic term and MinHash-LSH (qd6) replaces it when blocks grow.
     */
   def qd8(s: SparkSession, dir: String): DataFrame = {
+    // Inverted-index set-similarity join (PPJoin-lite): explode distinct
+    // grams, equi-join postings on (source, gram), count shared grams per
+    // pair, then |A∩B| / (|A|+|B|−|A∩B|). Identical jaccard values to the
+    // naive pairwise form but no per-pair array allocation — the block
+    // cross product materializes only pairs that share ≥1 gram, which is
+    // the shape that survives a 100 TB corpus.
     val g = docs(s, dir)
       .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
-      .select("doc_id", "source", "grams")
-    val a = g.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("ga"))
-    val b = g.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("gb"))
-    a.join(b, Seq("source"))
+      .select(col("doc_id"), col("source"), col("grams"), size(col("grams")).as("ng"))
+    val inv = g.select(col("source"), col("doc_id"), col("ng"),
+      explode(col("grams")).as("gram"))
+    val a = inv.select(col("source"), col("gram"),
+      col("doc_id").as("doc_a"), col("ng").as("na"))
+    val b = inv.select(col("source"), col("gram"),
+      col("doc_id").as("doc_b"), col("ng").as("nb"))
+    a.join(b, Seq("source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", dround(jaccard(col("ga"), col("gb")), 6))
+      .groupBy("source", "doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac", dround(
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jac") >= 0.01)
       .select("source", "doc_a", "doc_b", "jac")
   }
