@@ -1,0 +1,86 @@
+package graft.cxc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZScore
+
+import CxcSchema._
+
+/** Data-quality audit (SURVEY §3.1 PASO 3; /root/reference/src/auditor.py):
+  * consumes the RAW master plus the processed report (§3.1 lineage note).
+  */
+object CxcAuditor {
+
+  /** P5 — cancelled docs with cancellation metadata
+    * (/root/reference/src/auditor.py:315-347).
+    */
+  def cancelados(df: DataFrame): DataFrame = df.filter(col("_CANCELADO"))
+
+  /** P10 — null dimension audits (/root/reference/src/auditor.py:267-313). */
+  def sinTipoCliente(df: DataFrame): DataFrame = df.filter(col("TIPO_CLIENTE").isNull)
+  def sinVendedor(df: DataFrame): DataFrame = df.filter(col("VENDEDOR").isNull)
+  def sinCliente(df: DataFrame): DataFrame = df.filter(col("NOMBRE_CLIENTE").isNull)
+
+  /** A16 — IMPORTE outliers, sample std ddof=1, threshold 3.0
+    * (/root/reference/src/auditor.py:173-265).
+    */
+  def importesAtipicos(df: DataFrame): DataFrame =
+    ZScore.withZScore(df, col("IMPORTE"), "ZSCORE_IMPORTE", "ATIPICO_IMPORTE", 3.0)
+      .filter(col("ATIPICO_IMPORTE"))
+
+  /** Duplicate full-content rows (the fixture's planted dup; content =
+    * all business columns except the id).
+    */
+  def duplicados(df: DataFrame): DataFrame = {
+    val contentCols = df.columns.filterNot(c =>
+      c == "DOCTO_CC_ID" || c == "FOLIO" || c.startsWith("_")).map(col).toSeq
+    val keyed = df.withColumn("_content_hash", md5(concat_ws("",
+      contentCols.map(_.cast("string")): _*)))
+    val dupHashes = keyed.groupBy("_content_hash").count().filter(col("count") > 1)
+      .select(col("_content_hash").as("_dup_hash"))
+    keyed.join(dupHashes, keyed("_content_hash") === col("_dup_hash"), "left_semi")
+      .drop("_content_hash")
+  }
+
+  /** A17 — per-column data-quality profile in one distributed pass
+    * (/root/reference/src/auditor.py:349-376).
+    */
+  def perfilCalidad(df: DataFrame): DataFrame = {
+    val cols = df.columns.filterNot(_.startsWith("_")).toSeq
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map(c => struct(
+      lit(c).as("COLUMNA"), col("n_rows").as("TOTAL"),
+      col(s"null_$c").as("NULOS"),
+      dround6(col(s"null_$c").cast("double") / col("n_rows")).as("PCT_NULOS"),
+      col(s"dist_$c").as("DISTINTOS")))
+    one.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
+  private def dround6(c: org.apache.spark.sql.Column) =
+    graft.operators.Rounding.dround(c, 6)
+
+  /** PASO 3: the 7 finding sets + summary counts
+    * (/root/reference/src/auditor.py:34-60, 382-415).
+    */
+  def run(spark: SparkSession, raw: DataFrame): Map[String, DataFrame] = {
+    import spark.implicits._
+    val df = normalize(raw)
+    val findings = Map(
+      "auditoria_cancelados" -> cancelados(df),
+      "auditoria_sin_tipo_cliente" -> sinTipoCliente(df),
+      "auditoria_sin_vendedor" -> sinVendedor(df),
+      "auditoria_sin_cliente" -> sinCliente(df),
+      "auditoria_importes_atipicos" -> importesAtipicos(df),
+      "auditoria_duplicados" -> duplicados(df),
+      "auditoria_perfil_calidad" -> perfilCalidad(df),
+    )
+    val counts = findings.filterNot(_._1 == "auditoria_perfil_calidad")
+      .map { case (k, v) => (k, v.count()) }.toSeq
+    findings + ("auditoria_resumen" ->
+      (counts :+ ("total_hallazgos", counts.map(_._2).sum)).toDF("HALLAZGO", "N"))
+  }
+}

@@ -42,14 +42,25 @@ object TextFunctions {
   def langScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** MinHash signature (k permutations) over a shingle set: the j-th
-    * component is min over shingles of xxhash64(j, shingle). One
-    * whole-stage-codegen projection per row — at 100 TB this is
-    * embarrassingly parallel with no shuffle.
+  /** MinHash signature (k permutations) over a shingle set: hash each
+    * shingle ONCE (xxhash64), then derive the k permutations as affine
+    * maps h_j = a_j·h + b_j over Z/2⁶⁴ (odd multipliers ⇒ bijective) —
+    * k× fewer string hashes than hashing per-permutation, the standard
+    * trick for corpus-scale minhashing. One whole-stage-codegen
+    * projection per row, no shuffle.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shingles, s => xxhash64(lit(j), s)))): _*)
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    // Affine permutations over the Mersenne prime p=2³¹−1: products stay
+    // below 2⁶², so ANSI-mode long arithmetic cannot overflow.
+    val p = 2147483647L
+    val rnd = new scala.util.Random(0x5EED)
+    val params = Seq.fill(k)((1L + rnd.nextInt((p - 1).toInt).toLong,
+      rnd.nextInt(p.toInt).toLong))
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    array(params.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
 
   /** LSH band hashes from a minhash signature: bands of `rowsPerBand`
     * adjacent components, each hashed to one bucket key. Docs sharing any
