@@ -16,7 +16,23 @@ object VectorFunctions {
   /** Cast a float array to double element-wise (exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Register the native codegen expressions on a session (idempotent) —
+    * query builders call this so any session works.
+    */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => graft.functions.expr.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Dot product via the native codegen expression
+    * (graft.functions.expr.DotProduct): same left-to-right double sum as
+    * the HOF form, but whole-stage-codegen'd — the HOF
+    * `aggregate(zip_with(...))` evaluates interpreted per row.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-in-only fallback (interpreted HOF) — kept for parity tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -18,11 +18,13 @@ object VectorQueries {
   private val K = 5
   private val NQUERIES = 10
 
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
     Tables.embeddings(s, dir)
       .withColumn("vec", toDouble(col("embedding")))
       .withColumn("nrm", norm(col("vec")))
       .select("vec_id", "label", "vec", "nrm")
+  }
 
   /** Exact top-k neighbors (cosine) of each query vector. The query set
     * is broadcast against the corpus — one scan, no shuffle of the big

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Buckets, Pareto, Rounding}
+
+/** Property-based invariants (SURVEY §5.4): each property evaluates a
+  * whole generated batch through Spark in one job.
+  */
+object GraftProperties extends Properties("graft") {
+  import SparkSpecBase.spark
+  import spark.implicits._
+
+  private val finiteD: Gen[Double] =
+    Gen.chooseNum(-1e9, 1e9).suchThat(d => !d.isNaN && !d.isInfinite)
+
+  property("dround matches copysign(floor(|x*10^s|+0.5))/10^s for s=2") =
+    forAll(Gen.listOfN(50, finiteD)) { xs =>
+      xs.isEmpty || {
+        val got = xs.toDF("x").select(Rounding.dround(col("x"), 2)).collect().map(_.getDouble(0))
+        val exp = xs.map(x => math.copySign(math.floor(math.abs(x * 100) + 0.5), x) / 100)
+        got.toSeq == exp
+      }
+    }
+
+  property("dround is idempotent") =
+    forAll(Gen.listOfN(50, finiteD)) { xs =>
+      xs.isEmpty || {
+        val once = xs.toDF("x").select(Rounding.dround(col("x"), 2).as("r"))
+        val twice = once.select(Rounding.dround(col("r"), 2)).collect().map(_.getDouble(0))
+        val onceV = once.collect().map(_.getDouble(0))
+        twice.toSeq == onceV.toSeq
+      }
+    }
+
+  property("aging bucketize is a total partition with dense ordinals") =
+    forAll(Gen.listOfN(100, Gen.chooseNum(-5000, 5000))) { days =>
+      days.isEmpty || {
+        val df = days.toDF("d")
+          .withColumn("b", Buckets.bucketize(col("d"), GraftConf.agingRanges, "OUT"))
+          .withColumn("o", Buckets.bucketOrdinal(col("b"), GraftConf.agingRanges))
+        val rows = df.collect()
+        rows.forall(_.getString(1) != "OUT") &&
+          rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < GraftConf.agingRanges.size)
+      }
+    }
+
+  property("pareto abc: pct sums to ~1, cumulative monotone, ends exactly at 1.0") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1.0, 100000.0))) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, math.rint(v * 100) / 100) }
+        .toDF("k", "v")
+      val out = Pareto.abc(df, col("k"), col("v")).collect()
+      val byRank = out.sortBy(_.getAs[Int]("rnk"))
+      val cums = byRank.map(_.getAs[Double]("pct_acumulado"))
+      math.abs(out.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-3 &&
+        cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 } &&
+        cums.last == 1.0 &&
+        byRank.head.getAs[String]("clase_abc") == "A"
+    }
+
+  property("settlement balance: sum(saldo) == sum(charges) - sum(linked payments)") =
+    forAll(Gen.chooseNum(1, 30), Gen.chooseNum(0L, 1000L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val charges = (1 to n).map(i => (i.toLong, math.rint(rnd.nextDouble() * 1e6) / 100))
+      val pays = charges.filter(_ => rnd.nextBoolean()).map { case (id, amt) =>
+        (id, math.rint(amt * rnd.nextDouble() * 100) / 100)
+      }
+      val cDf = charges.toDF("id", "amt")
+      val pDf = pays.toDF("link", "pamt")
+      val saldo = operators.Balances.settlementBalance(
+        cDf, pDf, "id", "link", col("amt"), col("pamt"))
+      val got = saldo.agg(sum("saldo")).collect()(0).getDouble(0)
+      val exp = charges.map(_._2).sum - pays.map(_._2).sum
+      math.abs(got - exp) <= 0.005 * n + 1e-6
+    }
+
+  property("jaccard symmetric and within [0,1]") =
+    forAll(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)),
+      Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty))) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          functions.TextFunctions.jaccard(array_distinct(col("a")), array_distinct(col("b"))).as("ab"),
+          functions.TextFunctions.jaccard(array_distinct(col("b")), array_distinct(col("a"))).as("ba"))
+      val r = df.collect()(0)
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      ab == ba && ab >= 0.0 && ab <= 1.0
+    }
+
+  property("native dot product equals interpreted HOF dot product bit-for-bit") = {
+    functions.VectorFunctions.registerNative(spark)
+    forAll(Gen.listOfN(16, finiteD), Gen.listOfN(16, finiteD)) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        functions.VectorFunctions.dot(col("a"), col("b")).as("nat"),
+        functions.VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()(0)
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+}
