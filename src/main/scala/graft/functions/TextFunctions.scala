@@ -14,9 +14,16 @@ object TextFunctions {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram strings (space-joined), positions 1..len-n+1.
-    * Empty array when the doc has fewer than n tokens.
+    * Empty array when the doc has fewer than n tokens. Backed by the
+    * native WordNGrams expression — the equivalent built-in HOF chain
+    * (sequence→transform→slice→concat_ws) is interpreted per row and
+    * ~10× slower (see graft.functions.expr.WordNGrams).
     */
   def wordGrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_word_ngrams", toks, lit(n))
+
+  /** Built-in-only formulation — kept for parity testing. */
+  def wordGramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - lit(n - 1)),

@@ -16,13 +16,19 @@ object VectorFunctions {
   /** Cast a float array to double element-wise (exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Register the native codegen expressions on a session (idempotent) —
-    * query builders call this so any session works.
+  /** Register the native expressions on a session (idempotent) — query
+    * builders call this so any session works.
     */
-  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => graft.functions.expr.DotProduct(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_word_ngrams",
+      exprs => graft.functions.expr.WordNGrams(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Dot product via the native codegen expression
     * (graft.functions.expr.DotProduct): same left-to-right double sum as

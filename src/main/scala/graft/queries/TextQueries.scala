@@ -20,8 +20,10 @@ import graft.operators.Rounding.dround
   */
 object TextQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(s)
     Tables.documents(s, dir)
+  }
 
   // ---------------------------------------------------------------- qd1
   /** Exact deduplication by content hash: every doc keeps its group size

@@ -88,6 +88,15 @@ object GraftProperties extends Properties("graft") {
       ab == ba && ab >= 0.0 && ab <= 1.0
     }
 
+  property("native word n-grams equal the HOF formulation exactly") =
+    forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)), Gen.chooseNum(1, 5)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val r = df.select(
+        functions.TextFunctions.wordGrams(col("t"), n).as("nat"),
+        functions.TextFunctions.wordGramsHof(col("t"), n).as("hof")).collect()(0)
+      r.getSeq[String](0) == r.getSeq[String](1)
+    }
+
   property("native dot product equals interpreted HOF dot product bit-for-bit") = {
     functions.VectorFunctions.registerNative(spark)
     forAll(Gen.listOfN(16, finiteD), Gen.listOfN(16, finiteD)) { (a, b) =>

@@ -17,6 +17,7 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.registerNative(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
