@@ -1,0 +1,30 @@
+package graft.output
+
+import org.apache.spark.sql.DataFrame
+
+/** Engine-side sinks (SURVEY §2.1 S7: the canonical sink is columnar
+  * files; Excel/PDF styling is a presentation concern outside the
+  * engine). Partitioned parquet is the 100 TB-correct default — writers
+  * take explicit partition columns so downstream scans prune.
+  */
+object Sinks {
+
+  /** Write a view as parquet, optionally hash-partitioned by columns
+    * (directory partitioning → partition pruning on read).
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** CSV with header — for report-sized outputs only (no pushdown,
+    * row-oriented; never for fact tables).
+    */
+  def csv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Write every named view of a pipeline run under one root. */
+  def writeViews(views: Map[String, DataFrame], root: String): Unit =
+    views.foreach { case (name, df) => parquet(df, s"$root/$name") }
+}

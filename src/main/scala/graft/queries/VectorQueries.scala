@@ -134,15 +134,67 @@ object VectorQueries {
        |FROM v JOIN e t ON v.query_id = t.vec_id
        |WHERE v.vr = 1""".stripMargin
 
+  // ---------------------------------------------------------------- qe4
+  /** Embedding-cosine near-duplicate dedup: per vector, the number of
+    * neighbors with cosine ≥ threshold, the max similarity, and a `keep`
+    * flag (canonical = no near-duplicate with a smaller id). Exact
+    * all-pairs semantics so the oracle can replicate it; at corpus scale
+    * swap the pair source for the sign-LSH bucket join of qe2 (same
+    * aggregation, candidates instead of all pairs).
+    */
+  def qe4(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.4
+    val e = embs(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    val near = a.join(b, col("ida") =!= col("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos") >= t)
+      .groupBy(col("ida"))
+      .agg(
+        count(lit(1)).as("n_near"),
+        max(col("cos")).as("max_cos"),
+        max(when(col("idb") < col("ida"), 1).otherwise(0)).as("_smaller"))
+    e.select(col("vec_id"))
+      .join(near, col("vec_id") === col("ida"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_cos"),
+        coalesce(col("_smaller") === 0, lit(true)).as("keep"))
+  }
+
+  private val qe4Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+       |near AS (
+       |  SELECT ida, count(*) AS n_near, max(cos) AS max_cos,
+       |         max(CASE WHEN idb < ida THEN 1 ELSE 0 END) AS smaller
+       |  FROM pairs WHERE cos >= 0.4 GROUP BY ida)
+       |SELECT e.vec_id,
+       |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+       |  near.max_cos,
+       |  coalesce(near.smaller = 0, true) AS keep
+       |FROM e LEFT JOIN near ON e.vec_id = near.ida""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
     "qe3_knn_label" -> (qe3 _),
+    "qe4_embedding_dedup" -> (qe4 _),
   )
 
   val oracle: Map[String, String] = Map(
     "qe1_cosine_topk" -> qe1Sql,
     "qe3_knn_label" -> qe3Sql,
+    "qe4_embedding_dedup" -> qe4Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -90,6 +90,17 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** Streaming exact deduplication with bounded state: dropDuplicates on
+    * the id within a watermark horizon — the streaming twin of the
+    * batch exact-dedup operator (TextQueries.qd1's shape). State holds
+    * only ids seen inside the watermark, so memory is bounded by
+    * (arrival rate × horizon), not stream length.
+    */
+  def dedupeEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (local test/dev harness).
     */

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cxc._
+
+/** The Spark SQL surface (SURVEY §2.1 S2/S3 + §1.4 dict-of-views
+  * mapping): every pipeline view is addressable from spark.sql, and the
+  * file-based SQL entry point works end-to-end. Plus sink round-trips
+  * (S7) with partition pruning.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkSpecBase.{spark, sf}
+
+  test("pipeline views are queryable from spark.sql") {
+    val views = CxcPipeline.run(spark, CxcFixture.generate(spark, 40))
+    CxcPipeline.registerViews(views)
+    val r = spark.sql(
+      """SELECT NOMBRE_CLIENTE, count(*) AS n, round(sum(_MONTO), 2) AS total
+        |FROM movimientos_totales
+        |WHERE TIPO_IMPTE = 'C'
+        |GROUP BY NOMBRE_CLIENTE
+        |ORDER BY total DESC""".stripMargin)
+    assert(r.count() > 0)
+    val aging = spark.sql("SELECT * FROM antiguedad_cartera_mxn WHERE CATEGORIA_MORA = 'TOTAL'")
+    assert(aging.count() == 1)
+  }
+
+  test("SQL-file entry point (S3): run a .sql file against registered views") {
+    val views = CxcPipeline.run(spark, CxcFixture.generate(spark, 40))
+    CxcPipeline.registerViews(views)
+    val f = java.nio.file.Files.createTempFile("graft", ".sql")
+    java.nio.file.Files.writeString(f,
+      "SELECT KPI, VALOR FROM kpis_resumen_mxn WHERE KPI = 'DSO'")
+    val sql = java.nio.file.Files.readString(f)
+    assert(spark.sql(sql).columns.toSeq == Seq("KPI", "VALOR"))
+  }
+
+  test("parquet sink round-trip with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val src = Tables.orders(spark, sf)
+    output.Sinks.parquet(src, s"$dir/orders", partitionBy = Seq("o_orderstatus"))
+    val back = spark.read.parquet(s"$dir/orders")
+    assert(back.count() == src.count())
+    // partition pruning: the filtered scan must read only the F partition
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("o_orderstatus=F") || plan.contains("PartitionFilters"))
+    val fCount = back.filter(col("o_orderstatus") === "F").count()
+    assert(fCount == src.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("csv sink round-trip preserves report shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val report = queries.CoreQueries.q06(spark, sf)
+    output.Sinks.csv(report, s"$dir/aging")
+    val back = spark.read.option("header", "true").csv(s"$dir/aging")
+    assert(back.count() == report.count())
+    assert(back.columns.toSeq == report.columns.toSeq)
+  }
+}

@@ -47,6 +47,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 0, "stream/batch session counts diverge")
   }
 
+  test("streaming watermark dedup emits each event_id once") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.dedupeEvents(stream), "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(out.count() == batchDistinct)
+    assert(out.select("event_id").distinct().count() == out.count())
+  }
+
   test("multimodal feature extraction: schema + deterministic stub decode") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(spark, media)
