@@ -1,0 +1,80 @@
+package graft.cxc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Master-table assembly (SURVEY §2.1 S6 + §2.3 J1 + §2.2 P1/P2 + §2.6
+  * O1): the fact table left-joined to its dimensions in one declared
+  * chain, conditional CARGOS/ABONOS projection, 4-key mixed sort —
+  * reproducing /root/reference/src/data_transformer.py:84-197 (itself a
+  * 1:1 of sql/maestro_cxc.sql). Catalyst broadcasts the dims and prunes
+  * columns; the hand-managed join order of the reference is left to the
+  * optimizer.
+  */
+object CxcAssembler {
+
+  /** Dimension spec: (table, joinKey, renames old→new). */
+  case class Dim(df: DataFrame, key: String, renames: Map[String, String] = Map.empty)
+
+  /** Left-join the fact to each dimension on its key, applying the
+    * reference's rename-on-join normalization (P11,
+    * /root/reference/src/data_transformer.py:100-131).
+    */
+  def assemble(fact: DataFrame, dims: Seq[Dim]): DataFrame =
+    dims.foldLeft(fact) { case (acc, Dim(dim, key, renames)) =>
+      val renamed = renames.foldLeft(dim) { case (d, (from, to)) =>
+        d.withColumnRenamed(from, to)
+      }
+      acc.join(broadcast(renamed), Seq(key), "left")
+    }
+
+  /** P1 — conditional CARGOS/ABONOS from NATURALEZA_CONCEPTO
+    * (/root/reference/src/data_transformer.py:147-157, replicating
+    * sql/maestro_cxc.sql:38-45).
+    */
+  def withCargosAbonos(df: DataFrame): DataFrame = {
+    val monto = coalesce(col("IMPORTE"), lit(0.0)) + coalesce(col("IMPUESTO"), lit(0.0))
+    df.withColumn("CARGOS",
+        when(upper(trim(col("NATURALEZA_CONCEPTO"))) === "C", monto).otherwise(0.0))
+      .withColumn("ABONOS",
+        when(upper(trim(col("NATURALEZA_CONCEPTO"))) === "R", monto).otherwise(0.0))
+  }
+
+  /** O1 — the reference's 4-key mixed sort with DOCTO_CC_ID as the
+    * deterministic tiebreaker (SURVEY §7.6.1;
+    * /root/reference/src/data_transformer.py:175-180).
+    */
+  def masterSort(df: DataFrame): DataFrame =
+    df.orderBy(
+      col("NOMBRE_CLIENTE").asc_nulls_first,
+      col("DOCTO_CC_ACR_ID").asc_nulls_first,
+      col("DOCTO_CC_ID").asc_nulls_first,
+      col("FECHA_EMISION").desc_nulls_last)
+
+  /** Full assembly on a split fixture: facts + mini dims → master with
+    * the fixed projection (P2).
+    */
+  def assembleMaster(fact: DataFrame, clientes: DataFrame, vendedores: DataFrame,
+      monedas: DataFrame, conceptos: DataFrame): DataFrame = {
+    val joined = assemble(fact, Seq(
+      Dim(clientes, "CLIENTE_ID", Map("NOMBRE" -> "NOMBRE_CLIENTE")),
+      Dim(vendedores, "VENDEDOR_ID", Map("NOMBRE" -> "VENDEDOR")),
+      Dim(monedas, "MONEDA_ID", Map("NOMBRE" -> "MONEDA")),
+      Dim(conceptos, "CONCEPTO_CC_ID", Map("NOMBRE" -> "CONCEPTO")),
+    ))
+    masterSort(withCargosAbonos(joined))
+  }
+
+  /** Mini dimension fixture for tests (the S6 extraction-plan shape). */
+  def dimFixture(spark: SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    Map(
+      "clientes" -> Seq((1L, "ACME SA", 150000.0), (2L, "COMERCIAL NORTE", 80000.0),
+        (3L, "DISTRIBUIDORA SUR", 60000.0)).toDF("CLIENTE_ID", "NOMBRE", "LIMITE_CREDITO"),
+      "vendedores" -> Seq((1L, "JUAN PEREZ"), (2L, "MARIA LOPEZ")).toDF("VENDEDOR_ID", "NOMBRE"),
+      "monedas" -> Seq((1L, "MXN"), (2L, "USD")).toDF("MONEDA_ID", "NOMBRE"),
+      "conceptos" -> Seq((1L, "FACTURA VENTA", "C"), (2L, "COBRO VENTA", "R"))
+        .toDF("CONCEPTO_CC_ID", "NOMBRE", "NATURALEZA"),
+    )
+  }
+}

@@ -45,11 +45,21 @@ object CxcKpis {
         dround(col("cobros_periodo") / (col("saldo_inicio") + col("cargos_periodo")), 6)))
       .withColumn("morosidad", when(col("saldo_abierto") > 0,
         dround(col("saldo_vencido") / col("saldo_abierto"), 6)))
+    // F12 — formatted INTERPRETACION strings like the reference's
+    // "$ {:,.2f}" interpolations (/root/reference/src/kpis.py:100-112).
     k.select(explode(array(
-      struct(lit("DSO").as("KPI"), col("dso").as("VALOR"), lit("dias").as("UNIDAD")),
-      struct(lit("CEI").as("KPI"), col("cei").as("VALOR"), lit("ratio").as("UNIDAD")),
+      struct(lit("DSO").as("KPI"), col("dso").as("VALOR"), lit("dias").as("UNIDAD"),
+        concat(lit("Cobro promedio a "), format_number(col("dso"), 1),
+          lit(" dias sobre ventas de $"), format_number(col("ventas_periodo"), 2))
+          .as("INTERPRETACION")),
+      struct(lit("CEI").as("KPI"), col("cei").as("VALOR"), lit("ratio").as("UNIDAD"),
+        concat(lit("Efectividad de cobranza "),
+          format_number(col("cei") * 100, 1), lit("%")).as("INTERPRETACION")),
       struct(lit("INDICE_MOROSIDAD").as("KPI"), col("morosidad").as("VALOR"),
-        lit("ratio").as("UNIDAD")))).as("r"))
+        lit("ratio").as("UNIDAD"),
+        concat(lit("$"), format_number(col("saldo_vencido"), 2),
+          lit(" vencido de $"), format_number(col("saldo_abierto"), 2))
+          .as("INTERPRETACION")))).as("r"))
       .select("r.*")
   }
 
