@@ -90,6 +90,18 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** Sliding-window variant (1 h window, 30 min slide): each event lands
+    * in two windows; same watermark bound on state.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming exact deduplication with bounded state: dropDuplicates on
     * the id within a watermark horizon — the streaming twin of the
     * batch exact-dedup operator (TextQueries.qd1's shape). State holds

@@ -57,6 +57,59 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == out.count())
   }
 
+  test("sliding windows: each event lands in exactly two windows") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.slidingAgg(stream), "sliding_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val total = out.agg(sum("n_events")).collect()(0).getLong(0)
+    val horizonLoss = 5 * 8 // emitted windows only; tail windows withheld by watermark
+    val nEvents = Tables.events(spark, sf).count()
+    assert(total <= 2 * nEvents && total >= 2 * (nEvents - 200),
+      s"sliding total $total vs 2x$nEvents (allowing watermark tail, loss cap $horizonLoss)")
+  }
+
+  test("watermark drops data later than the horizon across microbatches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    def mkRows(rows: Seq[(Long, Long, Long)]) = // (event_id, us offset, user)
+      rows.map { case (id, off, u) =>
+        (id, (baseUs + off) * 1000L, u, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val H = 3600L * 1000000L
+    // The watermark lags one batch: a batch's max event time only takes
+    // effect for the NEXT batch. Drive three explicit microbatches by
+    // adding files between processAllAvailable() calls.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventSchema)
+      .parquet(s"$dir/in")
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStreaming.hourlyAgg(stream).writeStream
+      .outputMode("append").format("memory").queryName("late_test").start()
+    def feed(rows: Seq[(Long, Long, Long)]): Unit = {
+      mkRows(rows).repartition(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    }
+    // batch 0: hours 0 and 1
+    feed(Seq((1L, 0L, 1L), (2L, H + 1, 1L), (3L, H + 2, 2L)))
+    // batch 1: hour 6 → after this batch the watermark is hour 4
+    feed(Seq((10L, 6 * H, 1L)))
+    // batch 2: late hour-0 row (beyond horizon => DROPPED), hour-5 row
+    // (window end 6 > watermark 4 => accepted), hour-7 row (flush)
+    feed(Seq((12L, 10L, 3L), (13L, 5 * H + 5, 2L), (14L, 7 * H, 1L)))
+    q.stop()
+    val emitted = spark.table("late_test").select("hour", "n_events").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hour 0 finalized with ONLY the on-time row (late id=12 dropped)
+    assert(emitted.get("2024-01-01 00:00:00").contains(1L),
+      s"hour-0 window should finalize with 1 on-time event, got $emitted")
+    assert(emitted.get("2024-01-01 01:00:00").contains(2L))
+    // the in-horizon late-ish row (hour 5) is accepted, not dropped
+    assert(emitted.get("2024-01-01 05:00:00").forall(_ == 1L), s"got $emitted")
+  }
+
   test("multimodal feature extraction: schema + deterministic stub decode") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(spark, media)
