@@ -184,11 +184,55 @@ object VectorQueries {
        |  coalesce(near.smaller = 0, true) AS keep
        |FROM e LEFT JOIN near ON e.vec_id = near.ida""".stripMargin
 
+  // ---------------------------------------------------------------- qe5
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    * into nlist inverted lists; queries probe the nprobe nearest
+    * centroids and rank only those lists. The corpus-side assignment is
+    * one ML fit + one projection; the probe join is an equi-join on
+    * centroid id — the standard big-corpus ANN shape (vs qe2's sign-LSH).
+    * No SQL oracle (k-means is engine-side); recall vs qe1 asserted in
+    * tests.
+    */
+  def qe5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nlist = 16
+    val nprobe = 4
+    val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("list_id")
+    val model = km.fit(e)
+    val assigned = model.transform(e).select("vec_id", "label", "vec", "nrm", "list_id")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val centDf = s.createDataFrame(centroids).toDF("cent_id", "cent")
+    // queries probe their nprobe nearest centroids (by euclidean on the
+    // same quantizer geometry)
+    val q = assigned.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("cent_id"))
+    assigned.join(broadcast(probes),
+      col("list_id") === col("cent_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
     "qe3_knn_label" -> (qe3 _),
     "qe4_embedding_dedup" -> (qe4 _),
+    "qe5_ann_ivf" -> (qe5 _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -76,6 +76,23 @@ object GraftProperties extends Properties("graft") {
       math.abs(got - exp) <= 0.005 * n + 1e-6
     }
 
+  property("running balance: last value per group equals the group sum") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(0L, 500L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to n).map(i =>
+        (rnd.nextInt(3).toLong, i.toLong, math.rint((rnd.nextDouble() - 0.5) * 2e5) / 100))
+      val df = rows.toDF("g", "ord", "amt")
+      val rb = operators.Balances.runningBalance(
+        df, Seq(col("g")), Seq(col("ord").asc), col("amt"))
+      val last = rb.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("ord").desc)))
+        .filter(col("rn") === 1).select(col("g"), col("running_balance"))
+      val sums = df.groupBy("g").agg(sum("amt").as("s"))
+      last.join(sums, Seq("g"))
+        .filter(abs(col("running_balance") - col("s")) > 0.011).count() == 0
+    }
+
   property("jaccard symmetric and within [0,1]") =
     forAll(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)),
       Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty))) { (a, b) =>

@@ -102,6 +102,20 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQ.count() == 0)
   }
 
+  test("IVF ANN (qe5): cosines exact for shared pairs, reasonable recall vs brute force") {
+    val ivf = queries.VectorQueries.qe5(spark, sf)
+    val exact = queries.VectorQueries.qe1(spark, sf)
+    val shared = ivf.as("a").join(exact.as("e"),
+      col("a.query_id") === col("e.query_id") &&
+        col("a.neighbor_id") === col("e.neighbor_id"))
+    assert(shared.filter(col("a.cosine") =!= col("e.cosine")).count() == 0)
+    // recall@5 with 4/16 probes on random vectors: expect a reasonable hit
+    // count, and never more than k rows per query
+    val recall = shared.count().toDouble / exact.count()
+    assert(recall >= 0.2, s"IVF recall@5 suspiciously low: $recall")
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+  }
+
   test("lang-id picks the language whose stopwords dominate") {
     val df = Seq(
       (1L, "the cat and the dog of the house to a garden", "en"),
