@@ -16,13 +16,21 @@ object CxcPipeline {
       skipAudit: Boolean = false,
       skipAnalytics: Boolean = false,
       skipKpis: Boolean = false,
-      asOf: LocalDate = CxcFixture.asOfDate)
+      asOf: LocalDate = CxcFixture.asOfDate,
+      cacheViews: Boolean = true)
 
   /** Run the full pipeline over a raw master movement table. */
   def run(spark: SparkSession, raw: DataFrame,
       opts: Options = Options()): Map[String, DataFrame] = {
     // PASO 2 — operational report (the dependency root, SURVEY §3.1)
-    val vistas = CxcReport.run(raw, opts.asOf)
+    val vistas0 = CxcReport.run(raw, opts.asOf)
+    // movimientos_totales feeds ~20 downstream views — cache it so each
+    // doesn't re-execute the whole report chain (the Spark mapping of the
+    // reference's TTL-cached loaders, SURVEY §2.1 S10).
+    val vistas =
+      if (opts.cacheViews)
+        vistas0 + ("movimientos_totales" -> vistas0("movimientos_totales").cache())
+      else vistas0
     // PASO 3 — audit reads the RAW master (not the report) per reference
     val audit =
       if (opts.skipAudit) Map.empty[String, DataFrame]
