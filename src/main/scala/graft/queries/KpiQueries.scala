@@ -59,13 +59,29 @@ object KpiQueries {
     * map-side partials, one tiny result, no window.
     */
   def q22(s: SparkSession, dir: String): DataFrame = {
-    val os = openSaldo(s, dir)
-    val li = Tables.lineitem(s, dir)
     val periodStart = date_sub(lit(asOf).cast("date"), periodDays)
 
-    // ONE conditional-sum pass over the balance view covers both the
-    // sales-only aggregates and the all-orders period charges (es_venta
-    // gates the sales terms); payments need their own lineitem pass.
+    // ONE aggregation of lineitem serves BOTH the settlement join and the
+    // global payment totals: the identical groupBy(l_orderkey) shuffle
+    // appears in two plan branches and Spark reuses the exchange — one
+    // scan of the payment table instead of two.
+    val liAgg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("_link"))
+      .agg(
+        sum(net).as("_paid"),
+        sum(when(to_date(col("l_shipdate")) >= periodStart &&
+          to_date(col("l_shipdate")) < lit(asOf).cast("date"), net).otherwise(0.0))
+          .as("_paid_period"))
+    val os = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      .join(liAgg, col("o_orderkey") === col("_link"), "left")
+      .withColumn("saldo", dround(col("o_totalprice") - coalesce(col("_paid"), lit(0.0)), 2))
+      .withColumn("es_venta", isSale)
+      .withColumn("mora",
+        datediff(lit(asOf).cast("date"), date_add(to_date(col("o_orderdate")), GraftConf.termDays)))
+
+    // Conditional-sum pass over the balance view covers the sales-only
+    // aggregates and the all-orders period charges in one shot.
     val inPeriod = to_date(col("o_orderdate")) >= periodStart &&
       to_date(col("o_orderdate")) < lit(asOf).cast("date")
     val v = col("es_venta")
@@ -75,11 +91,9 @@ object KpiQueries {
       sum(when(v && inPeriod, col("o_totalprice")).otherwise(0.0)).as("ventas_periodo"),
       sum(when(v, col("o_totalprice")).otherwise(0.0)).as("cargos_totales"),
       sum(when(inPeriod, col("o_totalprice")).otherwise(0.0)).as("cargos_periodo"))
-    val pagos = li.agg(
-      sum(net).as("pagos_totales"),
-      sum(when(to_date(col("l_shipdate")) >= periodStart &&
-        to_date(col("l_shipdate")) < lit(asOf).cast("date"), net).otherwise(0.0))
-        .as("cobros_periodo"))
+    val pagos = liAgg.agg(
+      sum(col("_paid")).as("pagos_totales"),
+      sum(col("_paid_period")).as("cobros_periodo"))
 
     val k = saldoVentas.crossJoin(pagos)
       .withColumn("dso",

@@ -199,7 +199,9 @@ object VectorQueries {
     val nlist = 16
     val nprobe = 4
     val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random") // seeded; skips the kmeans|| init passes —
+      // quantizer quality is secondary to list balance for IVF
       .setFeaturesCol("fvec").setPredictionCol("list_id")
     val model = km.fit(e)
     val assigned = model.transform(e).select("vec_id", "label", "vec", "nrm", "list_id")
