@@ -18,13 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize via the noop sink, not count(): count(1) lets Catalyst
+    // prune every unused column, so final projections (dround chains,
+    // struct assembly) would be skipped and the bench would understate
+    // what Verify actually pays.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warm the JVM/session (codegen, file listing, parquet footers) so
     // per-query numbers measure the queries, not first-run setup.
-    SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
+    SparkEntry.queries.get("q01_pricing_summary").foreach(run)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

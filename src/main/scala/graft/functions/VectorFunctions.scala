@@ -61,4 +61,23 @@ object VectorFunctions {
       val planeLit = array(p.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Banded sign-LSH: `bands` bucket ids of `r` bits each (planes must
+    * hold bands×r hyperplanes). A pair is a candidate if it collides in
+    * ANY band — the OR-of-ANDs construction that trades candidate volume
+    * (more bands) against recall, exactly as MinHash banding does for
+    * Jaccard. Returned as an array so callers `posexplode` it into a
+    * (band, bucket) posting list and self-join on equality — candidate
+    * generation is an equi-join, never a cross product.
+    */
+  def lshBandBuckets(vec: Column, planes: Seq[Seq[Double]],
+                     bands: Int, r: Int): Column = {
+    require(planes.length == bands * r, s"need ${bands * r} planes")
+    array((0 until bands).map { b =>
+      (0 until r).map { j =>
+        val planeLit = array(planes(b * r + j).map(lit): _*)
+        when(dot(vec, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
 }

@@ -184,6 +184,77 @@ object VectorQueries {
        |  coalesce(near.smaller = 0, true) AS keep
        |FROM e LEFT JOIN near ON e.vec_id = near.ida""".stripMargin
 
+  // ---------------------------------------------------------------- qe4b
+  /** qe4's near-dup dedup with LSH candidate generation instead of the
+    * all-pairs non-equi join (which plans as BroadcastNestedLoopJoin —
+    * the O(n²) wall named in round 1). Candidates come from a banded
+    * sign-LSH posting list: a pair is scored iff it shares a bucket in
+    * ≥1 of `BANDS` bands of `RBITS` hyperplane bits; the aggregation
+    * (n_near / max_cos / keep) is qe4's, unchanged, so the exact
+    * all-pairs SQL remains the oracle.
+    *
+    * Parameter regime, stated honestly: the testdata's ≥0.4 pairs are
+    * the ~3.2σ tail of random 64-dim pairs (measured: max cos 0.60, no
+    * planted high-sim dups), so per-bit collision is p1≈0.63 vs p2=0.5
+    * for a random pair — LSH exponent ρ = ln p1/ln p2 ≈ 0.67, i.e.
+    * candidates ~ n^1.67: sub-quadratic but not cheap. 64 bands × 4 bits
+    * give per-pair miss (1−0.63⁴)^64 ≈ 2e-5 at the 0.40 boundary —
+    * empirically 100% recall at sf0.01/sf0.1, asserted ≥0.9 in tests.
+    * At a realistic dedup threshold (cos ≥ 0.8, p1≈0.8) the same code
+    * needs ~8 bands for the same recall and candidates collapse to
+    * near-linear — that is the 100 TB operating point.
+    */
+  private val BANDS = 64
+  private val RBITS = 4
+
+  def qe4b(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.4
+    val planes = hyperplanes(BANDS * RBITS, 64)
+    val e = embs(s, dir)
+    val posts = e
+      .withColumn("bks", lshBandBuckets(col("vec"), planes, BANDS, RBITS))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    // candidate pairs: equi-join on (band, bucket), deduped across bands
+    val cand = posts.as("x").join(posts.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .distinct()
+    val va = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    val scored = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos") >= t)
+      .select("ida", "idb", "cos")
+    // mirror to directed pairs so the aggregation is qe4's, verbatim
+    val directed = scored.unionByName(
+      scored.select(col("idb").as("ida"), col("ida").as("idb"), col("cos")))
+    val near = directed.groupBy("ida").agg(
+      count(lit(1)).as("n_near"),
+      max(col("cos")).as("max_cos"),
+      max(when(col("idb") < col("ida"), 1).otherwise(0)).as("_smaller"))
+    e.select(col("vec_id"))
+      .join(near, col("vec_id") === col("ida"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_cos"),
+        coalesce(col("_smaller") === 0, lit(true)).as("keep"))
+  }
+
+  /** Candidate pairs only (ida < idb) — exposed for the recall test. */
+  def qe4bCandidates(s: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(BANDS * RBITS, 64)
+    val posts = embs(s, dir)
+      .withColumn("bks", lshBandBuckets(col("vec"), planes, BANDS, RBITS))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    posts.as("x").join(posts.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- qe5
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
     * into nlist inverted lists; queries probe the nprobe nearest
@@ -234,6 +305,7 @@ object VectorQueries {
     "qe2_ann_lsh" -> (qe2 _),
     "qe3_knn_label" -> (qe3 _),
     "qe4_embedding_dedup" -> (qe4 _),
+    "qe4b_embedding_dedup_lsh" -> (qe4b _),
     "qe5_ann_ivf" -> (qe5 _),
   )
 
@@ -241,6 +313,9 @@ object VectorQueries {
     "qe1_cosine_topk" -> qe1Sql,
     "qe3_knn_label" -> qe3Sql,
     "qe4_embedding_dedup" -> qe4Sql,
+    // qe4b: LSH candidates, exact all-pairs SQL as oracle — the whole
+    // point is that the candidate set loses nothing at this threshold.
+    "qe4b_embedding_dedup_lsh" -> qe4Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -102,6 +102,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQ.count() == 0)
   }
 
+  test("qe4b LSH candidates recall >= 0.9 of exact near pairs at t=0.4, and qe4b == qe4") {
+    // sf0.01: 500 vectors, 59 exact pairs >= 0.4 — enough mass to make
+    // the recall assertion meaningful (sf0.001 has too few pairs).
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf01)
+      .withColumn("vec", graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("vec")))
+    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    val exactPairs = a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(
+        col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select("ida", "idb")
+    val nExact = exactPairs.count()
+    assert(nExact > 0, "fixture should contain near pairs")
+    val cand = queries.VectorQueries.qe4bCandidates(spark, sf01)
+    val hit = exactPairs.join(cand, Seq("ida", "idb"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    assert(recall >= 0.9, s"LSH candidate recall $recall < 0.9 ($hit/$nExact)")
+    // end-to-end: the candidate path reproduces the exact dedup output
+    val exact4 = queries.VectorQueries.qe4(spark, sf01)
+    val lsh4 = queries.VectorQueries.qe4b(spark, sf01)
+    assert(exact4.exceptAll(lsh4).count() == 0 && lsh4.exceptAll(exact4).count() == 0,
+      "qe4b diverges from qe4 on sf0.01")
+  }
+
   test("IVF ANN (qe5): cosines exact for shared pairs, reasonable recall vs brute force") {
     val ivf = queries.VectorQueries.qe5(spark, sf)
     val exact = queries.VectorQueries.qe1(spark, sf)
