@@ -30,13 +30,16 @@ object CxcAuditor {
       .filter(col("ATIPICO_IMPORTE"))
 
   /** Duplicate full-content rows (the fixture's planted dup; content =
-    * all business columns except the id).
+    * all business columns except the id). The \u0001 separator keeps
+    * column boundaries; the \u0000 null sentinel keeps null positions —
+    * concat_ws silently SKIPS nulls, so without it (null,"X") and
+    * ("X",null) would hash equal and be falsely flagged as duplicates.
     */
   def duplicados(df: DataFrame): DataFrame = {
     val contentCols = df.columns.filterNot(c =>
       c == "DOCTO_CC_ID" || c == "FOLIO" || c.startsWith("_")).map(col).toSeq
-    val keyed = df.withColumn("_content_hash", md5(concat_ws("",
-      contentCols.map(_.cast("string")): _*)))
+    val keyed = df.withColumn("_content_hash", md5(concat_ws("\u0001",
+      contentCols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)))
     val dupHashes = keyed.groupBy("_content_hash").count().filter(col("count") > 1)
       .select(col("_content_hash").as("_dup_hash"))
     keyed.join(dupHashes, keyed("_content_hash") === col("_dup_hash"), "left_semi")
@@ -64,23 +67,27 @@ object CxcAuditor {
     graft.operators.Rounding.dround(c, 6)
 
   /** PASO 3: the 7 finding sets + summary counts
-    * (/root/reference/src/auditor.py:34-60, 382-415).
+    * (/root/reference/src/auditor.py:34-60, 382-415). The summary is a
+    * single lazy union of scalar aggregates — one Spark job when
+    * materialized, not one `.count()` action per finding.
     */
   def run(spark: SparkSession, raw: DataFrame): Map[String, DataFrame] = {
-    import spark.implicits._
     val df = normalize(raw)
-    val findings = Map(
+    val findings = Seq(
       "auditoria_cancelados" -> cancelados(df),
       "auditoria_sin_tipo_cliente" -> sinTipoCliente(df),
       "auditoria_sin_vendedor" -> sinVendedor(df),
       "auditoria_sin_cliente" -> sinCliente(df),
       "auditoria_importes_atipicos" -> importesAtipicos(df),
       "auditoria_duplicados" -> duplicados(df),
-      "auditoria_perfil_calidad" -> perfilCalidad(df),
     )
-    val counts = findings.filterNot(_._1 == "auditoria_perfil_calidad")
-      .map { case (k, v) => (k, v.count()) }.toSeq
-    findings + ("auditoria_resumen" ->
-      (counts :+ ("total_hallazgos", counts.map(_._2).sum)).toDF("HALLAZGO", "N"))
+    val countRows = findings.map { case (k, v) =>
+      v.agg(count(lit(1)).as("N")).select(lit(k).as("HALLAZGO"), col("N"))
+    }.reduce(_ unionByName _)
+    val resumen = countRows.unionByName(
+      countRows.agg(sum("N").as("N")).select(lit("total_hallazgos").as("HALLAZGO"), col("N")))
+    (findings :+
+      ("auditoria_perfil_calidad" -> perfilCalidad(df)) :+
+      ("auditoria_resumen" -> resumen)).toMap
   }
 }

@@ -23,9 +23,9 @@ object CxcFixture {
       TIPO_IMPTE: String, NATURALEZA_CONCEPTO: String, CONCEPTO: String,
       NOMBRE_CLIENTE: Option[String], CLIENTE_ID: Long, TIPO_CLIENTE: Option[String],
       VENDEDOR: Option[String], FECHA_EMISION: Timestamp, FECHA_VENCIMIENTO: Timestamp,
-      IMPORTE: Double, IMPUESTO: Double, MONEDA: String, CONDICIONES: String,
-      ESTATUS_CLIENTE: String, CANCELADO: String, APLICADO: String,
-      LIMITE_CREDITO: Double)
+      HORA: Option[Timestamp], IMPORTE: Double, IMPUESTO: Double, MONEDA: String,
+      CONDICIONES: String, ESTATUS_CLIENTE: String, CANCELADO: String,
+      APLICADO: String, LIMITE_CREDITO: Double)
 
   private val clientes = Seq("ACME SA", "COMERCIAL NORTE", "DISTRIBUIDORA SUR",
     "SERVICIOS DELTA", "GRUPO OMEGA")
@@ -53,6 +53,8 @@ object CxcFixture {
         TIPO_CLIENTE = Some(if (rnd.nextBoolean()) "CREDITO" else "CONTADO"),
         VENDEDOR = Some(vendedores(rnd.nextInt(vendedores.size))),
         FECHA_EMISION = ts(emision), FECHA_VENCIMIENTO = ts(emision.plusDays(plazo.toLong)),
+        HORA = if (i % 7 == 0) None
+          else Some(Timestamp.valueOf(emision.atTime(8 + i % 10, i % 60, i % 60))),
         IMPORTE = importe, IMPUESTO = math.rint(importe * 16) / 100,
         MONEDA = moneda, CONDICIONES = s"Credito $plazo dias",
         ESTATUS_CLIENTE = "ACTIVO", CANCELADO = "N", APLICADO = "S",

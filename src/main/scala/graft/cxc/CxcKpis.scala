@@ -3,9 +3,9 @@ package graft.cxc
 import java.time.LocalDate
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Pareto
 import graft.operators.Rounding.dround
 
 import CxcSchema._
@@ -63,15 +63,53 @@ object CxcKpis {
       .select("r.*")
   }
 
-  /** A13/W2 — Pareto/ABC concentration of open sales balances
-    * (/root/reference/src/kpis.py:117-161).
+  /** A13/W2 — Pareto/ABC concentration per client
+    * (_calcular_concentracion, /root/reference/src/kpis.py:117-161),
+    * reference semantics exactly: sum SALDO_FACTURA over ALL sales rows
+    * (netting overpaid invoices — no saldo>0 prefilter), null clients
+    * dropped (pandas groupby dropna), dual sort with the <=0 tail
+    * name-asc, first-row-A + forced final cum=1.0 quirks, empty when the
+    * grand total <= 0, and a trailing TOTAL row. The reference's TOTAL
+    * row carries "" in PCT_ACUMULADO/CLASIFICACION (mixed-type pandas
+    * column); Spark columns are typed, so those are null here —
+    * documented deviation (COVERAGE.md).
     */
   def concentracion(df: DataFrame): DataFrame = {
     val perClient = df
-      .filter(esVenta(df) && col("SALDO_FACTURA") > 0)
-      .groupBy(coalesce(col("NOMBRE_CLIENTE"), lit("Sin cliente")).as("NOMBRE_CLIENTE"))
+      .filter(esVenta(df) && col("NOMBRE_CLIENTE").isNotNull)
+      .groupBy("NOMBRE_CLIENTE")
       .agg(dround(sum("SALDO_FACTURA"), 2).as("SALDO_PENDIENTE"))
-    Pareto.abc(perClient, col("NOMBRE_CLIENTE"), col("SALDO_PENDIENTE"))
+    val sortKeys = Seq(
+      (col("SALDO_PENDIENTE") > 0).desc,
+      when(col("SALDO_PENDIENTE") > 0, -col("SALDO_PENDIENTE")).asc_nulls_last,
+      col("NOMBRE_CLIENTE").asc)
+    val w = Window.orderBy(sortKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = perClient
+      .withColumn("_tot", sum("SALDO_PENDIENTE").over(wAll))
+      .withColumn("_cum", sum("SALDO_PENDIENTE").over(w))
+      .withColumn("_rn", row_number().over(Window.orderBy(sortKeys: _*)))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_tot") > 0)
+    val body = ranked
+      .withColumn("PCT_DEL_TOTAL", col("SALDO_PENDIENTE") / col("_tot"))
+      .withColumn("CLASIFICACION",
+        when(col("_rn") === 1, "A")
+          .when(col("_cum") / col("_tot") * 100.0 <= 80.0, "A")
+          .when(col("_cum") / col("_tot") * 100.0 <= 95.0, "B")
+          .otherwise("C"))
+      .withColumn("PCT_ACUMULADO",
+        when(col("_rn") === col("_n"), lit(1.0)).otherwise(col("_cum") / col("_tot")))
+    val total = ranked.filter(col("_rn") === 1).select(
+      lit("TOTAL").as("NOMBRE_CLIENTE"),
+      col("_tot").as("SALDO_PENDIENTE"),
+      lit(1.0).as("PCT_DEL_TOTAL"),
+      lit(null).cast("double").as("PCT_ACUMULADO"),
+      lit(null).cast("string").as("CLASIFICACION"))
+    body.select("NOMBRE_CLIENTE", "SALDO_PENDIENTE", "PCT_DEL_TOTAL",
+        "PCT_ACUMULADO", "CLASIFICACION")
+      .unionByName(total)
   }
 
   /** A14/J7 — credit-limit utilization with alert levels

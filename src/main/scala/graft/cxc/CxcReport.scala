@@ -79,9 +79,13 @@ object CxcReport {
   }
 
   /** W1 — SALDO_CLIENTE: signed running balance per client over the
-    * reference's 4-key order, nulls first, with DOCTO_CC_ID as the
-    * deterministic final tiebreaker (SURVEY §7.6.1;
-    * /root/reference/src/reporte_cxc.py:362-373).
+    * reference's 4-key order, nulls first
+    * (/root/reference/src/reporte_cxc.py:362-373). The master grain is
+    * 1:N per DOCTO_CC_ID (IMPORTES/VENCIMIENTOS fan-out, SURVEY §2.3
+    * J1), so (ACR, DOCTO, FECHA) alone is not a total order — FOLIO and
+    * _MONTO complete it (SURVEY §7.6.1): any rows still tied are
+    * identical in every window-relevant column, where order is
+    * output-invariant for a running sum.
     */
   def withSaldoCliente(df: DataFrame): DataFrame = {
     val signed = when(isCargo(df), col("_MONTO"))
@@ -92,7 +96,9 @@ object CxcReport {
       .orderBy(
         col("DOCTO_CC_ACR_ID").asc_nulls_first,
         col("DOCTO_CC_ID").asc_nulls_first,
-        col("FECHA_EMISION").asc_nulls_first)
+        col("FECHA_EMISION").asc_nulls_first,
+        col("FOLIO").asc_nulls_first,
+        col("_MONTO").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("SALDO_CLIENTE", dround(sum(signed).over(w), 2))
   }
@@ -122,26 +128,75 @@ object CxcReport {
       "ZSCORE_DELTA_MORA", "ATIPICO_DELTA_MORA", 3.0)
   }
 
-  /** Full report (PASO 2): the 5 named views of
-    * /root/reference/src/reporte_cxc.py:195-201 plus the master
-    * "movimientos_totales" every downstream stage consumes.
+  /** P3 — the reference's fixed per-view column lists
+    * (/root/reference/src/reporte_cxc.py:57-149).
+    */
+  val columnasReporte: Seq[String] = Seq(
+    "NOMBRE_CLIENTE", "MONEDA", "CONDICIONES", "ESTATUS_CLIENTE",
+    "CONCEPTO", "FOLIO", "FECHA_EMISION", "FECHA_VENCIMIENTO",
+    "DESCRIPCION", "TIPO_IMPTE", "CARGOS", "ABONOS", "IMPORTE",
+    "IMPUESTO", "SALDO_FACTURA", "SALDO_CLIENTE", "DELTA_RECAUDO",
+    "CATEGORIA_RECAUDO", "DELTA_MORA", "CATEGORIA_MORA")
+
+  val columnasPorAcreditar: Seq[String] = columnasReporte.filterNot(Set(
+    "CONDICIONES", "FECHA_VENCIMIENTO", "CARGOS", "IMPUESTO",
+    "SALDO_FACTURA", "SALDO_CLIENTE", "DELTA_RECAUDO",
+    "CATEGORIA_RECAUDO", "DELTA_MORA", "CATEGORIA_MORA"))
+
+  val columnasFacturasAbiertas: Seq[String] = columnasReporte.filterNot(Set(
+    "TIPO_IMPTE", "SALDO_CLIENTE", "DELTA_RECAUDO", "CATEGORIA_RECAUDO"))
+
+  val columnasFacturasCerradas: Seq[String] = columnasReporte.filterNot(Set(
+    "TIPO_IMPTE", "SALDO_CLIENTE", "DELTA_MORA", "CATEGORIA_MORA"))
+
+  /** `_seleccionar_columnas` (/root/reference/src/reporte_cxc.py:305-307):
+    * list ∩ present, in list order; `_BAND_GROUP` carried through when
+    * the reference appends it (reporte_cxc.py:173-180, 184-186).
+    */
+  def seleccionarColumnas(df: DataFrame, columnas: Seq[String],
+      keepBand: Boolean = false): DataFrame = {
+    val present = columnas.filter(df.columns.contains) ++
+      (if (keepBand && df.columns.contains("_BAND_GROUP")) Seq("_BAND_GROUP") else Nil)
+    df.select(present.map(col): _*)
+  }
+
+  /** Full report (PASO 2): the named views of
+    * /root/reference/src/reporte_cxc.py:195-201 plus the full-width
+    * master "movimientos_totales" every downstream stage consumes.
+    * Mirroring the reference, each extracted view is the charge set
+    * UNION its linked 'R' payments, band groups are recomputed per view
+    * on the concatenated rows (reporte_cxc.py:481-482, 504-505), and
+    * only the master carries z-scores.
     */
   def run(raw: DataFrame, asOf: LocalDate): Map[String, DataFrame] = {
     val df = normalize(raw)
     val movs = movimientos(df)
-    val enriched = withZScores(withBandGroups(withSaldoCliente(
-      withCycleMetrics(withSaldoFactura(movs), asOf))))
-    val abiertas = enriched.filter(isCargo(enriched) && col("SALDO_FACTURA") > 0)
-    val cerradas = enriched.filter(isCargo(enriched) && col("SALDO_FACTURA") === 0)
-    val pagosDeAbiertas = enriched.join(
-      abiertas.select(col("DOCTO_CC_ID").as("_open_id")),
-      enriched("DOCTO_CC_ACR_ID") === col("_open_id"), "left_semi")
+    val base = withSaldoCliente(withCycleMetrics(withSaldoFactura(movs), asOf))
+    val abiertas = base.filter(isCargo(base) && col("SALDO_FACTURA") > 0)
+    val cerradas = base.filter(isCargo(base) && col("SALDO_FACTURA") === 0)
+    // payment legs are TIPO_IMPTE == 'R' only (reporte_cxc.py:479, 502):
+    // unknown movement types linked to a charge must not leak in
+    def pagosDe(charges: DataFrame): DataFrame = base
+      .filter(isAbono(base))
+      .join(charges.select(col("DOCTO_CC_ID").as("_link_id")),
+        base("DOCTO_CC_ACR_ID") === col("_link_id"), "left_semi")
+    val master = withZScores(withBandGroups(base))
     Map(
-      "movimientos_totales" -> enriched,
-      "facturas_abiertas" -> abiertas.unionByName(pagosDeAbiertas),
-      "facturas_cerradas" -> cerradas,
-      "por_acreditar" -> porAcreditar(df),
-      "registros_cancelados" -> cancelados(df),
+      "movimientos_totales" -> master,
+      "reporte_cxc" -> seleccionarColumnas(
+        withBandGroups(base), columnasReporte, keepBand = true),
+      "facturas_abiertas" -> seleccionarColumnas(
+        withBandGroups(abiertas.unionByName(pagosDe(abiertas))),
+        columnasFacturasAbiertas, keepBand = true),
+      "facturas_cerradas" -> seleccionarColumnas(
+        withBandGroups(cerradas.unionByName(pagosDe(cerradas))),
+        columnasFacturasCerradas, keepBand = true),
+      "por_acreditar" -> seleccionarColumnas(porAcreditar(df), columnasPorAcreditar),
+      // full-width twins of main.py:537-546: the projected views are the
+      // report output; analytics consume these (main.py:570-576)
+      "registros_totales" -> withBandGroups(df),
+      "registros_por_acreditar" -> withBandGroups(porAcreditar(df)),
+      "registros_cancelados" -> withBandGroups(cancelados(df)),
     )
   }
 }

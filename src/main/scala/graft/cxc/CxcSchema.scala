@@ -47,8 +47,23 @@ object CxcSchema {
       .filter(withDates.columns.contains)
       .foldLeft(withDates)((d, c) =>
         d.withColumn(c, coalesce(col(c).cast("double"), lit(0.0))))
-    withMoney
+    // F12 — HORA → "HH:mm:ss" string, "" when null (the reference's
+    // _formatear_hora, /root/reference/main.py:151-158)
+    val withHora =
+      if (withMoney.columns.contains("HORA"))
+        withMoney.withColumn("HORA",
+          coalesce(date_format(to_timestamp(col("HORA")), "HH:mm:ss"), lit("")))
+      else withMoney
+    // P1 — the reference master always carries CARGOS/ABONOS from the
+    // SQL assembly (sql/maestro_cxc.sql:38-45); synthesize them when the
+    // input predates assembly, so the P3 view projections are total
+    val withCa =
+      if (!withHora.columns.contains("CARGOS") &&
+          withHora.columns.contains("NATURALEZA_CONCEPTO"))
+        CxcAssembler.withCargosAbonos(withHora)
+      else withHora
+    withCa
       .withColumn("_CANCELADO", cancelado(col("CANCELADO")))
-      .withColumn("_MONTO", monto(withMoney))
+      .withColumn("_MONTO", monto(withCa))
   }
 }

@@ -51,10 +51,10 @@ object TextFunctions {
 
   /** MinHash signature (k permutations) over a shingle set: hash each
     * shingle ONCE (xxhash64), then derive the k permutations as affine
-    * maps h_j = a_j·h + b_j over Z/2⁶⁴ (odd multipliers ⇒ bijective) —
-    * k× fewer string hashes than hashing per-permutation, the standard
-    * trick for corpus-scale minhashing. One whole-stage-codegen
-    * projection per row, no shuffle.
+    * maps h_j = (a_j·h + b_j) mod p over the Mersenne prime p = 2³¹−1
+    * (a_j ≠ 0 ⇒ bijective on the field) — k× fewer string hashes than
+    * hashing per-permutation, the standard trick for corpus-scale
+    * minhashing. One whole-stage-codegen projection per row, no shuffle.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
     // Affine permutations over the Mersenne prime p=2³¹−1: products stay

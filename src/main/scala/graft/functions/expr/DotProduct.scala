@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Summation is strictly left-to-right, preserving bit-identical results
   * with both the HOF formulation and DuckDB's list_dot_product — required
   * for the oracle hash-match.
+  *
+  * Unequal lengths raise (matching DuckDB's list_dot_product, which
+  * errors): a corrupt or truncated embedding must surface as a data bug,
+  * not as a plausible-but-wrong similarity from a silent min-length
+  * truncation.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -29,7 +34,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${y.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -42,7 +51,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

@@ -18,13 +18,73 @@ class CxcPipelineSpec extends AnyFunSuite {
 
   test("pipeline emits the canonical view set") {
     val expected = Seq(
-      "movimientos_totales", "facturas_abiertas", "facturas_cerradas",
-      "por_acreditar", "registros_cancelados",
+      "movimientos_totales", "reporte_cxc", "facturas_abiertas", "facturas_cerradas",
+      "por_acreditar", "registros_totales", "registros_por_acreditar",
+      "registros_cancelados",
       "auditoria_resumen", "auditoria_perfil_calidad",
       "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
       "kpis_resumen_mxn", "kpis_resumen_usd",
+      "resumen_concepto_cxc_mxn", "resumen_ajustes_cxc_mxn",
+      "resumen_cancelados_cxc_mxn", "resumen_por_vendedor_mxn",
+      "resumen_por_vendedor_usd",
       "concentracion_mxn", "limite_credito_mxn", "morosidad_por_cliente_mxn")
     expected.foreach(k => assert(views.contains(k), s"missing view $k"))
+  }
+
+  test("P3: view schemas match the reference's transcribed column lists") {
+    // fixture carries no DESCRIPCION column; _seleccionar_columnas is
+    // list ∩ present (reporte_cxc.py:305-307), so it drops out here
+    def expectedCols(list: Seq[String], band: Boolean) =
+      list.filterNot(_ == "DESCRIPCION") ++ (if (band) Seq("_BAND_GROUP") else Nil)
+    assert(views("reporte_cxc").columns.toSeq ==
+      expectedCols(CxcReport.columnasReporte, band = true))
+    assert(views("facturas_abiertas").columns.toSeq ==
+      expectedCols(CxcReport.columnasFacturasAbiertas, band = true))
+    assert(views("facturas_cerradas").columns.toSeq ==
+      expectedCols(CxcReport.columnasFacturasCerradas, band = true))
+    assert(views("por_acreditar").columns.toSeq ==
+      expectedCols(CxcReport.columnasPorAcreditar, band = false))
+  }
+
+  test("facturas views include the linked 'R' payment legs (reporte_cxc.py:479,502)") {
+    // closed charges 1-3 have settling payments → cerradas must contain
+    // payment rows (ABONOS > 0 in the CARGOS/ABONOS projection sense)
+    val cerradas = views("facturas_cerradas")
+    assert(cerradas.filter(col("ABONOS") > 0).count() >= 3,
+      "facturas_cerradas must union the settling payments")
+    val abiertas = views("facturas_abiertas")
+    // fixture guarantees partially-paid open charges → payment legs present
+    assert(abiertas.filter(col("ABONOS") > 0).count() > 0,
+      "facturas_abiertas must union the partial payments")
+  }
+
+  test("HORA (F12) formats to HH:mm:ss with '' for null") {
+    val horas = views("movimientos_totales").select("HORA").distinct()
+      .collect().map(_.getString(0))
+    assert(horas.contains(""), "null HORA must map to empty string")
+    val pat = "^\\d{2}:\\d{2}:\\d{2}$".r
+    assert(horas.filter(_.nonEmpty).forall(h => pat.findFirstIn(h).isDefined),
+      s"malformed HORA values: ${horas.filter(h => h.nonEmpty && pat.findFirstIn(h).isEmpty).take(3).mkString(",")}")
+  }
+
+  test("resumen_por_vendedor: per-vendor totals reconcile and saldo = cargos - abonos") {
+    val v = views("resumen_por_vendedor_mxn").collect()
+    assert(v.nonEmpty)
+    v.foreach { r =>
+      assert(math.abs(r.getAs[Double]("SALDO") -
+        (r.getAs[Double]("TOTAL_CARGOS") - r.getAs[Double]("TOTAL_ABONOS"))) < 0.011)
+    }
+    // every fixture vendor (and no TOTAL row) appears
+    assert(!v.map(_.getAs[String]("VENDEDOR")).contains("TOTAL"))
+  }
+
+  test("resumen_ajustes: reference shape with NUM_REGISTROS and TOTAL row") {
+    val rows = views("resumen_ajustes_cxc_mxn").collect()
+    assert(rows.map(_.schema.fieldNames.toSeq).head ==
+      Seq("NOMBRE_CLIENTE", "NUM_REGISTROS", "IMPORTE_AJUSTE"))
+    val (tot, body) = rows.partition(_.getAs[String]("NOMBRE_CLIENTE") == "TOTAL")
+    assert(tot.length == 1)
+    assert(tot.head.getAs[Long]("NUM_REGISTROS") == body.map(_.getAs[Long]("NUM_REGISTROS")).sum)
   }
 
   test("cancelled rows are excluded from movimientos and captured in the view") {
@@ -101,10 +161,21 @@ class CxcPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("concentracion: first rank is A, last cumulative is 1.0, monotone") {
-    val rows = views("concentracion_mxn").collect().sortBy(_.getAs[Int]("rnk"))
-    assert(rows.head.getAs[String]("clase_abc") == "A")
-    assert(rows.last.getAs[Double]("pct_acumulado") == 1.0)
+  test("concentracion: reference shape — netted saldos, A on top, forced 1.0, TOTAL row") {
+    val all = views("concentracion_mxn").collect()
+    val (totalRows, body) = all.partition(_.getAs[String]("NOMBRE_CLIENTE") == "TOTAL")
+    assert(totalRows.length == 1, "exactly one TOTAL row")
+    val total = totalRows.head
+    assert(total.isNullAt(total.fieldIndex("PCT_ACUMULADO")))
+    assert(total.isNullAt(total.fieldIndex("CLASIFICACION")))
+    val bodySum = body.map(_.getAs[Double]("SALDO_PENDIENTE")).sum
+    assert(math.abs(total.getAs[Double]("SALDO_PENDIENTE") - bodySum) < 1e-6,
+      "TOTAL = sum of per-client netted saldos")
+    // top body row (largest saldo) is class A; the last positive-share
+    // cumulative is forced to exactly 1.0 on the final body row
+    val sorted = body.sortBy(r => -r.getAs[Double]("SALDO_PENDIENTE"))
+    assert(sorted.head.getAs[String]("CLASIFICACION") == "A")
+    assert(body.map(_.getAs[Double]("PCT_ACUMULADO")).max == 1.0)
   }
 
   test("credit limit: alert levels are coherent with utilization") {

@@ -93,6 +93,31 @@ object GraftProperties extends Properties("graft") {
         .filter(abs(col("running_balance") - col("s")) > 0.011).count() == 0
     }
 
+  property("withSaldoCliente deterministic under duplicate (ACR,DOCTO,FECHA) triples") =
+    forAll(Gen.chooseNum(2, 20), Gen.chooseNum(0L, 300L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // every row shares ONE (ACR, DOCTO, FECHA) triple per group —
+      // only FOLIO and amount distinguish rows, so the window order
+      // must fall through to the (FOLIO, _MONTO) tiebreakers
+      val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val rows = (1 to n).map { i =>
+        (s"CL${i % 2}", Option.empty[Long], 7L, ts, f"F-${rnd.nextInt(n)}%03d-$i",
+          if (rnd.nextBoolean()) "C" else "R",
+          math.rint(rnd.nextDouble() * 1e4) / 100, 0.0, "N")
+      }
+      val df = rows.toDF("NOMBRE_CLIENTE", "DOCTO_CC_ACR_ID", "DOCTO_CC_ID",
+        "FECHA_EMISION", "FOLIO", "TIPO_IMPTE", "IMPORTE", "IMPUESTO", "CANCELADO")
+      val run1 = cxc.CxcReport.withSaldoCliente(cxc.CxcSchema.normalize(df))
+        .select("FOLIO", "SALDO_CLIENTE").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // different physical partitioning must not change any row's balance
+      val run2 = cxc.CxcReport.withSaldoCliente(cxc.CxcSchema.normalize(
+          df.repartition(5).sortWithinPartitions(col("IMPORTE").desc)))
+        .select("FOLIO", "SALDO_CLIENTE").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      run1 == run2
+    }
+
   property("jaccard symmetric and within [0,1]") =
     forAll(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)),
       Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty))) { (a, b) =>
