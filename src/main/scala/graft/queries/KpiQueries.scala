@@ -420,6 +420,58 @@ object KpiQueries {
        |  WHERE os.saldo <= 0)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q29
+  /** Vendor summary (SURVEY §5.3; CxcAnalytics.resumenPorVendedor twin):
+    * per-vendor charge/payment counts, totals and saldo, where the
+    * vendor is the supplier attached to the settling payments
+    * (l_suppkey → s_name, the VENDEDOR dimension of this testdata).
+    * Shape: payments pre-aggregate to (supplier, order) grain BEFORE the
+    * per-vendor rollup so each order's charge is counted once per vendor
+    * — two key-local shuffles plus one broadcast dim join, no
+    * distinct-count over raw payment rows.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), net.as("amt"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey", "l_orderkey")
+      .agg(count(lit(1)).as("np"), sum("amt").as("paid"),
+        first("o_totalprice").as("tp"))
+    perOrder.groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("NUM_CARGOS"),
+        sum("np").as("NUM_ABONOS"),
+        dround(sum("tp"), 2).as("TOTAL_CARGOS"),
+        dround(sum("paid"), 2).as("TOTAL_ABONOS"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name").as("VENDEDOR"), col("NUM_CARGOS"), col("NUM_ABONOS"),
+        col("TOTAL_CARGOS"), col("TOTAL_ABONOS"),
+        dround(col("TOTAL_CARGOS") - col("TOTAL_ABONOS"), 2).as("SALDO"))
+      .orderBy(col("SALDO").desc, col("VENDEDOR").asc)
+  }
+
+  private val q29Sql =
+    s"""WITH per_order AS (
+       |  SELECT l.l_suppkey, l.l_orderkey,
+       |         CAST(count(*) AS BIGINT) AS np,
+       |         sum($netSql) AS paid,
+       |         any_value(o.o_totalprice) AS tp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT l_suppkey,
+       |         CAST(count(*) AS BIGINT) AS NUM_CARGOS,
+       |         CAST(sum(np) AS BIGINT) AS NUM_ABONOS,
+       |         round(sum(tp), 2) AS TOTAL_CARGOS,
+       |         round(sum(paid), 2) AS TOTAL_ABONOS
+       |  FROM per_order GROUP BY 1)
+       |SELECT s.s_name AS VENDEDOR, g.NUM_CARGOS, g.NUM_ABONOS,
+       |       g.TOTAL_CARGOS, g.TOTAL_ABONOS,
+       |       round(g.TOTAL_CARGOS - g.TOTAL_ABONOS, 2) AS SALDO
+       |FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_macro_kpis" -> (q22 _),
     "q23_credit_limit" -> (q23 _),
@@ -428,6 +480,7 @@ object KpiQueries {
     "q26_aging_pivot" -> (q26 _),
     "q27_overdue_split" -> (q27 _),
     "q28_collection_cycle" -> (q28 _),
+    "q29_vendor_summary" -> (q29 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,5 +491,6 @@ object KpiQueries {
     "q26_aging_pivot" -> q26Sql,
     "q27_overdue_split" -> q27Sql,
     "q28_collection_cycle" -> q28Sql,
+    "q29_vendor_summary" -> q29Sql,
   )
 }

@@ -191,29 +191,52 @@ object TextQueries {
     * — no global cross product; at 100 TB block sizes bound the
     * quadratic term and MinHash-LSH (qd6) replaces it when blocks grow.
     */
-  def qd8(s: SparkSession, dir: String): DataFrame = {
-    // Inverted-index set-similarity join (PPJoin-lite): explode distinct
-    // grams, equi-join postings on (source, gram), count shared grams per
-    // pair, then |A∩B| / (|A|+|B|−|A∩B|). Identical jaccard values to the
-    // naive pairwise form but no per-pair array allocation — the block
-    // cross product materializes only pairs that share ≥1 gram, which is
-    // the shape that survives a 100 TB corpus.
-    val g = docs(s, dir)
-      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
-      .select(col("doc_id"), col("source"), col("grams"), size(col("grams")).as("ng"))
+  /** qd8's near-dup threshold. 0.2 is a realistic near-dup floor (the
+    * round-1 value 0.01 kept essentially every gram-sharing pair alive
+    * through the aggregation — noise, and a blow-up risk on Zipfian
+    * grams). The oracle SQL carries the same constant in lockstep.
+    */
+  private val JaccardThreshold = 0.2
+
+  /** Candidate pairs of the inverted-index join, pre-aggregation —
+    * exposed so tests can measure how many pair-rows the length filter
+    * prunes. J(A,B) ≤ min/max of the set sizes, so J ≥ t implies
+    * min(na,nb) ≥ t·max(na,nb): the filter is LOSSLESS w.r.t. the final
+    * threshold but discards size-mismatched postings pairs before the
+    * shuffle-heavy groupBy — the PPJoin length filter.
+    */
+  def ngramCandidatePairs(g: DataFrame, lengthFilter: Boolean): DataFrame = {
     val inv = g.select(col("source"), col("doc_id"), col("ng"),
       explode(col("grams")).as("gram"))
     val a = inv.select(col("source"), col("gram"),
       col("doc_id").as("doc_a"), col("ng").as("na"))
     val b = inv.select(col("source"), col("gram"),
       col("doc_id").as("doc_b"), col("ng").as("nb"))
-    a.join(b, Seq("source", "gram"))
+    val joined = a.join(b, Seq("source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+    if (lengthFilter)
+      joined.filter(least(col("na"), col("nb")) >=
+        lit(JaccardThreshold) * greatest(col("na"), col("nb")))
+    else joined
+  }
+
+  def qd8(s: SparkSession, dir: String): DataFrame = {
+    // Inverted-index set-similarity join (PPJoin-lite): explode distinct
+    // grams, equi-join postings on (source, gram), length-filter, count
+    // shared grams per pair, then |A∩B| / (|A|+|B|−|A∩B|). Identical
+    // jaccard values to the naive pairwise form but no per-pair array
+    // allocation — the block cross product materializes only pairs that
+    // share ≥1 gram AND pass the size-ratio bound, which is the shape
+    // that survives a 100 TB corpus.
+    val g = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .select(col("doc_id"), col("source"), col("grams"), size(col("grams")).as("ng"))
+    ngramCandidatePairs(g, lengthFilter = true)
       .groupBy("source", "doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jac", dround(
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jac") >= 0.01)
+      .filter(col("jac") >= JaccardThreshold)
       .select("source", "doc_a", "doc_b", "jac")
   }
 
@@ -232,7 +255,7 @@ object TextQueries {
       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
       |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jac >= 0.01""".stripMargin
+      |WHERE jac >= 0.2""".stripMargin
 
   // ---------------------------------------------------------------- qd6
   /** MinHash-LSH near-duplicate candidates (no SQL oracle — xxhash64).

@@ -102,6 +102,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQ.count() == 0)
   }
 
+  test("qd8 length filter prunes size-mismatched candidates and loses no surviving pair") {
+    import spark.implicits._
+    // skewed fixture: one hot gram shared by every doc, sizes 2..40 —
+    // the Zipfian-gram shape where an unfiltered postings join explodes
+    val g = (1 to 20).map { i =>
+      val ng = 2 * i
+      (i.toLong, "s", ("hot gram shared" +: (1 to ng - 1).map(k => s"g$i-$k")).toSeq, ng)
+    }.toDF("doc_id", "source", "grams", "ng")
+    val unfiltered = queries.TextQueries.ngramCandidatePairs(g, lengthFilter = false).count()
+    val filtered = queries.TextQueries.ngramCandidatePairs(g, lengthFilter = true).count()
+    assert(filtered < unfiltered,
+      s"length filter should prune candidate pair-rows ($filtered !< $unfiltered)")
+    // losslessness: every pair with J >= t satisfies min >= t*max, so the
+    // filtered aggregation can only drop pairs below the threshold
+    val full = queries.TextQueries.ngramCandidatePairs(g, lengthFilter = false)
+      .groupBy("source", "doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.2)
+      .select("doc_a", "doc_b")
+    val pruned = queries.TextQueries.ngramCandidatePairs(g, lengthFilter = true)
+      .groupBy("source", "doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.2)
+      .select("doc_a", "doc_b")
+    assert(full.exceptAll(pruned).count() == 0, "length filter dropped a surviving pair")
+  }
+
   test("qe4b LSH candidates recall >= 0.9 of exact near pairs at t=0.4, and qe4b == qe4") {
     // sf0.01: 500 vectors, 59 exact pairs >= 0.4 — enough mass to make
     // the recall assertion meaningful (sf0.001 has too few pairs).
