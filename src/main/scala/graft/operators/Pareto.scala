@@ -16,13 +16,19 @@ import graft.GraftConf
   *    exceeds the A threshold;
   *  - the final row's cumulative share is force-set to exactly 1.0.
   *
-  * The ranking window is global (single partition). That is correct at the
-  * reference's cardinality (accounts, not facts) — the input here is
-  * already one row per account produced by a distributed groupBy. At
-  * 100 TB the account dimension is still orders of magnitude smaller than
-  * the fact table; if account cardinality itself explodes, swap the global
-  * window for a two-phase prefix sum: range-repartition by value desc,
-  * per-partition partial sums, broadcast per-partition offsets, then add.
+  * Two execution shapes behind one API:
+  *  - `twoPhase = false` (default): a global window — single partition,
+  *    correct at the reference's cardinality (accounts, not facts), and
+  *    the only shape whose left-to-right double summation is
+  *    bit-identical to the sequential oracle.
+  *  - `twoPhase = true`: the distributed prefix sum for when the key
+  *    dimension itself explodes — range-repartition by (value desc, key
+  *    asc), per-partition local windows, per-partition (sum, count)
+  *    offsets collected (one tiny P-row action) and broadcast back, then
+  *    cum = local + offset. Ranks are exactly the global ranks (range
+  *    partitioning preserves the total order); cumulative sums differ
+  *    from the sequential form only by floating-point re-association
+  *    (ulps) — property-tested to agree on ranks and rounded outputs.
   */
 object Pareto {
 
@@ -30,20 +36,18 @@ object Pareto {
       perKey: DataFrame,
       keyCol: Column,
       valueCol: Column,
-  ): DataFrame = {
-    val w = Window
-      .orderBy(valueCol.desc, keyCol.asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rn  = row_number().over(Window.orderBy(valueCol.desc, keyCol.asc))
-    val n   = count(lit(1)).over(wAll)
-    val tot = sum(valueCol).over(wAll)
-    val cum = sum(valueCol).over(w)
-    perKey
-      .withColumn("rnk", rn.cast("int"))
-      .withColumn("pct", dround(valueCol / tot, 6))
-      .withColumn("_cum_raw", cum / tot)
-      .withColumn("_n", n)
+      twoPhase: Boolean = false,
+  ): DataFrame =
+    if (twoPhase) abcTwoPhase(perKey, keyCol, valueCol)
+    else abcGlobalWindow(perKey, keyCol, valueCol)
+
+  /** Shared tail: pct / forced-1.0 cumulative / ABC classes from the
+    * rank, total, cumulative and row-count columns.
+    */
+  private def classify(df: DataFrame, valueCol: Column): DataFrame =
+    df
+      .withColumn("pct", dround(valueCol / col("_tot"), 6))
+      .withColumn("_cum_raw", col("_cum") / col("_tot"))
       .withColumn(
         "pct_acumulado",
         when(col("rnk") === col("_n"), lit(1.0)).otherwise(dround(col("_cum_raw"), 6)),
@@ -55,6 +59,59 @@ object Pareto {
           .when(col("_cum_raw") <= GraftConf.abcB, "B")
           .otherwise("C"),
       )
-      .drop("_cum_raw", "_n")
+      .drop("_cum_raw", "_n", "_cum", "_tot")
+
+  private def abcGlobalWindow(
+      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
+    val w = Window
+      .orderBy(valueCol.desc, keyCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    classify(
+      perKey
+        .withColumn("rnk", row_number().over(Window.orderBy(valueCol.desc, keyCol.asc)).cast("int"))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_tot", sum(valueCol).over(wAll))
+        .withColumn("_cum", sum(valueCol).over(w)),
+      valueCol)
+  }
+
+  private def abcTwoPhase(
+      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
+    val spark = perKey.sparkSession
+    import spark.implicits._
+    // Phase 1: range partitioning gives partition i ≤ partition i+1 in
+    // (value desc, key asc) order, so local rank/cumsum + an exclusive
+    // per-partition offset reconstruct the global quantities exactly.
+    val parted = perKey
+      .repartitionByRange(valueCol.desc, keyCol.asc)
+      .withColumn("_pid", spark_partition_id())
+    // P rows — driver-sized by construction (P = shuffle partitions)
+    val stats = parted.groupBy("_pid")
+      .agg(sum(valueCol).as("_s"), count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._2).sum
+    val n = stats.map(_._3).sum
+    val offsets = stats
+      .scanLeft((0, 0.0, 0L)) { case ((_, s, c), (pid, ps, pc)) => (pid, s + ps, c + pc) }
+      .sliding(2)
+      .collect { case Array((_, s, c), (pid, _, _)) => (pid, s, c) }
+      .toSeq
+    val offDf = offsets.toDF("_pid", "_soff", "_coff")
+    val wLocal = Window.partitionBy("_pid").orderBy(valueCol.desc, keyCol.asc)
+    classify(
+      parted
+        .withColumn("_lrn", row_number().over(wLocal))
+        .withColumn("_lcum",
+          sum(valueCol).over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offDf), Seq("_pid"))
+        .withColumn("rnk", (col("_lrn") + col("_coff")).cast("int"))
+        .withColumn("_cum", col("_lcum") + col("_soff"))
+        .withColumn("_tot", lit(total))
+        .withColumn("_n", lit(n))
+        .drop("_pid", "_lrn", "_lcum", "_soff", "_coff"),
+      valueCol)
   }
 }

@@ -93,6 +93,19 @@ object GraftProperties extends Properties("graft") {
         .filter(abs(col("running_balance") - col("s")) > 0.011).count() == 0
     }
 
+  property("pareto: two-phase prefix sum == global window (rank, pct, cum, class)") =
+    forAll(Gen.chooseNum(1, 60), Gen.chooseNum(0L, 500L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to n).map(i => (s"k$i", math.rint(rnd.nextDouble() * 1e6) / 100))
+      val df = rows.toDF("k", "v").repartition(4)
+      def snap(two: Boolean) =
+        operators.Pareto.abc(df, col("k"), col("v"), twoPhase = two)
+          .select("k", "rnk", "pct", "pct_acumulado", "clase_abc").collect()
+          .map(r => r.getString(0) ->
+            (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+      snap(two = false) == snap(two = true)
+    }
+
   property("withSaldoCliente deterministic under duplicate (ACR,DOCTO,FECHA) triples") =
     forAll(Gen.chooseNum(2, 20), Gen.chooseNum(0L, 300L)) { (n, seed) =>
       val rnd = new scala.util.Random(seed)
