@@ -264,17 +264,22 @@ object TextQueries {
     * + verified near-dup count (exact Jaccard ≥ 0.5 on candidates).
     * Emits one row per doc so the result is stable on dup-free corpora.
     */
-  def qd6(s: SparkSession, dir: String): DataFrame = {
-    val sig = docs(s, dir)
+  private def qd6Sig(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
       .filter(size(col("grams")) > 0)
       .withColumn("sig", minhashSignature(col("grams"), 64))
       .withColumn("bands", bandHashes(col("sig"), 16, 4))
       .select("doc_id", "grams", "sig", "bands")
-    val exploded = sig.select(
+
+  /** MinHash band-collision candidate pairs (doc_a < doc_b) with their
+    * gram sets — exposed for the recall measurement (RECALL.json).
+    */
+  def qd6CandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val exploded = qd6Sig(s, dir).select(
       col("doc_id"), col("grams"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cand = exploded.as("a")
+    exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -282,6 +287,11 @@ object TextQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.grams").as("ga"), col("b.grams").as("gb"))
       .distinct()
+  }
+
+  def qd6(s: SparkSession, dir: String): DataFrame = {
+    val sig = qd6Sig(s, dir)
+    val cand = qd6CandidatePairs(s, dir)
       .withColumn("jac", jaccard(col("ga"), col("gb")))
     val perDocCand = cand
       .select(explode(array(
@@ -302,7 +312,10 @@ object TextQueries {
     * 64-bit fingerprint; near-dups via 4×16-bit band blocking, verified
     * with bit_count(xor) ≤ 6.
     */
-  def qd7(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash 64-bit fingerprints per doc — exposed for the recall
+    * measurement's exact-twin (all-pairs Hamming) computation.
+    */
+  def qd7Fingerprints(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -313,14 +326,27 @@ object TextQueries {
     val fp = (0 until 64)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _) // disjoint powers of two: sum == bitwise OR
-    val fps = votes.select(col("doc_id"), fp.as("simhash"))
-    val banded = fps.select(
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash band-collision candidate pairs (doc_a < doc_b), before the
+    * Hamming verification — exposed for the recall measurement.
+    *
+    * 8 bands × 8 bits (round 1 used 4×16, measured recall 0.646): by
+    * pigeonhole, ≤ 7 flipped bits cannot dirty all 8 bands, so every
+    * pair within the Hamming-6 verify radius shares ≥1 clean band —
+    * candidate recall is exactly 1.0 BY CONSTRUCTION, at the cost of a
+    * ~2⁻⁸-per-band random collision rate (vs 2⁻¹⁶) that the bit_count
+    * verification then prunes.
+    */
+  def qd7CandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val banded = qd7Fingerprints(s, dir).select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until 8).map(b =>
         struct(lit(b).as("band_idx"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("bd"))
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_val"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band_idx"), col("bd.band_val"))
-    val near = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -328,6 +354,11 @@ object TextQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("fa"), col("b.simhash").as("fb"))
       .distinct()
+  }
+
+  def qd7(s: SparkSession, dir: String): DataFrame = {
+    val fps = qd7Fingerprints(s, dir)
+    val near = qd7CandidatePairs(s, dir)
       .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 6)
     val perDoc = near
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))

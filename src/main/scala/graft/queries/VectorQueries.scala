@@ -66,20 +66,37 @@ object VectorQueries {
        |WHERE rnk <= $K""".stripMargin
 
   // ---------------------------------------------------------------- qe2
-  /** Sign-LSH ANN: 12 deterministic hyperplanes → 4096 buckets; queries
-    * only score candidates in their own bucket. No SQL oracle (bucket
-    * assignment is engine-side); recall vs qe1 is asserted in ScalaTest.
-    * At corpus scale the bucket equi-join replaces the full cross
-    * product; multi-probe (flip one bit) would raise recall.
+  /** Sign-LSH ANN, banded: 16 bands × 4 hyperplane bits; a corpus vector
+    * is scored for a query iff they collide in ≥1 band (OR-of-ANDs —
+    * round 1's single 12-bit bucket had measured recall@5 of 0.0 on this
+    * data: near-orthogonal true neighbors collide on 12 fixed bits with
+    * p ≈ 0.55¹² ≈ 1e-3). With 16×4, a cos-0.3 neighbor misses every band
+    * with (1−0.597⁴)¹⁶ ≈ 0.11. No SQL oracle (bucket assignment is
+    * engine-side); recall vs qe1 asserted with a floor in RecallSpec.
+    * The candidate join stays an equi-join on (band, bucket) — the
+    * posting-list shape that replaces the full cross product at corpus
+    * scale; recall/candidate-volume is tuned by (bands, bits) alone.
     */
+  private val ANN_BANDS = 16
+  private val ANN_RBITS = 4
+
   def qe2(s: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(12, 64)
-    val e = embs(s, dir).withColumn("bucket", lshBucket(col("vec"), planes))
+    val planes = hyperplanes(ANN_BANDS * ANN_RBITS, 64)
+    val e = embs(s, dir)
+      .withColumn("bks", lshBandBuckets(col("vec"), planes, ANN_BANDS, ANN_RBITS))
+    val posts = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val qposts = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val cand = posts.join(broadcast(qposts), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
     val q = e.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
-    e.join(broadcast(q),
-      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    cand
+      .join(e.select("vec_id", "vec", "nrm"), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
