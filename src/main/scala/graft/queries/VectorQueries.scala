@@ -281,13 +281,15 @@ object VectorQueries {
     * No SQL oracle (k-means is engine-side); recall vs qe1 asserted in
     * tests.
     */
-  def qe5(s: SparkSession, dir: String): DataFrame = {
+  private val IVF_NLIST = 16
+  private val IVF_NPROBE = 4
+
+  /** Fit the coarse quantizer and return (assignments, centroids). */
+  private def ivfFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val nlist = 16
-    val nprobe = 4
     val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+    val km = new KMeans().setK(IVF_NLIST).setSeed(42L).setMaxIter(5)
       .setInitMode("random") // seeded; skips the kmeans|| init passes —
       // quantizer quality is secondary to list balance for IVF
       .setFeaturesCol("fvec").setPredictionCol("list_id")
@@ -296,9 +298,14 @@ object VectorQueries {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }
-    val centDf = s.createDataFrame(centroids).toDF("cent_id", "cent")
-    // queries probe their nprobe nearest centroids (by euclidean on the
-    // same quantizer geometry)
+    (assigned, s.createDataFrame(centroids).toDF("cent_id", "cent"))
+  }
+
+  /** Probe stage shared by qe5/qe5b: queries probe their nprobe nearest
+    * centroids (by euclidean on the quantizer geometry), then rank only
+    * those inverted lists via the equi-join on list id.
+    */
+  private def ivfProbe(assigned: DataFrame, centDf: DataFrame): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probes = q.crossJoin(broadcast(centDf))
@@ -306,7 +313,7 @@ object VectorQueries {
         (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
-      .filter(col("pr") <= nprobe)
+      .filter(col("pr") <= IVF_NPROBE)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cent_id"))
     assigned.join(broadcast(probes),
       col("list_id") === col("cent_id") && col("vec_id") =!= col("query_id"))
@@ -317,6 +324,37 @@ object VectorQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
   }
 
+  def qe5(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centDf) = ivfFit(s, dir)
+    ivfProbe(assigned, centDf)
+  }
+
+  // --------------------------------------------------------------- qe5b
+  /** IVF with a PERSISTED quantizer (VERDICT r1 item 10): at corpus
+    * scale the coarse quantizer is an offline artifact, not a per-query
+    * fit. `ivfBuild` writes centroids + corpus assignments as parquet
+    * once; the probe-only path reads them back — so the per-query cost
+    * is two parquet scans and the list equi-join, no ML fit. The index
+    * lands under java.io.tmpdir keyed by the data dir (the engine must
+    * not write into the read-only data roots).
+    */
+  def ivfIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def ivfBuild(s: SparkSession, dir: String, path: String): Unit = {
+    val (assigned, centDf) = ivfFit(s, dir)
+    assigned.write.mode("overwrite").parquet(s"$path/assignments")
+    centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def qe5b(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfIndexPath(dir)
+    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+      ivfBuild(s, dir, path)
+    ivfProbe(s.read.parquet(s"$path/assignments"),
+      s.read.parquet(s"$path/centroids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -324,6 +362,7 @@ object VectorQueries {
     "qe4_embedding_dedup" -> (qe4 _),
     "qe4b_embedding_dedup_lsh" -> (qe4b _),
     "qe5_ann_ivf" -> (qe5 _),
+    "qe5b_ann_ivf_probe" -> (qe5b _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -170,6 +170,20 @@ class TextVectorSpec extends AnyFunSuite {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
   }
 
+  test("qe5b persisted-index probe reproduces the fused qe5 exactly and is idempotent") {
+    val sf01 = "/root/testdata/sf0.01"
+    // force a fresh build so the test exercises build + probe
+    val path = queries.VectorQueries.ivfIndexPath(sf01)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val fused = queries.VectorQueries.qe5(spark, sf01)
+    val probe1 = queries.VectorQueries.qe5b(spark, sf01) // builds
+    val probe2 = queries.VectorQueries.qe5b(spark, sf01) // reads only
+    assert(fused.exceptAll(probe1).count() == 0 && probe1.exceptAll(fused).count() == 0,
+      "persisted-index probe diverges from the fused fit+probe")
+    assert(probe1.exceptAll(probe2).count() == 0 && probe2.exceptAll(probe1).count() == 0,
+      "probe not hash-stable across runs")
+  }
+
   test("lang-id picks the language whose stopwords dominate") {
     val df = Seq(
       (1L, "the cat and the dog of the house to a garden", "en"),
