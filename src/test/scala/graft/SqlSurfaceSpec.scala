@@ -59,4 +59,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(back.count() == report.count())
     assert(back.columns.toSeq == report.columns.toSeq)
   }
+
+  test("xlsx sink (S7): workbook round-trips sheets, headers and numeric cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    val path = s"$dir/reporte.xlsx"
+    val aging = queries.CoreQueries.q06(spark, sf)
+    val topk = queries.CoreQueries.q10(spark, sf)
+    output.ExcelSink.write(Seq("aging_report" -> aging, "top_clients" -> topk), path)
+
+    // read back with the JDK: unzip + DOM-parse (no test-only deps)
+    val zf = new java.util.zip.ZipFile(path)
+    import scala.jdk.CollectionConverters._
+    val names = zf.entries().asScala.map(_.getName).toSet
+    assert(names.contains("xl/workbook.xml") && names.contains("xl/styles.xml")
+      && names.contains("xl/worksheets/sheet1.xml")
+      && names.contains("xl/worksheets/sheet2.xml"))
+    def parse(entry: String) =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry(entry)))
+    val wb = parse("xl/workbook.xml")
+    val sheetNames = {
+      val nl = wb.getElementsByTagName("sheet")
+      (0 until nl.getLength).map(i =>
+        nl.item(i).getAttributes.getNamedItem("name").getNodeValue)
+    }
+    assert(sheetNames == Seq("aging_report", "top_clients"))
+    val s1 = parse("xl/worksheets/sheet1.xml")
+    val rows = s1.getElementsByTagName("row")
+    assert(rows.getLength == aging.count() + 1, "header + one row per record")
+    // header texts match the view's columns
+    val headerTexts = {
+      val cells = rows.item(0).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+      (0 until cells.getLength).map(i => cells.item(i).getTextContent)
+    }
+    assert(headerTexts == aging.columns.toSeq)
+    // at least one numeric cell carries the money style (s="2") + a value
+    val vCells = s1.getElementsByTagName("v")
+    assert(vCells.getLength > 0, "numeric cells present")
+    zf.close()
+  }
 }
