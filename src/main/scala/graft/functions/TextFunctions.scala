@@ -57,6 +57,18 @@ object TextFunctions {
     * minhashing. One whole-stage-codegen projection per row, no shuffle.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2147483647L
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    // native fused loop (graft.functions.expr.MinHashAffine): the HOF
+    // form below runs k interpreted array passes per row and dominated
+    // qd6 wall time at sf0.1 — output is bit-identical (property-tested)
+    call_function("graft_minhash", base, lit(k), lit(0x5EEDL))
+  }
+
+  /** Built-in-only fallback (k interpreted HOF passes) — kept for the
+    * native/HOF parity property test.
+    */
+  def minhashSignatureHof(shingles: Column, k: Int): Column = {
     // Affine permutations over the Mersenne prime p=2³¹−1: products stay
     // below 2⁶², so ANSI-mode long arithmetic cannot overflow.
     val p = 2147483647L

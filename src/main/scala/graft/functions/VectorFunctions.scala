@@ -28,6 +28,12 @@ object VectorFunctions {
       "graft_word_ngrams",
       exprs => graft.functions.expr.WordNGrams(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.functions.expr.MinHashAffine(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Long]),
+      "built-in")
   }
 
   /** Dot product via the native codegen expression

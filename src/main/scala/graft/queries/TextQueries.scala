@@ -272,26 +272,36 @@ object TextQueries {
       .withColumn("bands", bandHashes(col("sig"), 16, 4))
       .select("doc_id", "grams", "sig", "bands")
 
-  /** MinHash band-collision candidate pairs (doc_a < doc_b) with their
-    * gram sets — exposed for the recall measurement (RECALL.json).
+  /** MinHash band-collision candidate pairs (doc_a < doc_b), ids only —
+    * exposed for the recall measurement (RECALL.json). The posting list
+    * carries ONLY (doc_id, band, hash): deduplicating (doc_a, doc_b)
+    * must never shuffle the gram arrays themselves (a round-1 version
+    * dragged both ~100-gram arrays through the distinct() exchange and
+    * was 30× slower once the bench stopped letting count() prune it).
     */
   def qd6CandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val exploded = qd6Sig(s, dir).select(
-      col("doc_id"), col("grams"),
+      col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.grams").as("ga"), col("b.grams").as("gb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
   def qd6(s: SparkSession, dir: String): DataFrame = {
     val sig = qd6Sig(s, dir)
+    // verify candidates on exact Jaccard: gram arrays are fetched by id
+    // AFTER the pair dedup, via two broadcast joins of the doc-side table
+    val grams = sig.select(col("doc_id"), col("grams"))
     val cand = qd6CandidatePairs(s, dir)
+      .join(broadcast(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))),
+        Seq("doc_a"))
+      .join(broadcast(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))),
+        Seq("doc_b"))
       .withColumn("jac", jaccard(col("ga"), col("gb")))
     val perDocCand = cand
       .select(explode(array(

@@ -84,10 +84,10 @@ object VectorQueries {
     val planes = hyperplanes(ANN_BANDS * ANN_RBITS, 64)
     val e = embs(s, dir)
       .withColumn("bks", lshBandBuckets(col("vec"), planes, ANN_BANDS, ANN_RBITS))
-    val posts = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val posts = e.select(col("vec_id"), posexplode_outer(col("bks")).as(Seq("band", "bucket")))
     val qposts = e.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
+        posexplode_outer(col("bks")).as(Seq("band", "bucket")))
     val cand = posts.join(broadcast(qposts), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
@@ -228,9 +228,20 @@ object VectorQueries {
     val t = 0.4
     val planes = hyperplanes(BANDS * RBITS, 64)
     val e = embs(s, dir)
+    // posexplode_outer, deliberately: plain posexplode makes Spark add a
+    // size(bks)>0 pre-filter that DUPLICATES the whole 256-hyperplane
+    // bucket expression into the scan (measured 14 s at sf0.1); the
+    // array is a fixed-length literal construction, never empty, so the
+    // outer variant is equivalent and skips the filter entirely.
     val posts = e
       .withColumn("bks", lshBandBuckets(col("vec"), planes, BANDS, RBITS))
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+      .select(col("vec_id"), posexplode_outer(col("bks")).as(Seq("band", "bucket")))
+      // tiny-input parallelism: a 2k-row scan is one partition, which would
+      // funnel the multi-million-row band join through a single task;
+      // repartitioning postings on the join key spreads it and satisfies
+      // the join's distribution requirement (no second shuffle). A real
+      // corpus scan is already partitioned.
+      .repartition(col("band"), col("bucket"))
     // candidate pairs: equi-join on (band, bucket), deduped across bands
     val cand = posts.as("x").join(posts.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -239,7 +250,9 @@ object VectorQueries {
       .distinct()
     val va = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
-    val scored = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
+    // vectors fetched by id AFTER the pair dedup, broadcast — the pair
+    // stream must never shuffle 64-dim arrays
+    val scored = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
       .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= t)
       .select("ida", "idb", "cos")
@@ -264,7 +277,13 @@ object VectorQueries {
     val planes = hyperplanes(BANDS * RBITS, 64)
     val posts = embs(s, dir)
       .withColumn("bks", lshBandBuckets(col("vec"), planes, BANDS, RBITS))
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+      .select(col("vec_id"), posexplode_outer(col("bks")).as(Seq("band", "bucket")))
+      // tiny-input parallelism: a 2k-row scan is one partition, which would
+      // funnel the multi-million-row band join through a single task;
+      // repartitioning postings on the join key spreads it and satisfies
+      // the join's distribution requirement (no second shuffle). A real
+      // corpus scan is already partitioned.
+      .repartition(col("band"), col("bucket"))
     posts.as("x").join(posts.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

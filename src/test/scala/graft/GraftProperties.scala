@@ -143,6 +143,17 @@ object GraftProperties extends Properties("graft") {
       ab == ba && ab >= 0.0 && ab <= 1.0
     }
 
+  property("native minhash signature equals the HOF formulation exactly") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.oneOf(16, 64)) { (shingles, k) =>
+      val df = Seq(Tuple1(shingles)).toDF("sh")
+        .select(
+          functions.TextFunctions.minhashSignature(col("sh"), k).as("nat"),
+          functions.TextFunctions.minhashSignatureHof(col("sh"), k).as("hof"))
+      val r = df.collect()(0)
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    }
+
   property("native word n-grams equal the HOF formulation exactly") =
     forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)), Gen.chooseNum(1, 5)) { (toks, n) =>
       val df = Seq(Tuple1(toks)).toDF("t")
