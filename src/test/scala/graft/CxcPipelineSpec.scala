@@ -184,6 +184,32 @@ class CxcPipelineSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("S10 serving layer: TTL-gated rebuilds, cached + SQL-addressable views") {
+    var now = 0L
+    val serving = new CxcServing(spark,
+      build = () => CxcPipeline.run(spark, raw,
+        CxcPipeline.Options(skipAudit = true, skipAnalytics = true, skipKpis = true,
+          cacheViews = false)),
+      ttlSeconds = 60, clock = () => now)
+    val v1 = serving.view("movimientos_totales")
+    assert(serving.builds == 1)
+    assert(v1.storageLevel.useMemory, "served view must be materialized")
+    // inside the TTL: same generation, no rebuild
+    now = 59 * 1000L
+    serving.view("facturas_abiertas")
+    assert(serving.builds == 1)
+    // registered for SQL
+    assert(spark.sql("SELECT count(*) FROM movimientos_totales").collect()(0).getLong(0) ==
+      v1.count())
+    // past the TTL: first read swaps in a fresh generation
+    now = 61 * 1000L
+    serving.view("movimientos_totales")
+    assert(serving.builds == 2)
+    // manual invalidation hook
+    serving.refresh()
+    assert(serving.builds == 3)
+  }
+
   test("skip flags drop the corresponding view families") {
     val lite = CxcPipeline.run(spark, raw,
       CxcPipeline.Options(skipAudit = true, skipAnalytics = true, skipKpis = true))
