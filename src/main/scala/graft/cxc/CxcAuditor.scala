@@ -22,12 +22,32 @@ object CxcAuditor {
   def sinVendedor(df: DataFrame): DataFrame = df.filter(col("VENDEDOR").isNull)
   def sinCliente(df: DataFrame): DataFrame = df.filter(col("NOMBRE_CLIENTE").isNull)
 
-  /** A16 — IMPORTE outliers, sample std ddof=1, threshold 3.0
-    * (/root/reference/src/auditor.py:173-265).
+  /** A16 — IMPORTE outliers on CHARGES ONLY (the reference restricts to
+    * TIPO_IMPTE == 'C' so payment amounts don't distort the reference
+    * mean), |z| >= umbral, with the reference's MOTIVO label
+    * (/root/reference/src/auditor.py:173-209).
     */
-  def importesAtipicos(df: DataFrame): DataFrame =
-    ZScore.withZScore(df, col("IMPORTE"), "ZSCORE_IMPORTE", "ATIPICO_IMPORTE", 3.0)
-      .filter(col("ATIPICO_IMPORTE"))
+  def importesAtipicos(df: DataFrame, umbral: Double = 3.0): DataFrame = {
+    val ventas = df.filter(isCargo(df))
+    ZScore.withZScore(ventas, col("IMPORTE"), "ZSCORE_IMPORTE", "ATIPICO_IMPORTE", umbral)
+      .filter(col("ZSCORE_IMPORTE") >= umbral)
+      .drop("ATIPICO_IMPORTE")
+      .withColumn("MOTIVO", lit(s"Importe de venta atipico (Z-score >= $umbral)"))
+  }
+
+  /** DELTA_RECAUDO / DELTA_MORA outliers over the operational REPORT
+    * (cargo rows, non-null delta), |z| >= umbral
+    * (_detectar_atipicos_delta, /root/reference/src/auditor.py:211-265).
+    */
+  def atipicosDelta(reporte: DataFrame, columna: String,
+      umbral: Double = 3.0): DataFrame = {
+    val base = reporte.filter(
+      upper(trim(col("TIPO_IMPTE"))) === "C" && col(columna).isNotNull)
+    ZScore.withZScore(base, col(columna), s"ZSCORE_$columna", "_flag", umbral)
+      .filter(col(s"ZSCORE_$columna") >= umbral)
+      .drop("_flag")
+      .withColumn("MOTIVO", lit(s"$columna atipico (Z-score >= $umbral)"))
+  }
 
   /** Duplicate full-content rows (the fixture's planted dup; content =
     * all business columns except the id). The \u0001 separator keeps
@@ -71,8 +91,18 @@ object CxcAuditor {
     * single lazy union of scalar aggregates — one Spark job when
     * materialized, not one `.count()` action per finding.
     */
-  def run(spark: SparkSession, raw: DataFrame): Map[String, DataFrame] = {
+  def run(spark: SparkSession, raw: DataFrame,
+      reporte: Option[DataFrame] = None): Map[String, DataFrame] = {
     val df = normalize(raw)
+    // recaudo/mora outliers need the operational report's delta columns
+    // (run_audit's df_reporte, auditor.py:114-124); empty when absent,
+    // exactly like the reference
+    val deltaFindings = reporte.toSeq.flatMap { rep =>
+      Seq(
+        "auditoria_recaudos_atipicos" -> atipicosDelta(rep, "DELTA_RECAUDO"),
+        "auditoria_moras_atipicas" -> atipicosDelta(rep, "DELTA_MORA"),
+      )
+    }
     val findings = Seq(
       "auditoria_cancelados" -> cancelados(df),
       "auditoria_sin_tipo_cliente" -> sinTipoCliente(df),
@@ -80,7 +110,7 @@ object CxcAuditor {
       "auditoria_sin_cliente" -> sinCliente(df),
       "auditoria_importes_atipicos" -> importesAtipicos(df),
       "auditoria_duplicados" -> duplicados(df),
-    )
+    ) ++ deltaFindings
     val countRows = findings.map { case (k, v) =>
       v.agg(count(lit(1)).as("N")).select(lit(k).as("HALLAZGO"), col("N"))
     }.reduce(_ unionByName _)

@@ -31,10 +31,11 @@ object CxcPipeline {
       if (opts.cacheViews)
         vistas0 + ("movimientos_totales" -> vistas0("movimientos_totales").cache())
       else vistas0
-    // PASO 3 — audit reads the RAW master (not the report) per reference
+    // PASO 3 — audit reads the RAW master plus the operational report
+    // (for the DELTA_RECAUDO/DELTA_MORA outlier rules), main.py:553-556
     val audit =
       if (opts.skipAudit) Map.empty[String, DataFrame]
-      else CxcAuditor.run(spark, raw)
+      else CxcAuditor.run(spark, raw, Some(vistas("reporte_cxc")))
     // PASO 4/5 — analytics + KPIs consume movimientos_totales
     val analytics =
       if (opts.skipAnalytics) Map.empty[String, DataFrame]

@@ -144,6 +144,19 @@ class CxcPipelineSpec extends AnyFunSuite {
     assert(resumen("auditoria_importes_atipicos") >= 1, "planted 4.5-sigma outlier missed")
     assert(resumen("auditoria_sin_cliente") >= 1)
     assert(resumen("auditoria_duplicados") >= 2) // the pair (original + copy)
+    // the delta-outlier rules run against the report and are counted
+    assert(resumen.contains("auditoria_recaudos_atipicos"))
+    assert(resumen.contains("auditoria_moras_atipicas"))
+  }
+
+  test("importe outliers are charge-only with reference MOTIVO; delta findings carry z-scores") {
+    val imp = views("auditoria_importes_atipicos")
+    assert(imp.filter(upper(trim(col("TIPO_IMPTE"))) =!= "C").count() == 0,
+      "payment rows must not enter the importe outlier reference mean")
+    assert(imp.columns.contains("MOTIVO") && imp.columns.contains("ZSCORE_IMPORTE"))
+    val moras = views("auditoria_moras_atipicas")
+    assert(moras.columns.contains("ZSCORE_DELTA_MORA"))
+    assert(moras.filter(col("DELTA_MORA").isNull).count() == 0)
   }
 
   test("aging: TOTAL row equals sum of buckets and pct is 1.0") {
