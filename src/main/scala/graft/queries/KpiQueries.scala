@@ -66,6 +66,13 @@ object KpiQueries {
     // appears in two plan branches and Spark reuses the exchange — one
     // scan of the payment table instead of two.
     val liAgg = Tables.lineitem(s, dir)
+      // explicit, so BOTH consumers of this agg carry the same scan
+      // filter: the join branch gets isnotnull(l_orderkey) inferred from
+      // the join key, and if the scalar branch lacks it the two subtrees
+      // stop canonicalizing equal and exchange reuse dies. Synthetic
+      // lineitem has no null keys, so the filter is a no-op numerically
+      // (oracle unchanged).
+      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey").as("_link"))
       .agg(
         sum(net).as("_paid"),
@@ -90,7 +97,13 @@ object KpiQueries {
       sum(when(v && col("saldo") > 0 && col("mora") > 0, col("saldo")).otherwise(0.0)).as("saldo_vencido"),
       sum(when(v && inPeriod, col("o_totalprice")).otherwise(0.0)).as("ventas_periodo"),
       sum(when(v, col("o_totalprice")).otherwise(0.0)).as("cargos_totales"),
-      sum(when(inPeriod, col("o_totalprice")).otherwise(0.0)).as("cargos_periodo"))
+      sum(when(inPeriod, col("o_totalprice")).otherwise(0.0)).as("cargos_periodo"),
+      // numerically-neutral use of _paid_period (coalesce→*0→sum ≡ 0.0):
+      // without it column pruning drops l_shipdate from THIS branch's
+      // liAgg subtree, the two liAgg plans stop being canonically equal,
+      // and exchange reuse dies — lineitem would be scanned twice.
+      // PlanSpec pins the single-scan shape.
+      sum(coalesce(col("_paid_period"), lit(0.0)) * lit(0.0)).as("_zero"))
     val pagos = liAgg.agg(
       sum(col("_paid")).as("pagos_totales"),
       sum(col("_paid_period")).as("cobros_periodo"))
@@ -99,7 +112,7 @@ object KpiQueries {
       .withColumn("dso",
         when(col("ventas_periodo") > 0,
           dround(col("saldo_abierto") / col("ventas_periodo") * periodDays, 1)))
-      .withColumn("saldo_actual", col("cargos_totales") - col("pagos_totales"))
+      .withColumn("saldo_actual", col("cargos_totales") - col("pagos_totales") + col("_zero"))
       .withColumn("saldo_inicio",
         col("saldo_actual") - col("cargos_periodo") + col("cobros_periodo"))
       .withColumn("cei",

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions for the scale-critical queries — the
+  * ".explain and iterate until it's the plan you'd want" loop, frozen
+  * as tests so a regression in join strategy, pushdown or codegen is a
+  * test failure rather than a silent 100×-scale surprise.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkSpecBase.{spark, sf}
+
+  /** Final (post-AQE) physical plan: materialize THROUGH the same
+    * QueryExecution (collect, not a write — a write wraps a fresh
+    * QueryExecution and the original plan would stay isFinalPlan=false
+    * with no codegen stages), then render.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // AQE rendering appends an "== Initial Plan ==" section — slice it
+    // off so node counts reflect the FINAL plan only
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    if (cut >= 0) full.substring(0, cut) else full
+  }
+
+  test("q02 star join broadcasts every dimension (no shuffle join of dims)") {
+    val p = finalPlan(queries.CoreQueries.q02(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in star join")
+  }
+
+  test("qe4b generates candidates without any nested-loop join") {
+    val p = finalPlan(queries.VectorQueries.qe4b(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "qe4b exists to kill the all-pairs BNLJ; its own plan must not contain one")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 scan prunes to the referenced columns and stays in codegen") {
+    val p = finalPlan(queries.CoreQueries.q01(spark, sf))
+    // pricing summary touches 7 lineitem columns; the scan must not read keys
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      "scan reads columns the query never uses")
+    // whole-stage codegen renders as "*(n)" stage markers in toString
+    assert(p.contains("*("), "aggregation left whole-stage codegen")
+  }
+
+  test("q22 reuses the single lineitem aggregation exchange") {
+    val p = finalPlan(queries.KpiQueries.q22(spark, sf))
+    val lineitemScans = "FileScan parquet[^\\n]*lineitem".r.findAllMatchIn(p).size
+    assert(p.contains("ReusedExchange") || lineitemScans <= 1,
+      s"lineitem should be scanned once via exchange reuse (scans=$lineitemScans)")
+  }
+
+  test("q29 broadcasts the supplier dimension") {
+    val p = finalPlan(queries.KpiQueries.q29(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "supplier dim join must broadcast")
+  }
+
+  test("qd8 applies the length filter before the candidate aggregation") {
+    val p = finalPlan(queries.TextQueries.qd8(spark, sf))
+    assert(p.contains("greatest") && p.contains("least"),
+      "PPJoin length-ratio bound missing from the physical plan")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q03 settlement balance shuffles on the join key once (no extra exchange)") {
+    val p = finalPlan(queries.CoreQueries.q03(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+}
