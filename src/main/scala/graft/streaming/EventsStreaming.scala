@@ -113,6 +113,49 @@ object EventsStreaming {
       .withWatermark("ts_ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (attribution shape): each
+    * click joins the same user's purchases landing within one hour
+    * after it. Both sides carry watermarks and the join condition
+    * bounds p_ts relative to c_ts in both directions, so Spark can
+    * evict buffered rows once the watermark passes the interval — state
+    * is bounded by (arrival rate × horizon), the only stream-stream
+    * join shape that survives an unbounded stream.
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("value"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  /** Batch twin of [[attributionJoin]] for parity assertions. */
+  def attributionJoinBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("value"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (local test/dev harness).
     */

@@ -60,6 +60,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(back.columns.toSeq == report.columns.toSeq)
   }
 
+  test("csv/jsonl source variants: same rows and query results as the parquet table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val parquetOrders = Tables.orders(spark, sf)
+    parquetOrders.write.option("header", "true").csv(s"$dir/orders_csv")
+    parquetOrders.write.json(s"$dir/orders_json")
+    val schema = parquetOrders.schema
+    val fromCsv = Tables.csv(spark, s"$dir/orders_csv", schema)
+    val fromJson = Tables.jsonl(spark, s"$dir/orders_json", schema)
+    assert(fromCsv.count() == parquetOrders.count())
+    assert(fromJson.count() == parquetOrders.count())
+    // the same aggregation over all three sources agrees
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus").agg(count(lit(1)).as("n"),
+        sum("o_totalprice").as("s")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .toMap
+    val base = agg(parquetOrders)
+    assert(agg(fromCsv) == base, "csv-sourced aggregation diverges")
+    assert(agg(fromJson) == base, "jsonl-sourced aggregation diverges")
+  }
+
   test("xlsx sink (S7): workbook round-trips sheets, headers and numeric cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
     val path = s"$dir/reporte.xlsx"

@@ -57,6 +57,22 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == out.count())
   }
 
+  test("stream-stream interval join (attribution) matches its batch twin") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.attributionJoin(stream), "attr_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchEvents = Tables.events(spark, sf)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val twin = EventsStreaming.attributionJoinBatch(batchEvents)
+    assert(twin.count() > 0, "fixture should produce click->purchase attributions")
+    assert(out.count() == twin.count(),
+      "stream-stream join must emit exactly the batch join's pairs")
+    assert(out.exceptAll(twin).count() == 0 && twin.exceptAll(out).count() == 0)
+    // every emitted lag respects the interval bound
+    assert(out.filter(col("lag_us") < 0 || col("lag_us") > 3600L * 1000000L).count() == 0)
+  }
+
   test("sliding windows: each event lands in exactly two windows") {
     val stream = EventsStreaming.readEvents(spark, sf)
     val out = EventsStreaming.runToMemory(
