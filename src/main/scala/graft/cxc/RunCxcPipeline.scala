@@ -22,7 +22,7 @@ object RunCxcPipeline {
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--skip")).toSet ++
-      args.filter(_ == "--no-cache")
+      args.filter(a => a == "--no-cache" || a == "--no-xlsx")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) if !v.startsWith("--") => v }
 
@@ -49,6 +49,10 @@ object RunCxcPipeline {
       cacheViews = !flags.contains("--no-cache"))
     val views = CxcPipeline.run(spark, raw, opts)
     Sinks.writeViews(views, out)
+    // the reference CLI's canonical output: three styled workbooks per
+    // run (main.py exportar_tres_exceles) — skip with --no-xlsx
+    if (!flags.contains("--no-xlsx"))
+      CxcWorkbooks.export(views, out).foreach(p => println(s"[cxc] workbook -> $p"))
     views.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(s"[cxc] $name: ${df.count()} rows -> $out/$name")
     }

@@ -223,6 +223,25 @@ class CxcPipelineSpec extends AnyFunSuite {
     assert(serving.builds == 3)
   }
 
+  test("three-workbook export mirrors the reference CLI layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wb").toString
+    val paths = CxcWorkbooks.export(views, dir)
+    assert(paths.map(new java.io.File(_).getName) ==
+      Seq("00_auditoria_cxc.xlsx", "01_reporte_cxc.xlsx", "02_analisis_cxc.xlsx"))
+    import scala.jdk.CollectionConverters._
+    val zf = new java.util.zip.ZipFile(paths(1)) // 01_reporte
+    val wb = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+    val nl = wb.getElementsByTagName("sheet")
+    val sheets = (0 until nl.getLength).map(i =>
+      nl.item(i).getAttributes.getNamedItem("name").getNodeValue)
+    assert(sheets == Seq("movimientos_abiertos_cxc", "movimientos_cerrados_cxc",
+      "movimientos_totales_cxc", "registros_por_acreditar_cxc",
+      "registros_cancelados_cxc", "registros_totales_cxc"),
+      s"reference sheet order expected, got $sheets")
+    zf.close()
+  }
+
   test("skip flags drop the corresponding view families") {
     val lite = CxcPipeline.run(spark, raw,
       CxcPipeline.Options(skipAudit = true, skipAnalytics = true, skipKpis = true))
