@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-        "qm1_media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)))
+        "qm1_media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
+        "qm2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -32,5 +33,7 @@ object SparkEntry {
       graft.queries.KpiQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
-      Map("qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql)
+      Map(
+        "qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql,
+        "qm2_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql)
 }

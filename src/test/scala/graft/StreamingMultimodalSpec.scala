@@ -142,6 +142,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feats.except(again).count() == 0)
   }
 
+  test("resize stage: partition-batched, fixed geometry, deterministic payload") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val resized = Multimodal.resizeStage(spark, media, 8, 8).cache()
+    assert(resized.count() == media.count())
+    val r = resized.collect()
+    assert(r.forall(m => m.width == 8 && m.height == 8))
+    assert(r.forall(m => m.payload.length <= 64 && m.payload.length > 0))
+    // deterministic across partitionings
+    val again = Multimodal.resizeStage(spark, media.repartition(7), 8, 8)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(r.forall(m => again(m.media_id) == m.payload.toSeq))
+  }
+
+  test("qm2 frame sampling covers every doc and respects the stride") {
+    val frames = Multimodal.frameSample(spark, sf).cache()
+    assert(frames.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    // every document contributes its frame 0
+    assert(frames.filter(col("frame_idx") === 0).count() ==
+      Tables.documents(spark, sf).count())
+    // frame sizes are the fixed stride except each doc's tail frame
+    val oversize = frames.filter(col("frame_chars") > 256).count()
+    assert(oversize == 0)
+  }
+
   test("qm1 media stats joins back to documents 1:1") {
     val stats = Multimodal.mediaStats(spark, sf)
     assert(stats.count() == Tables.documents(spark, sf).count())
