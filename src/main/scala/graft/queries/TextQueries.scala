@@ -184,6 +184,40 @@ object TextQueries {
       |               regexp_split_to_array(trim(text), '\s+') AS toks
       |        FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- qd9
+  /** BPE-ish subword token counting (the mandate's second tokenizer,
+    * beside qd2's whitespace split): a GPT-2-style pre-tokenizer regex —
+    * letter runs | digit runs | single non-alnum glyph — over lowered
+    * text. Only ASCII character classes, so Java regex (engine) and RE2
+    * (oracle) agree codepoint-for-codepoint; CJK text degrades to
+    * one-glyph units exactly like a byte-level BPE pre-tokenizer.
+    * Pure projection: scales as a map-only pass.
+    */
+  def qd9(s: SparkSession, dir: String): DataFrame = {
+    val units = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs(s, dir)
+      .withColumn("u", units)
+      .select(
+        col("doc_id"),
+        size(col("u")).as("n_subwords"),
+        size(filter(col("u"), t => t.rlike("^[a-z]+$"))).as("n_alpha_runs"),
+        size(filter(col("u"), t => t.rlike("^[0-9]+$"))).as("n_digit_runs"),
+        dround(aggregate(transform(col("u"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / greatest(size(col("u")), lit(1)), 6).as("avg_unit_len"))
+  }
+
+  private val qd9Sql =
+    """SELECT doc_id,
+      | CAST(len(u) AS INT) AS n_subwords,
+      | CAST(len(list_filter(u, t -> regexp_matches(t, '^[a-z]+$'))) AS INT) AS n_alpha_runs,
+      | CAST(len(list_filter(u, t -> regexp_matches(t, '^[0-9]+$'))) AS INT) AS n_digit_runs,
+      | round(CAST(list_sum(list_transform(u, t -> length(t))) AS DOUBLE)
+      |       / greatest(len(u), 1), 6) AS avg_unit_len
+      |FROM (SELECT doc_id,
+      |             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS u
+      |      FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -386,6 +420,7 @@ object TextQueries {
     "qd6_minhash_lsh" -> (qd6 _),
     "qd7_simhash" -> (qd7 _),
     "qd8_ngram_jaccard" -> (qd8 _),
+    "qd9_subword_tokens" -> (qd9 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -395,6 +430,7 @@ object TextQueries {
     "qd4_quality_score" -> qd4Sql,
     "qd5_fingerprint" -> qd5Sql,
     "qd8_ngram_jaccard" -> qd8Sql,
+    "qd9_subword_tokens" -> qd9Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )
