@@ -223,6 +223,21 @@ class CxcPipelineSpec extends AnyFunSuite {
     assert(serving.builds == 3)
   }
 
+  test("P13 interactive filters: option lists + empty-selection identity") {
+    val m = views("movimientos_totales")
+    val cls = CxcFilters.clientes(m)
+    assert(cls.nonEmpty && cls == cls.sorted && !cls.contains(null))
+    assert(CxcFilters.porCliente(m, Nil).count() == m.count(),
+      "empty selection must return the view unchanged")
+    val one = CxcFilters.porCliente(m, Seq(cls.head))
+    assert(one.count() > 0 && one.count() < m.count())
+    assert(one.select("NOMBRE_CLIENTE").distinct().count() == 1)
+    val vnd = CxcFilters.vendedores(m)
+    assert(vnd.nonEmpty)
+    assert(CxcFilters.porVendedor(m, vnd).count() ==
+      m.filter(col("VENDEDOR").isNotNull).count())
+  }
+
   test("three-workbook export mirrors the reference CLI layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wb").toString
     val paths = CxcWorkbooks.export(views, dir)
