@@ -27,4 +27,20 @@ object Sinks {
   /** Write every named view of a pipeline run under one root. */
   def writeViews(views: Map[String, DataFrame], root: String): Unit =
     views.foreach { case (name, df) => parquet(df, s"$root/$name") }
+
+  /** Bucketed parquet table (catalog-registered): pre-shuffles the data
+    * into `buckets` files per the key and sorts within buckets, so a
+    * later equi-join or aggregation on that key needs NO exchange — the
+    * co-located-join layout for fact tables that are joined on the same
+    * key query after query (SURVEY scale mandate: "bucketing for
+    * co-located joins"). Both sides must share key + bucket count.
+    */
+  def bucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: String): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -131,6 +131,26 @@ object GraftProperties extends Properties("graft") {
       run1 == run2
     }
 
+  property("salted join == plain join on skewed keys (inner and left)") =
+    forAll(Gen.chooseNum(1, 80), Gen.chooseNum(2, 8), Gen.chooseNum(0L, 400L)) {
+      (n, salts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // 80% of big rows land on ONE hot key
+      val big = (1 to n).map(i =>
+        (if (rnd.nextDouble() < 0.8) 1L else 1L + rnd.nextInt(5), i.toLong,
+          rnd.nextDouble()))
+        .toDF("k", "row_id", "v")
+      val small = (1L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "row_id", "v", "name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val plain = canon(big.join(small, Seq("k")))
+      val salted = canon(operators.Salting.saltedJoin(
+        big, small, "k", col("row_id"), salts))
+      plain == salted
+    }
+
   property("jaccard symmetric and within [0,1]") =
     forAll(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)),
       Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty))) { (a, b) =>

@@ -67,6 +67,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the join plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    output.Sinks.bucketed(Tables.orders(spark, sf), "bkt_orders",
+      "o_orderkey", 4, s"$dir/orders")
+    output.Sinks.bucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bkt_lineitem", "o_orderkey", 4, s"$dir/lineitem")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_lineitem"), Seq("o_orderkey"))
+      val p = finalPlan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed-by-key join must not shuffle either side")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
   test("q03 settlement balance shuffles on the join key once (no extra exchange)") {
     val p = finalPlan(queries.CoreQueries.q03(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
