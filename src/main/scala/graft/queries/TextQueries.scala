@@ -13,10 +13,10 @@ import graft.operators.Rounding.dround
   * n-gram Jaccard, language-ID, quality scoring, token stats,
   * fingerprinting).
   *
-  * Oracle coverage: qd1-qd5 and qd8 have exact DuckDB oracles. qd6/qd7
-  * build on xxhash64 (Spark-specific) → no SQL oracle; they are covered
-  * by ScalaTest invariants instead (planted near-duplicates must be
-  * found, disjoint docs must not).
+  * Oracle coverage: qd1-qd5, qd8 and qd9 have exact DuckDB oracles.
+  * qd6/qd7 build on xxhash64 (Spark-specific) → no SQL oracle; they are
+  * covered by ScalaTest invariants plus measured candidate-recall
+  * floors against exact twins (RecallSpec → RECALL.json).
   */
 object TextQueries {
 
