@@ -34,6 +34,10 @@ object VectorFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Long]),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => graft.functions.expr.SimHashBits(exprs(0)),
+      "built-in")
   }
 
   /** Dot product via the native codegen expression

@@ -358,8 +358,22 @@ object TextQueries {
     */
   /** SimHash 64-bit fingerprints per doc — exposed for the recall
     * measurement's exact-twin (all-pairs Hamming) computation.
+    *
+    * Map-only: token hashes stay an array and the native SimHashBits
+    * expression folds the 64 bit-votes in one fused loop. The round-1
+    * formulation (explode → groupBy(doc) with 64 conditional-sum
+    * aggregators) shuffled every token row; bit-vote math is integer
+    * and order-free, so this is bit-identical (parity-tested) with the
+    * shuffle gone from the plan.
     */
-  def qd7Fingerprints(s: SparkSession, dir: String): DataFrame = {
+  def qd7Fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => tokenHash(t)).as("hs"))
+      .select(col("doc_id"), call_function("graft_simhash", col("hs")).as("simhash"))
+
+  /** Round-1 aggregation formulation — kept for the parity test. */
+  def qd7FingerprintsAgg(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))

@@ -170,6 +170,14 @@ class TextVectorSpec extends AnyFunSuite {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
   }
 
+  test("native simhash fingerprints equal the explode+groupBy aggregation form exactly") {
+    val nat = queries.TextQueries.qd7Fingerprints(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = queries.TextQueries.qd7FingerprintsAgg(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == agg, "SimHashBits diverges from the aggregation formulation")
+  }
+
   test("qe5b persisted-index probe reproduces the fused qe5 exactly and is idempotent") {
     val sf01 = "/root/testdata/sf0.01"
     // force a fresh build so the test exercises build + probe
