@@ -263,14 +263,24 @@ object CoreQueries {
     // NOTE: (docid, sub) is not unique in the synthetic lineitem data —
     // `amt` is the final tiebreaker that makes the running sum a
     // deterministic multiset (equal-amt ties commute).
+    //
+    // The ledger runs in INTEGER CENTS: movements are cent-quantized
+    // once, then the window sums longs — exact and association-free, so
+    // the balance is bit-stable at any scale and against any engine.
+    // (Double accumulation differed from the oracle's segment-tree
+    // window sum by an ulp on 12 of 750k rows at sf0.1 — enough to flip
+    // a x.xx5 rounding boundary.)
+    val uni = ch.unionByName(pay)
+      .withColumn("amt_cents", round(col("amt") * 100).cast("long"))
     Balances.runningBalance(
-      ch.unionByName(pay),
+      uni,
       partitionCols = Seq(col("acct")),
       orderCols = Seq(col("d").asc, col("docid").asc, col("sub").asc, col("amt").asc),
-      signedAmount = col("amt"))
+      signedAmount = col("amt_cents"))
       .select(col("acct"), date_format(col("d"), "yyyy-MM-dd").as("d"),
         col("docid"), col("sub"),
-        dround(col("amt"), 2).as("amt"), col("running_balance"))
+        (col("amt_cents") / 100.0).as("amt"),
+        (col("running_balance") / 100.0).as("running_balance"))
   }
 
   private val q07Sql =
@@ -283,10 +293,11 @@ object CoreQueries {
        |         l.l_linenumber, -($netSql)
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
        |SELECT acct, strftime(d, '%Y-%m-%d') AS d, docid, sub,
-       |  round(amt, 2) AS amt,
-       |  round(sum(amt) OVER (PARTITION BY acct ORDER BY d, docid, sub, amt
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-       |    AS running_balance
+       |  CAST(round(amt * 100) AS BIGINT) / 100.0 AS amt,
+       |  CAST(sum(CAST(round(amt * 100) AS BIGINT))
+       |       OVER (PARTITION BY acct ORDER BY d, docid, sub, amt
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |       AS BIGINT) / 100.0 AS running_balance
        |FROM uni""".stripMargin
 
   // ---------------------------------------------------------------- q08

@@ -101,18 +101,28 @@ object EventQueries {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"),
-        dround(sum("value"), 2).as("sum_value"),
-        dround(avg("value"), 6).as("avg_value"))
+        // `value` is cent-granular: sum exact integer cents so group
+        // totals and the derived average are association-free (double
+        // sums differed from the oracle by an ulp on ~1% of groups at
+        // sf0.1 — exactly at the avg's 6-decimal rounding boundary,
+        // because cent-valued averages land on x.5e-6 routinely)
+        sum(round(col("value") * 100).cast("long")).as("_cents"))
+      .select(col("hour"), col("event_type"), col("n_events"), col("n_users"),
+        (col("_cents") / 100.0).as("sum_value"),
+        dround(col("_cents") / 100.0 / col("n_events"), 6).as("avg_value"))
 
   private val q20Sql =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-      | event_type,
-      | count(*) AS n_events,
-      | count(DISTINCT user_id) AS n_users,
-      | round(sum(value), 2) AS sum_value,
-      | round(avg(value), 6) AS avg_value
-      |FROM events
-      |GROUP BY 1, 2""".stripMargin
+    """SELECT hour, event_type, n_events, n_users,
+      | cents / 100.0 AS sum_value,
+      | round(cents / 100.0 / n_events, 6) AS avg_value
+      |FROM (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |   event_type,
+      |   CAST(count(*) AS BIGINT) AS n_events,
+      |   count(DISTINCT user_id) AS n_users,
+      |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events
+      |  GROUP BY 1, 2)""".stripMargin
 
   // ---------------------------------------------------------------- q21
   /** JSON extraction from the props column (semi-structured payloads —
