@@ -90,15 +90,15 @@ object CxcAnalytics {
 
   /** TOTAL row = sums of the per-group ROUNDED values (the reference
     * sums after round(2), analytics.py:335-346 — sum-of-rounded, not
-    * round-of-sum; SURVEY §7.6 determinism note).
+    * round-of-sum; SURVEY §7.6 determinism note). Delegates to
+    * operators.TotalRow (which also keeps empty inputs empty) and fixes
+    * the output column order.
     */
   private def withTotal(g: DataFrame, labelCol: String,
-      numCols: Seq[String], finalOrder: Seq[String]): DataFrame = {
-    val sums = numCols.map(c => sum(col(c)).as(c))
-    val tot = g.agg(sums.head, sums.tail: _*).withColumn(labelCol, lit("TOTAL"))
-    g.unionByName(tot.select(g.columns.map(col): _*))
+      numCols: Seq[String], finalOrder: Seq[String]): DataFrame =
+    graft.operators.TotalRow
+      .withTotalRow(g, labelCol, numCols.map(c => c -> col(c)).toMap)
       .select(finalOrder.map(col): _*)
-  }
 
   /** A6 — per-concept charge/payment summary as ONE conditional groupBy
     * (the reference's outer-join-of-two-aggs J6 collapsed,

@@ -53,8 +53,11 @@ object CxcWorkbooks {
   def export(views: Map[String, DataFrame], outDir: String): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     layout.map { case (base, sheets) =>
+      // skip missing AND empty views — the reference's `continue` omits
+      // the sheet entirely for empty frames (head(1): report-sized check)
       val present = sheets.collect {
-        case (sheetName, viewKey) if views.contains(viewKey) =>
+        case (sheetName, viewKey)
+            if views.contains(viewKey) && !views(viewKey).head(1).isEmpty =>
           sheetName -> views(viewKey)
       }
       val path = s"$outDir/$base.xlsx"

@@ -83,9 +83,18 @@ object Pareto {
     // Phase 1: range partitioning gives partition i ≤ partition i+1 in
     // (value desc, key asc) order, so local rank/cumsum + an exclusive
     // per-partition offset reconstruct the global quantities exactly.
+    //
+    // localCheckpoint PINS the partitioning: the stats collect below and
+    // the returned plan are two separate evaluations, and
+    // RangePartitioner's sampled boundaries are not stable across
+    // re-evaluation — without materializing, rows near a boundary could
+    // land in a different _pid than the one whose offsets were
+    // collected, silently corrupting ranks at exactly the scale this
+    // path exists for.
     val parted = perKey
       .repartitionByRange(valueCol.desc, keyCol.asc)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // P rows — driver-sized by construction (P = shuffle partitions)
     val stats = parted.groupBy("_pid")
       .agg(sum(valueCol).as("_s"), count(lit(1)).as("_c"))

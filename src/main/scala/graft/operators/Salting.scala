@@ -37,6 +37,12 @@ object Salting {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit every unmatched small-side row once
+    // per replica — only join types that never null-pad the replicated
+    // side are equivalent to the plain join
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType (replicated side would duplicate)")
     val salted = big.withColumn("_salt", pmod(hash(disambig), lit(salts)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -18,9 +18,15 @@ object TotalRow {
       labelCol: String,
       sums: Map[String, Column],
   ): DataFrame = {
-    val aggs = sums.map { case (name, c) => sum(c).as(name) }.toSeq
+    // the count guard drops the all-NULL row a global aggregate emits
+    // over an empty relation — an empty view stays empty (the reference
+    // returns an empty frame, not a TOTAL-of-nothing row)
+    val aggs = sums.map { case (name, c) => sum(c).as(name) }.toSeq :+
+      count(lit(1)).as("_n")
     val totals = df
       .agg(aggs.head, aggs.tail: _*)
+      .filter(col("_n") > 0)
+      .drop("_n")
       .withColumn(labelCol, lit("TOTAL"))
     df.unionByName(totals, allowMissingColumns = true)
   }

@@ -26,6 +26,17 @@ object ExcelSink {
   def write(views: Seq[(String, DataFrame)], path: String,
       maxRows: Int = 200000): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
+    var ok = false
+    try { writeEntries(zos, views, maxRows); ok = true }
+    finally {
+      zos.close()
+      // never leave a truncated, unreadable workbook behind
+      if (!ok) new java.io.File(path).delete()
+    }
+  }
+
+  private def writeEntries(zos: ZipOutputStream,
+      views: Seq[(String, DataFrame)], maxRows: Int): Unit = {
     def entry(name: String, body: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(body.getBytes("UTF-8"))
@@ -79,7 +90,6 @@ object ExcelSink {
     views.zipWithIndex.foreach { case ((_, df), i) =>
       entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, maxRows))
     }
-    zos.close()
   }
 
   def write(views: Map[String, DataFrame], path: String): Unit =

@@ -212,7 +212,7 @@ object TextQueries {
       | CAST(len(u) AS INT) AS n_subwords,
       | CAST(len(list_filter(u, t -> regexp_matches(t, '^[a-z]+$'))) AS INT) AS n_alpha_runs,
       | CAST(len(list_filter(u, t -> regexp_matches(t, '^[0-9]+$'))) AS INT) AS n_digit_runs,
-      | round(CAST(list_sum(list_transform(u, t -> length(t))) AS DOUBLE)
+      | round(CAST(coalesce(list_sum(list_transform(u, t -> length(t))), 0) AS DOUBLE)
       |       / greatest(len(u), 1), 6) AS avg_unit_len
       |FROM (SELECT doc_id,
       |             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS u
@@ -331,10 +331,13 @@ object TextQueries {
     // verify candidates on exact Jaccard: gram arrays are fetched by id
     // AFTER the pair dedup, via two broadcast joins of the doc-side table
     val grams = sig.select(col("doc_id"), col("grams"))
+    // no broadcast hint: AQE broadcasts when the gram table fits and
+    // falls back to a shuffled join when it doesn't — a forced hint
+    // would cap the corpus at driver memory
     val cand = qd6CandidatePairs(s, dir)
-      .join(broadcast(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))),
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
         Seq("doc_a"))
-      .join(broadcast(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))),
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
         Seq("doc_b"))
       .withColumn("jac", jaccard(col("ga"), col("gb")))
     val perDocCand = cand

@@ -250,9 +250,11 @@ object VectorQueries {
       .distinct()
     val va = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
-    // vectors fetched by id AFTER the pair dedup, broadcast — the pair
-    // stream must never shuffle 64-dim arrays
-    val scored = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    // vectors fetched by id AFTER the pair dedup — the pair stream must
+    // never shuffle 64-dim arrays. No broadcast hint: AQE broadcasts the
+    // vector table while it fits and degrades to a shuffled join beyond
+    // driver memory instead of failing outright
+    val scored = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= t)
       .select("ida", "idb", "cos")

@@ -143,12 +143,18 @@ object GraftProperties extends Properties("graft") {
       val small = (1L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.select("k", "row_id", "v", "name").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            Option(r.getString(3)).getOrElse("")))
           .sortBy(t => (t._1, t._2)).toSeq
       val plain = canon(big.join(small, Seq("k")))
       val salted = canon(operators.Salting.saltedJoin(
         big, small, "k", col("row_id"), salts))
-      plain == salted
+      // left leg: a big row with no small match must survive exactly once
+      val smallSparse = small.filter(col("k") =!= 1L)
+      val plainL = canon(big.join(smallSparse, Seq("k"), "left"))
+      val saltedL = canon(operators.Salting.saltedJoin(
+        big, smallSparse, "k", col("row_id"), salts, "left"))
+      plain == salted && plainL == saltedL
     }
 
   property("jaccard symmetric and within [0,1]") =
