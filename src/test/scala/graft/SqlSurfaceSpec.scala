@@ -81,6 +81,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(agg(fromJson) == base, "jsonl-sourced aggregation diverges")
   }
 
+  test("xlsx sink escapes XML metacharacters and illegal sheet names") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_esc").toString
+    val path = s"$dir/esc.xlsx"
+    val df = Seq(("a<b>&\"c'", 1.5), ("plain", 2.0)).toDF("label & <tag>", "v")
+    output.ExcelSink.write(Seq("bad:name/with*chars[x]" -> df), path)
+    val zf = new java.util.zip.ZipFile(path)
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+    val ts = doc.getElementsByTagName("t")
+    val texts = (0 until ts.getLength).map(i => ts.item(i).getTextContent)
+    // DOM parse succeeding proves well-formedness; values round-trip
+    assert(texts.contains("label & <tag>") && texts.contains("a<b>&\"c'"))
+    val wb = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(zf.getInputStream(zf.getEntry("xl/workbook.xml")))
+    val name = wb.getElementsByTagName("sheet").item(0)
+      .getAttributes.getNamedItem("name").getNodeValue
+    assert(!name.exists("[]:*?/\\".contains(_)), s"illegal sheet name: $name")
+    zf.close()
+  }
+
   test("xlsx sink (S7): workbook round-trips sheets, headers and numeric cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
     val path = s"$dir/reporte.xlsx"
