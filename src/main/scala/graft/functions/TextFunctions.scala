@@ -76,8 +76,13 @@ object TextFunctions {
     val params = Seq.fill(k)((1L + rnd.nextInt((p - 1).toInt).toLong,
       rnd.nextInt(p.toInt).toLong))
     val base = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    // array_min([]) is NULL; the native expression emits p for an empty
+    // shingle set — coalesce keeps the two forms bit-identical on ALL
+    // inputs, not just non-empty ones (ADVICE r2).
     array(params.map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p))))
+      coalesce(
+        array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p)))),
+        lit(p))
     }: _*)
   }
 

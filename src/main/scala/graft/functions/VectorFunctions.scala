@@ -38,6 +38,14 @@ object VectorFunctions {
       "graft_simhash",
       exprs => graft.functions.expr.SimHashBits(exprs(0)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      exprs => graft.functions.expr.LshBandBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int],
+        exprs(4).eval().asInstanceOf[Long]),
+      "built-in")
   }
 
   /** Dot product via the native codegen expression
@@ -72,16 +80,30 @@ object VectorFunctions {
       when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Banded sign-LSH: `bands` bucket ids of `r` bits each (planes must
-    * hold bands×r hyperplanes). A pair is a candidate if it collides in
-    * ANY band — the OR-of-ANDs construction that trades candidate volume
-    * (more bands) against recall, exactly as MinHash banding does for
-    * Jaccard. Returned as an array so callers `posexplode` it into a
-    * (band, bucket) posting list and self-join on equality — candidate
-    * generation is an equi-join, never a cross product.
+  /** Banded sign-LSH: `bands` bucket ids of `r` bits each. A pair is a
+    * candidate if it collides in ANY band — the OR-of-ANDs construction
+    * that trades candidate volume (more bands) against recall, exactly as
+    * MinHash banding does for Jaccard. Returned as an array so callers
+    * `posexplode` it into a (band, bucket) posting list and self-join on
+    * equality — candidate generation is an equi-join, never a cross
+    * product.
+    *
+    * Backed by the native LshBandBuckets expression: the literal-array
+    * HOF form below exceeds janino's 64 KB method limit at bands·r ≥
+    * ~256 planes, and the resulting interpreted fallback cost qe4b 27 s
+    * of its 27.3 s at sf0.1 (BENCH_r02). Planes derive from the seed
+    * inside the expression — the identical `hyperplanes` stream.
     */
-  def lshBandBuckets(vec: Column, planes: Seq[Seq[Double]],
-                     bands: Int, r: Int): Column = {
+  def lshBandBuckets(vec: Column, bands: Int, r: Int, dim: Int,
+                     seed: Long = 42L): Column =
+    call_function("graft_lsh_buckets", vec, lit(bands), lit(r), lit(dim), lit(seed))
+
+  /** Built-in-only formulation (literal plane arrays) — kept for the
+    * native/HOF parity property test. Do not use on the hot path: see
+    * lshBandBuckets.
+    */
+  def lshBandBucketsHof(vec: Column, planes: Seq[Seq[Double]],
+                        bands: Int, r: Int): Column = {
     require(planes.length == bands * r, s"need ${bands * r} planes")
     array((0 until bands).map { b =>
       (0 until r).map { j =>

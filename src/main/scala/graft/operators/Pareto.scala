@@ -95,9 +95,11 @@ object Pareto {
       .repartitionByRange(valueCol.desc, keyCol.asc)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    // P rows — driver-sized by construction (P = shuffle partitions)
+    // P rows — driver-sized by construction (P = shuffle partitions).
+    // Cast+coalesce: a non-double valueCol (decimal, int) or an all-NULL
+    // partition must not blow up the driver-side getDouble.
     val stats = parted.groupBy("_pid")
-      .agg(sum(valueCol).as("_s"), count(lit(1)).as("_c"))
+      .agg(coalesce(sum(valueCol.cast("double")), lit(0.0)).as("_s"), count(lit(1)).as("_c"))
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
       .sortBy(_._1)

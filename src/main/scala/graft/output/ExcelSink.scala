@@ -58,11 +58,12 @@ object ExcelSink {
       """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
       """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
       "</Relationships>")
+    val names = dedupeNames(views.map { case (name, _) => sheetName(name) })
     entry("xl/workbook.xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
-      views.zipWithIndex.map { case ((name, _), i) =>
-        s"""<sheet name="${esc(sheetName(name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      names.zipWithIndex.map { case (name, i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
       }.mkString + "</sheets></workbook>")
     entry("xl/_rels/workbook.xml.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -114,7 +115,13 @@ object ExcelSink {
       var j = 0
       while (j < numeric.length) {
         if (!row.isNullAt(j)) {
-          if (numeric(j))
+          // NaN/Infinity are not valid <v> numbers — fall through to inline string
+          val finite = numeric(j) && (row.get(j) match {
+            case d: java.lang.Double => !d.isNaN && !d.isInfinite
+            case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+            case _                   => true
+          })
+          if (finite)
             sb ++= s"""<c r="${ref(j, r)}" s="2"><v>${row.get(j)}</v></c>"""
           else
             sb ++= s"""<c r="${ref(j, r)}" t="inlineStr"><is><t>${esc(String.valueOf(row.get(j)))}</t></is></c>"""
@@ -131,6 +138,24 @@ object ExcelSink {
   private def sheetName(name: String): String =
     name.replaceAll("[\\[\\]:*?/\\\\]", "_").take(31)
 
+  /** Sanitization/truncation can collide two distinct view names; Excel
+    * refuses workbooks with duplicate sheet names, so disambiguate with a
+    * _2, _3… suffix (re-truncating so the result stays ≤31 chars).
+    */
+  private def dedupeNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    names.map { base =>
+      var candidate = base
+      var k = 2
+      while (!seen.add(candidate.toLowerCase)) { // Excel names are case-insensitive
+        val suffix = s"_$k"
+        candidate = base.take(31 - suffix.length) + suffix
+        k += 1
+      }
+      candidate
+    }
+  }
+
   private def ref(colIdx: Int, row: Int): String = {
     var c = colIdx
     val sb = new StringBuilder
@@ -138,7 +163,16 @@ object ExcelSink {
     sb.append(row).toString
   }
 
-  private def esc(s: String): String = s
-    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    .replace("\"", "&quot;").replace("'", "&apos;")
+  private def esc(s: String): String = {
+    val basic = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+    // Control chars (except tab/LF/CR) are invalid even entity-escaped in
+    // XML 1.0; encode them with the OOXML _xHHHH_ convention.
+    if (basic.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) basic
+    else basic.flatMap { c =>
+      if (c >= 0x20 || c == '\t' || c == '\n' || c == '\r') c.toString
+      else f"_x${c.toInt}%04X_"
+    }
+  }
 }

@@ -169,8 +169,10 @@ object GraftProperties extends Properties("graft") {
       ab == ba && ab >= 0.0 && ab <= 1.0
     }
 
+  // Gen.listOf (not nonEmptyListOf): the empty shingle set must agree
+  // too — both forms emit p for every component (ADVICE r2).
   property("native minhash signature equals the HOF formulation exactly") =
-    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
+    forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
       Gen.oneOf(16, 64)) { (shingles, k) =>
       val df = Seq(Tuple1(shingles)).toDF("sh")
         .select(
@@ -188,6 +190,22 @@ object GraftProperties extends Properties("graft") {
         functions.TextFunctions.wordGramsHof(col("t"), n).as("hof")).collect()(0)
       r.getSeq[String](0) == r.getSeq[String](1)
     }
+
+  property("native LSH band buckets equal the literal-plane HOF formulation") = {
+    functions.VectorFunctions.registerNative(spark)
+    // small bands·r so the HOF form stays under janino's method limit —
+    // the native expression is the only form usable at 64×4
+    val bands = 8; val r = 3; val dim = 16
+    val planes = functions.VectorFunctions.hyperplanes(bands * r, dim)
+    forAll(Gen.listOfN(dim, finiteD)) { v =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val row = df.select(
+        functions.VectorFunctions.lshBandBuckets(col("v"), bands, r, dim).as("nat"),
+        functions.VectorFunctions.lshBandBucketsHof(col("v"), planes, bands, r).as("hof"))
+        .collect()(0)
+      row.getSeq[Int](0) == row.getSeq[Int](1)
+    }
+  }
 
   property("native dot product equals interpreted HOF dot product bit-for-bit") = {
     functions.VectorFunctions.registerNative(spark)

@@ -149,11 +149,56 @@ class TextVectorSpec extends AnyFunSuite {
     val hit = exactPairs.join(cand, Seq("ida", "idb"), "left_semi").count()
     val recall = hit.toDouble / nExact
     assert(recall >= 0.9, s"LSH candidate recall $recall < 0.9 ($hit/$nExact)")
-    // end-to-end: the candidate path reproduces the exact dedup output
+    // end-to-end vs the exact twin: scoring after candidates is exact, so
+    // qe4b can only UNDER-count neighbors (missed candidates), never
+    // invent them — assert no false positives plus a neighbor-mass
+    // recall floor (ADVICE r2: approximate operators are recall-floored,
+    // not hash-matched).
     val exact4 = queries.VectorQueries.qe4(spark, sf01)
+      .select(col("vec_id"), col("n_near").as("n_exact"))
     val lsh4 = queries.VectorQueries.qe4b(spark, sf01)
-    assert(exact4.exceptAll(lsh4).count() == 0 && lsh4.exceptAll(exact4).count() == 0,
-      "qe4b diverges from qe4 on sf0.01")
+      .select(col("vec_id"), col("n_near").as("n_lsh"))
+    val joined = exact4.join(lsh4, Seq("vec_id")).cache()
+    assert(joined.count() == exact4.count(), "qe4b must emit every vec_id")
+    assert(joined.filter(col("n_lsh") > col("n_exact")).count() == 0,
+      "qe4b reported a neighbor the exact twin does not have")
+    val Array(massLsh, massExact) = joined
+      .agg(sum("n_lsh"), sum("n_exact")).collect()(0)
+      .toSeq.map(v => v.asInstanceOf[Long]).toArray
+    assert(massExact == 0 || massLsh.toDouble / massExact >= 0.9,
+      s"qe4b neighbor mass $massLsh/$massExact below 0.9 of exact")
+    joined.unpersist()
+  }
+
+  test("qe4c at t=0.8 finds planted near-duplicates and keeps the clean corpus") {
+    // The testdata has no pairs near 0.8 (max cos 0.60) — so plant some:
+    // near-copies with ~2% relative noise (cos >> 0.9). The LSH at
+    // 64 bands x 16 bits must flag every planted pair as a near-dup and
+    // keep the untouched corpus intact.
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf01)
+      .withColumn("vec", graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .limit(200)
+      .select("vec_id", "vec")
+    val rnd = new scala.util.Random(7)
+    val dups = e.limit(20).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val noisy = v.map(x => x * (1.0 + 0.02 * rnd.nextGaussian()))
+      (r.getLong(0) + 100000L, noisy.toSeq)
+    }.toSeq
+    import SparkSpecBase.spark.implicits._
+    val corpus = e.unionByName(dups.toDF("vec_id", "vec"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("vec"), col("vec"))))
+    val out = queries.VectorQueries.lshDedupFrom(corpus, 0.8, 64, 16).cache()
+    // every planted copy is found, and exactly the copy (id >= 100000) is dropped
+    val flagged = out.filter(col("n_near") > 0)
+    assert(flagged.count() == 40, "each planted pair flags both members")
+    assert(out.filter(col("keep") === false).count() === 20)
+    assert(out.filter(col("keep") === false).filter(col("vec_id") < 100000L).count() == 0,
+      "canonical member (smaller id) must be kept")
+    // the untouched 180 corpus vectors have no near-dup at 0.8
+    assert(out.filter(col("vec_id") < 100000L).filter(col("n_near") > 0).count() == 20)
+    out.unpersist()
   }
 
   test("IVF ANN (qe5): cosines exact for shared pairs, reasonable recall vs brute force") {
