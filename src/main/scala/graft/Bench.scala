@@ -27,12 +27,16 @@ object Bench {
     // Warm the JVM/session (codegen, file listing, parquet footers) so
     // per-query numbers measure the queries, not first-run setup.
     SparkEntry.queries.get("q01_pricing_summary").foreach(run)
-    // qe5b probes a PERSISTED index; the build is the offline stage, so
-    // materialize it outside the timed loop (no-op when already built).
+    // qe5b/qd6b probe PERSISTED indexes; the builds are the offline
+    // stage, so materialize them outside the timed loop (no-op when
+    // already built).
     try {
       val idx = graft.queries.VectorQueries.ivfIndexPath(sfDir)
       if (!new java.io.File(s"$idx/assignments/_SUCCESS").exists())
         graft.queries.VectorQueries.ivfBuild(spark, sfDir, idx)
+      val midx = graft.queries.TextQueries.minhashIndexPath(sfDir)
+      if (!new java.io.File(s"$midx/signatures/_SUCCESS").exists())
+        graft.queries.TextQueries.minhashBuild(spark, sfDir, midx)
     } catch { case _: Throwable => () }
     // Local-iteration filter: SPARK_GRAFT_ONLY=qe4b_...,q22_... runs a
     // subset. Unset (the driver's invocation) → full suite.

@@ -218,6 +218,87 @@ object TextQueries {
       |             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS u
       |      FROM documents)""".stripMargin
 
+  // --------------------------------------------------------------- qd10
+  /** Corpus-prep pipeline composition: the end-to-end pretraining
+    * data-prep flow a user would actually run, built from the qd2/qd3/
+    * qd4/qd1 pieces in one DataFrame chain —
+    *   1. language-ID (stopword argmax) → drop 'unknown';
+    *   2. quality score (char-class ratios + length norm) → keep ≥ 0.75;
+    *   3. token-count bounds (5 ≤ n_tokens ≤ 10000);
+    *   4. exact dedup among the survivors (md5 canonical, keep min id).
+    * One map-side pass computes every per-doc feature (no joins between
+    * the stages — they are projections over the same row), then a single
+    * hash-shuffle for the dedup window: at 100 TB this is one scan + one
+    * exchange. Oracle: the same composition in DuckDB SQL.
+    */
+  def qd10(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val base = docs(s, dir).withColumn("toks", tokens(col("text")))
+    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", langScore(col("toks"), words))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _) && col(s"s_$l") > 0
+      acc.when(isMax, l)
+    }.otherwise("unknown")
+    val filtered = scored
+      .withColumn("pred_lang", pred)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", dround(alpha / n, 6))
+      .withColumn("digit_ratio", dround(digit / n, 6))
+      .withColumn("len_norm", dround(least(n / lit(500.0), lit(1.0)), 6))
+      .withColumn("quality_score",
+        dround(col("alpha_ratio") * 0.5 + (lit(1.0) - col("digit_ratio")) * 0.2
+          + col("len_norm") * 0.3, 6))
+      .filter(col("pred_lang") =!= "unknown" &&
+        col("quality_score") >= 0.75 &&
+        col("n_tokens").between(5, 10000))
+    val w = Window.partitionBy(md5(col("text")))
+    filtered
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .filter(col("keep"))
+      .select("doc_id", "pred_lang", "n_tokens", "quality_score")
+  }
+
+  private val qd10Sql = {
+    val langs = stopwords.map(_._1)
+    val scoreExprs = stopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS s_$lang"
+    }
+    val arms = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'"
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CASE ${arms.mkString(" ")} ELSE 'unknown' END AS pred_lang,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    round(alpha_ratio * 0.5 + (1.0 - digit_ratio) * 0.2
+       |          + len_norm * 0.3, 6) AS quality_score
+       |  FROM (
+       |    SELECT doc_id, text, toks, ${scoreExprs.mkString(", ")},
+       |      round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |            / length(text), 6) AS alpha_ratio,
+       |      round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |            / length(text), 6) AS digit_ratio,
+       |      round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) AS len_norm
+       |    FROM (SELECT doc_id, text,
+       |                 regexp_split_to_array(trim(text), '\\s+') AS toks
+       |          FROM documents))
+       |  WHERE pred_lang <> 'unknown' AND quality_score >= 0.75
+       |    AND n_tokens BETWEEN 5 AND 10000)
+       |SELECT doc_id, pred_lang, n_tokens, quality_score FROM (
+       |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |  FROM f)
+       |WHERE keep""".stripMargin
+  }
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -353,6 +434,60 @@ object TextQueries {
       .na.fill(0L, Seq("n_candidates", "n_near_dups"))
   }
 
+  // --------------------------------------------------------------- qd6b
+  /** MinHash-LSH dedup over a PERSISTED signature index (the qe5b
+    * pattern applied to text dedup): at corpus scale the signatures +
+    * band hashes are an offline artifact — the probe never re-reads or
+    * re-shingles the documents. Verification is SIGNATURE-estimated
+    * Jaccard (matching minhash components / k), the standard index-only
+    * verify: E[est] = J exactly, and at k = 64 a deviation > 0.25 has
+    * probability < 2e⁻⁴ per pair (Hoeffding) — tested against the exact
+    * gram Jaccard on every candidate pair. No SQL oracle (xxhash64);
+    * determinism + agreement with qd6's candidates asserted in tests.
+    */
+  def minhashIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_minhash_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def minhashBuild(s: SparkSession, dir: String, path: String): Unit =
+    qd6Sig(s, dir).select("doc_id", "sig", "bands")
+      .write.mode("overwrite").parquet(s"$path/signatures")
+
+  def qd6b(s: SparkSession, dir: String): DataFrame = {
+    val path = minhashIndexPath(dir)
+    if (!new java.io.File(s"$path/signatures/_SUCCESS").exists())
+      minhashBuild(s, dir, path)
+    val idx = s.read.parquet(s"$path/signatures")
+    val exploded = idx.select(
+      col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = idx.select(col("doc_id"), col("sig"))
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .withColumn("jac_est",
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / size(col("sa")))
+    val perDoc = est
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("jac_est")),
+        struct(col("doc_b").as("doc_id"), col("jac_est")))).as("x"))
+      .select("x.*")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac_est") >= 0.5, 1).otherwise(0)).as("n_near_dups"))
+    idx.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
+  }
+
   // ---------------------------------------------------------------- qd7
   /** SimHash fingerprint + banded Hamming near-dup count (no SQL oracle).
     * Explode tokens → xxhash64 per token → per-bit signed vote sums →
@@ -435,9 +570,11 @@ object TextQueries {
     "qd4_quality_score" -> (qd4 _),
     "qd5_fingerprint" -> (qd5 _),
     "qd6_minhash_lsh" -> (qd6 _),
+    "qd6b_minhash_probe" -> (qd6b _),
     "qd7_simhash" -> (qd7 _),
     "qd8_ngram_jaccard" -> (qd8 _),
     "qd9_subword_tokens" -> (qd9 _),
+    "qd10_corpus_prep" -> (qd10 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -448,6 +585,7 @@ object TextQueries {
     "qd5_fingerprint" -> qd5Sql,
     "qd8_ngram_jaccard" -> qd8Sql,
     "qd9_subword_tokens" -> qd9Sql,
+    "qd10_corpus_prep" -> qd10Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )

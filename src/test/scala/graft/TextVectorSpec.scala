@@ -71,6 +71,68 @@ class TextVectorSpec extends AnyFunSuite {
     assert(out.filter(col("n_near_dups") > col("n_candidates")).count() == 0)
   }
 
+  test("qd6b persisted-signature probe: same candidates as qd6, estimate tracks exact Jaccard") {
+    // fresh index build (delete any stale artifact first)
+    val path = queries.TextQueries.minhashIndexPath(sf)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(path))
+    val out = queries.TextQueries.qd6b(spark, sf).cache()
+    // candidate sets agree with the fused path (same signatures, same bands)
+    val exact6 = queries.TextQueries.qd6(spark, sf)
+      .select(col("doc_id"), col("n_candidates").as("nc_fused"))
+    val joined = out.join(exact6, Seq("doc_id"))
+    assert(joined.count() == out.count())
+    assert(joined.filter(col("n_candidates") =!= col("nc_fused")).count() == 0,
+      "index probe candidate counts diverge from the fused path")
+    // signature-estimated Jaccard within 0.25 of exact on every candidate pair
+    // (k=64 Hoeffding bound ~2e-4 per pair; deterministic data so this is stable)
+    val g = Tables.documents(spark, sf)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .filter(size(col("grams")) > 0)
+      .select("doc_id", "grams")
+    val idx = spark.read.parquet(s"$path/signatures")
+    val exploded = idx.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val pairs = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sigs = idx.select(col("doc_id"), col("sig"))
+    val cmp = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("est", aggregate(zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+        .cast("double") / size(col("sa")))
+      .withColumn("exact", jaccard(col("ga"), col("gb")))
+    assert(cmp.filter(abs(col("est") - col("exact")) > 0.25).count() == 0,
+      "signature estimate deviates > 0.25 from exact Jaccard")
+    // probe-only rerun is deterministic (index already built)
+    val again = queries.TextQueries.qd6b(spark, sf)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("qd10 corpus-prep pipeline: filters compose and survivors are deduped") {
+    val out = queries.TextQueries.qd10(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.count() > 0 && out.count() < docs,
+      "pipeline should keep a strict non-empty subset")
+    assert(out.filter(col("quality_score") < 0.75).count() == 0)
+    assert(out.filter(col("pred_lang") === "unknown").count() == 0)
+    assert(out.filter(!col("n_tokens").between(5, 10000)).count() == 0)
+    // survivors are md5-unique
+    val withText = out.join(Tables.documents(spark, sf), Seq("doc_id"))
+      .select(md5(col("text")).as("h"))
+    assert(withText.count() == withText.distinct().count(), "duplicates survived")
+    out.unpersist()
+  }
+
   test("simhash: near-dup hamming close, unrelated far; qd7 symmetric counts") {
     val tok = plantedDocs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
