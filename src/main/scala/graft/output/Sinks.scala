@@ -43,4 +43,27 @@ object Sinks {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Training-shard layout: exactly `numShards` parquet files with rows
+    * assigned by deterministic key hash (operators.Sampling.hashBucket)
+    * — the reproducible equivalent of "shuffle and shard" for training
+    * readers. Key-hash assignment (not round-robin/repartition(n)) so
+    * the shard membership of every row is a pure function of the data:
+    * re-running the pipeline on a differently-partitioned upstream
+    * yields byte-identical shard contents. Within-shard order is fixed
+    * by sorting on the key hash then key — deterministic but
+    * hash-scrambled, which is exactly the "pre-shuffled" property
+    * sequential training readers want.
+    */
+  def trainingShards(df: DataFrame, path: String, numShards: Int,
+      key: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val bucket = graft.operators.Sampling.hashBucket(col(key), numShards)
+    df.withColumn("_shard", bucket)
+      .repartition(numShards, col("_shard"))
+      .sortWithinPartitions(md5(col(key).cast("string")), col(key))
+      .write.mode("overwrite")
+      .partitionBy("_shard")
+      .parquet(path)
+  }
 }

@@ -299,6 +299,31 @@ object TextQueries {
        |WHERE keep""".stripMargin
   }
 
+  // --------------------------------------------------------------- qd11
+  /** Deterministic stratified hash sampling (operators.Sampling): the
+    * dataset-versioning-safe train-split / rebalancing shape — language
+    * rebalancing here (keep 30% of 'en', 10% of everything else),
+    * membership decided by md5(doc_id) alone so the sample is identical
+    * on any partitioning, any engine, any run (unlike df.sample's
+    * per-partition seeded draw). Pure map-side projection; the DuckDB
+    * oracle reproduces the md5-bucket arithmetic verbatim.
+    */
+  def qd11(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.operators.Sampling.stratifiedHashSample(
+      docs(s, dir), col("lang"), col("doc_id"),
+      Map("en" -> 0.3), defaultFraction = 0.1, buckets = 100)
+    sampled.select(col("doc_id"), col("lang"),
+      graft.operators.Sampling.hashBucket(col("doc_id"), 100).as("bucket"))
+  }
+
+  private val qd11Sql =
+    """SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -575,6 +600,7 @@ object TextQueries {
     "qd8_ngram_jaccard" -> (qd8 _),
     "qd9_subword_tokens" -> (qd9 _),
     "qd10_corpus_prep" -> (qd10 _),
+    "qd11_hash_sample" -> (qd11 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -586,6 +612,7 @@ object TextQueries {
     "qd8_ngram_jaccard" -> qd8Sql,
     "qd9_subword_tokens" -> qd9Sql,
     "qd10_corpus_prep" -> qd10Sql,
+    "qd11_hash_sample" -> qd11Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )

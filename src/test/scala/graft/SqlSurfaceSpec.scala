@@ -81,6 +81,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(agg(fromJson) == base, "jsonl-sourced aggregation diverges")
   }
 
+  test("training shards: deterministic key-hash assignment, multiset-preserving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    output.Sinks.trainingShards(docs, s"$dir/a", numShards = 8, key = "doc_id")
+    val back = spark.read.parquet(s"$dir/a")
+    assert(back.count() == docs.count())
+    assert(back.select("_shard").distinct().count() == 8)
+    // no row lost or duplicated
+    assert(back.drop("_shard").exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back.drop("_shard")).count() == 0)
+    // shard assignment is a pure function of the key: a second write from
+    // a differently-partitioned upstream yields identical shard contents
+    output.Sinks.trainingShards(docs.repartition(13), s"$dir/b",
+      numShards = 8, key = "doc_id")
+    val b = spark.read.parquet(s"$dir/b")
+    assert(back.exceptAll(b).count() == 0 && b.exceptAll(back).count() == 0,
+      "shard membership changed across upstream partitionings")
+  }
+
+  test("hash sampling: deterministic, partitioning-independent, near the target fraction") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.2)
+    val s2 = Sampling.hashSample(docs.repartition(17), col("doc_id"), 0.2)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0,
+      "hash sample must not depend on partitioning")
+    val frac = s1.count().toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"sampled fraction $frac far from 0.2")
+    // stratified: listed stratum denser than the default
+    val strat = Sampling.stratifiedHashSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5), defaultFraction = 0.05)
+    val en = strat.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    val rest = strat.filter(col("lang") =!= "en").count().toDouble /
+      docs.filter(col("lang") =!= "en").count()
+    assert(en > rest, s"stratified fractions not ordered: en=$en rest=$rest")
+  }
+
   test("xlsx sink escapes XML metacharacters and illegal sheet names") {
     import SparkSpecBase.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_esc").toString
@@ -99,6 +137,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val name = wb.getElementsByTagName("sheet").item(0)
       .getAttributes.getNamedItem("name").getNodeValue
     assert(!name.exists("[]:*?/\\".contains(_)), s"illegal sheet name: $name")
+    zf.close()
+  }
+
+  test("xlsx sink: control chars encoded, NaN/Inf as strings, colliding sheet names deduped") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_edge").toString
+    val path = s"$dir/edge.xlsx"
+    val df = Seq(
+      ("ctl\u0001chr\u001Fx", Double.NaN),
+      ("tab\tok", Double.PositiveInfinity),
+      ("plain", 2.5)).toDF("s", "v")
+    // two view names that collide after sanitization+truncation
+    val longA = "view:" + "x" * 30
+    val longB = "view*" + "x" * 30
+    output.ExcelSink.write(Seq(longA -> df, longB -> df), path)
+    val zf = new java.util.zip.ZipFile(path)
+    def parse(entry: String) =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry(entry)))
+    // DOM parse succeeding proves XML 1.0 well-formedness despite U+0001
+    val s1 = parse("xl/worksheets/sheet1.xml")
+    val texts = {
+      val ts = s1.getElementsByTagName("t")
+      (0 until ts.getLength).map(i => ts.item(i).getTextContent)
+    }
+    assert(texts.contains("ctl_x0001_chr_x001F_x"), s"control chars not encoded: $texts")
+    assert(texts.contains("tab\tok"), "tab must survive unencoded")
+    // NaN/Infinity became inline strings, not <v> numbers
+    val vs = {
+      val nl = s1.getElementsByTagName("v")
+      (0 until nl.getLength).map(i => nl.item(i).getTextContent)
+    }
+    assert(!vs.exists(v => v == "NaN" || v.contains("Infinity")),
+      s"invalid numeric cells: $vs")
+    assert(texts.contains("NaN") && texts.contains("Infinity"))
+    // sheet names distinct and <= 31 chars
+    val wb = parse("xl/workbook.xml")
+    val sheetNames = {
+      val nl = wb.getElementsByTagName("sheet")
+      (0 until nl.getLength).map(i =>
+        nl.item(i).getAttributes.getNamedItem("name").getNodeValue)
+    }
+    assert(sheetNames.distinct.size == 2, s"duplicate sheets: $sheetNames")
+    assert(sheetNames.forall(_.length <= 31))
     zf.close()
   }
 
