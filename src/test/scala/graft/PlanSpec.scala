@@ -94,4 +94,35 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan(queries.CoreQueries.q03(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("qd11 hash sampling is map-only: no Exchange, no shuffle") {
+    val p = finalPlan(queries.TextQueries.qd11(spark, sf))
+    assert(!p.contains("Exchange"),
+      "deterministic hash sampling must be a pure projection + filter")
+    assert(p.contains("*("), "sampling filter left whole-stage codegen")
+  }
+
+  test("qe4c stays free of nested-loop joins and its bucket expr is codegen'd") {
+    val df = queries.VectorQueries.qe4c(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // At sf0.001 no pair survives t=0.8, and AQE's empty-relation
+    // propagation rightly deletes the whole candidate subtree from the
+    // FINAL plan — so assert the native bucket expression on the full
+    // rendering (initial plan included): it must be the planned form,
+    // never the 64 KB-breaking literal-array HOF chain.
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("graft_lsh_buckets"), "native bucket expr missing from plan")
+  }
+
+  test("qd6b probe reads only the signature index, never the documents table") {
+    // ensure the index exists, then check the probe's scans
+    val path = queries.TextQueries.minhashIndexPath(sf)
+    if (!new java.io.File(s"$path/signatures/_SUCCESS").exists())
+      queries.TextQueries.minhashBuild(spark, sf, path)
+    val p = finalPlan(queries.TextQueries.qd6b(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      "index probe must not re-read or re-shingle the corpus")
+    assert(p.contains("signatures"), "probe should scan the persisted signatures")
+  }
 }
