@@ -44,4 +44,35 @@ object Sampling {
     }
     df.filter(hashBucket(key, buckets) < threshold)
   }
+
+  /** Deterministic dataset mixture: each source is replayed at its
+    * weight — floor(w) full epochs plus a hash-sampled partial epoch for
+    * the fraction (the standard corpus-mixing recipe for training runs,
+    * e.g. wiki×2.5 + web×0.3). The partial epoch's sample is salted
+    * with the epoch number, so which rows the fractional epoch keeps is
+    * independent of the full epochs — and everything is a pure function
+    * of (key, epoch): reproducible on any partitioning, no RNG state.
+    * Output carries `_source` and `_epoch` so readers can audit the mix.
+    * Schemas must match (unionByName); at scale this plans as a union
+    * of map-side-filtered scans — no shuffle.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)], key: String,
+      buckets: Int = 1000000): DataFrame = {
+    require(sources.nonEmpty, "mixture of zero sources")
+    val parts = sources.flatMap { case (name, df, w) =>
+      require(w >= 0, s"negative weight for $name")
+      val fullEpochs = math.floor(w).toInt
+      val frac = w - fullEpochs
+      val copies = (0 until fullEpochs).map(e =>
+        df.withColumn("_epoch", lit(e)))
+      val partial =
+        if (frac > 1e-12) {
+          val salted = concat(col(key).cast("string"), lit(s"#$fullEpochs"))
+          Seq(df.filter(hashBucket(salted, buckets) < (frac * buckets).toLong)
+            .withColumn("_epoch", lit(fullEpochs)))
+        } else Seq.empty
+      (copies ++ partial).map(_.withColumn("_source", lit(name)))
+    }
+    parts.reduce(_ unionByName _)
+  }
 }

@@ -324,6 +324,43 @@ object TextQueries {
       |  FROM documents)
       |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END""".stripMargin
 
+  // --------------------------------------------------------------- qd12
+  /** Corpus length-distribution report: token-count histogram (width-25
+    * buckets) with doc share and mean char length per bucket — the
+    * standard "what does this corpus look like" profile before
+    * filtering decisions (token bounds in qd10 were picked from exactly
+    * this view). Integer bucket arithmetic both sides; one partial-agg
+    * shuffle at any scale.
+    */
+  def qd12(s: SparkSession, dir: String): DataFrame = {
+    val binW = 25
+    val total = Window.partitionBy(lit(1))
+    docs(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("bucket_lo", (floor(col("n_tokens") / binW) * binW).cast("long"))
+      .groupBy("bucket_lo")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        dround(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
+      .withColumn("pct_docs",
+        dround(col("n_docs").cast("double") / sum("n_docs").over(total), 6))
+      .select("bucket_lo", "n_docs", "avg_chars", "pct_docs")
+  }
+
+  private val qd12Sql =
+    """WITH t AS (
+      |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |         n_chars
+      |  FROM documents),
+      |b AS (
+      |  SELECT CAST(floor(n_tokens / 25) * 25 AS BIGINT) AS bucket_lo,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+      |  FROM t GROUP BY 1)
+      |SELECT bucket_lo, n_docs, avg_chars,
+      |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS pct_docs
+      |FROM b""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -601,6 +638,7 @@ object TextQueries {
     "qd9_subword_tokens" -> (qd9 _),
     "qd10_corpus_prep" -> (qd10 _),
     "qd11_hash_sample" -> (qd11 _),
+    "qd12_token_histogram" -> (qd12 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,6 +651,7 @@ object TextQueries {
     "qd9_subword_tokens" -> qd9Sql,
     "qd10_corpus_prep" -> qd10Sql,
     "qd11_hash_sample" -> qd11Sql,
+    "qd12_token_histogram" -> qd12Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )

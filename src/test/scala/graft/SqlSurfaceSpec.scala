@@ -119,6 +119,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(en > rest, s"stratified fractions not ordered: en=$en rest=$rest")
   }
 
+  test("dataset mixture: weighted epochs, deterministic, auditable by _source/_epoch") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val en = docs.filter(col("lang") === "en")
+    val rest = docs.filter(col("lang") =!= "en")
+    val mixed = Sampling.mixture(
+      Seq(("en", en, 2.5), ("rest", rest, 0.4)), key = "doc_id").cache()
+    val nEn = en.count(); val nRest = rest.count()
+    // en appears in epochs 0,1 fully + a ~50% epoch 2; rest one ~40% epoch
+    assert(mixed.filter(col("_source") === "en" && col("_epoch") < 2).count() == 2 * nEn)
+    val part = mixed.filter(col("_source") === "en" && col("_epoch") === 2).count().toDouble / nEn
+    assert(part > 0.3 && part < 0.7, s"fractional epoch kept $part, wanted ~0.5")
+    val restFrac = mixed.filter(col("_source") === "rest").count().toDouble / nRest
+    assert(restFrac > 0.2 && restFrac < 0.6, s"rest fraction $restFrac, wanted ~0.4")
+    // pure function of (key, epoch): identical under different upstream partitioning
+    val again = Sampling.mixture(
+      Seq(("en", en.repartition(7), 2.5), ("rest", rest.repartition(3), 0.4)),
+      key = "doc_id")
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+    mixed.unpersist()
+  }
+
   test("xlsx sink escapes XML metacharacters and illegal sheet names") {
     import SparkSpecBase.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_esc").toString
