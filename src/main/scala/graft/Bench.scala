@@ -30,17 +30,31 @@ object Bench {
     // qe5b/qd6b probe PERSISTED indexes; the builds are the offline
     // stage, so materialize them outside the timed loop (no-op when
     // already built).
+    // independent try/catch per index: one failed build must not
+    // silently skip the other (the probe query would then pay its build
+    // inside the timed loop)
     try {
       val idx = graft.queries.VectorQueries.ivfIndexPath(sfDir)
-      if (!new java.io.File(s"$idx/assignments/_SUCCESS").exists())
+      if (graft.queries.TextQueries.indexStale(
+          s"$idx/assignments", s"$sfDir/embeddings.parquet"))
         graft.queries.VectorQueries.ivfBuild(spark, sfDir, idx)
+    } catch { case e: Throwable => System.err.println(s"[bench] ivf build failed: $e") }
+    try {
       val midx = graft.queries.TextQueries.minhashIndexPath(sfDir)
-      if (!new java.io.File(s"$midx/signatures/_SUCCESS").exists())
+      if (graft.queries.TextQueries.indexStale(
+          s"$midx/signatures", s"$sfDir/documents.parquet"))
         graft.queries.TextQueries.minhashBuild(spark, sfDir, midx)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable => System.err.println(s"[bench] minhash build failed: $e") }
     // Local-iteration filter: SPARK_GRAFT_ONLY=qe4b_...,q22_... runs a
-    // subset. Unset (the driver's invocation) → full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // subset. Unset (the driver's invocation) → full suite. Names are
+    // trimmed and validated so a typo fails loudly instead of silently
+    // benchmarking nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in the suite: $unknown")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

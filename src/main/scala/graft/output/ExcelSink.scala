@@ -167,10 +167,16 @@ object ExcelSink {
     val basic = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
+    // ECMA-376: a LITERAL _xHHHH_ sequence in the data must itself be
+    // escaped (underscore → _x005F_) or readers will decode it
+    val guarded =
+      if (basic.contains("_x"))
+        basic.replaceAll("_(?=[xX][0-9A-Fa-f]{4}_)", "_x005F_")
+      else basic
     // Control chars (except tab/LF/CR) are invalid even entity-escaped in
     // XML 1.0; encode them with the OOXML _xHHHH_ convention.
-    if (basic.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) basic
-    else basic.flatMap { c =>
+    if (guarded.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) guarded
+    else guarded.flatMap { c =>
       if (c >= 0x20 || c == '\t' || c == '\n' || c == '\r') c.toString
       else f"_x${c.toInt}%04X_"
     }

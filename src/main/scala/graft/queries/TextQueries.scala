@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,20 +74,33 @@ object TextQueries {
   /** Stopword-profile language ID: per-language exact token hit counts,
     * argmax with lexicographic tie-break, 'unknown' when all zero.
     */
-  def qd3(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).withColumn("toks", tokens(col("text")))
-    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
-      df.withColumn(s"s_$lang", langScore(col("toks"), words))
+  /** Adds the per-language s_<lang> stopword-hit columns (expects
+    * `toks`). Shared by qd3 and the qd10 pipeline so the language model
+    * has exactly one Scala definition (and the oracles carry the same
+    * SQL twice in lockstep).
+    */
+  private def withLangScores(df: DataFrame): DataFrame =
+    stopwords.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", langScore(col("toks"), words))
     }
+
+  /** Argmax language with lexicographic tie-break, 'unknown' when every
+    * profile scores zero (expects the s_<lang> columns).
+    */
+  private def langPred: Column = {
     val langs = stopwords.map(_._1)
-    val pred = langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
+    langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
       val isMax = langs.filter(_ != l)
         .map(o => col(s"s_$l") >= col(s"s_$o"))
         .reduce(_ && _) && col(s"s_$l") > 0
       acc.when(isMax, l)
     }.otherwise("unknown")
-    scored
-      .withColumn("pred_lang", pred)
+  }
+
+  def qd3(s: SparkSession, dir: String): DataFrame = {
+    val langs = stopwords.map(_._1)
+    withLangScores(docs(s, dir).withColumn("toks", tokens(col("text"))))
+      .withColumn("pred_lang", langPred)
       .withColumn("matches_label", col("pred_lang") === col("lang"))
       .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
         col("pred_lang") :+ col("matches_label"): _*)
@@ -119,12 +132,15 @@ object TextQueries {
     * score — the reference-free quality-filter shape used in pretraining
     * data pipelines.
     */
-  def qd4(s: SparkSession, dir: String): DataFrame = {
+  /** Adds alpha/space/digit ratios, len_norm and the weighted
+    * quality_score — one definition shared by qd4 and qd10.
+    */
+  private def withQuality(df: DataFrame): DataFrame = {
     val n = length(col("text")).cast("double")
     val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
     val space = (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).cast("double")
     val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
-    docs(s, dir)
+    df
       .withColumn("alpha_ratio", dround(alpha / n, 6))
       .withColumn("space_ratio", dround(space / n, 6))
       .withColumn("digit_ratio", dround(digit / n, 6))
@@ -132,9 +148,12 @@ object TextQueries {
       .withColumn("quality_score",
         dround(col("alpha_ratio") * 0.5 + (lit(1.0) - col("digit_ratio")) * 0.2
           + col("len_norm") * 0.3, 6))
+  }
+
+  def qd4(s: SparkSession, dir: String): DataFrame =
+    withQuality(docs(s, dir))
       .select("doc_id", "alpha_ratio", "space_ratio", "digit_ratio",
         "len_norm", "quality_score")
-  }
 
   private val qd4Sql =
     """SELECT doc_id, alpha_ratio, space_ratio, digit_ratio, len_norm,
@@ -232,29 +251,10 @@ object TextQueries {
     * exchange. Oracle: the same composition in DuckDB SQL.
     */
   def qd10(s: SparkSession, dir: String): DataFrame = {
-    val n = length(col("text")).cast("double")
-    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
-    val digit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
-    val base = docs(s, dir).withColumn("toks", tokens(col("text")))
-    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
-      df.withColumn(s"s_$lang", langScore(col("toks"), words))
-    }
-    val langs = stopwords.map(_._1)
-    val pred = langs.foldLeft(when(lit(false), "x")) { (acc, l) =>
-      val isMax = langs.filter(_ != l)
-        .map(o => col(s"s_$l") >= col(s"s_$o"))
-        .reduce(_ && _) && col(s"s_$l") > 0
-      acc.when(isMax, l)
-    }.otherwise("unknown")
-    val filtered = scored
-      .withColumn("pred_lang", pred)
+    val filtered = withQuality(
+      withLangScores(docs(s, dir).withColumn("toks", tokens(col("text")))))
+      .withColumn("pred_lang", langPred)
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("alpha_ratio", dround(alpha / n, 6))
-      .withColumn("digit_ratio", dround(digit / n, 6))
-      .withColumn("len_norm", dround(least(n / lit(500.0), lit(1.0)), 6))
-      .withColumn("quality_score",
-        dround(col("alpha_ratio") * 0.5 + (lit(1.0) - col("digit_ratio")) * 0.2
-          + col("len_norm") * 0.3, 6))
       .filter(col("pred_lang") =!= "unknown" &&
         col("quality_score") >= 0.75 &&
         col("n_tokens").between(5, 10000))
@@ -456,8 +456,16 @@ object TextQueries {
     * dragged both ~100-gram arrays through the distinct() exchange and
     * was 30× slower once the bench stopped letting count() prune it).
     */
-  def qd6CandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val exploded = qd6Sig(s, dir).select(
+  def qd6CandidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandCollisionPairs(qd6Sig(s, dir))
+
+  /** Shared candidate generator: band-collision pairs (doc_a < doc_b)
+    * from any (doc_id, bands) frame — the fused path feeds it the
+    * freshly-computed signatures, the index probe the persisted ones, so
+    * banding changes cannot diverge the two.
+    */
+  private def bandCollisionPairs(withBands: DataFrame): DataFrame = {
+    val exploded = withBands.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     exploded.as("a")
@@ -467,6 +475,23 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Shared aggregation tail: per-doc candidate/near-dup counts from
+    * scored pairs, one row per doc of `allDocs` (zero-filled).
+    */
+  private def perDocDupCounts(scored: DataFrame, score: Column,
+      allDocs: DataFrame): DataFrame = {
+    val perDoc = scored
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), score.as("s")),
+        struct(col("doc_b").as("doc_id"), score.as("s")))).as("x"))
+      .select("x.*")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("s") >= 0.5, 1).otherwise(0)).as("n_near_dups"))
+    allDocs.join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
   }
 
   def qd6(s: SparkSession, dir: String): DataFrame = {
@@ -483,17 +508,7 @@ object TextQueries {
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
         Seq("doc_b"))
       .withColumn("jac", jaccard(col("ga"), col("gb")))
-    val perDocCand = cand
-      .select(explode(array(
-        struct(col("doc_a").as("doc_id"), col("jac")),
-        struct(col("doc_b").as("doc_id"), col("jac")))).as("x"))
-      .select("x.*")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("jac") >= 0.5, 1).otherwise(0)).as("n_near_dups"))
-    sig.select("doc_id")
-      .join(perDocCand, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
+    perDocDupCounts(cand, col("jac"), sig.select("doc_id"))
   }
 
   // --------------------------------------------------------------- qd6b
@@ -516,19 +531,12 @@ object TextQueries {
 
   def qd6b(s: SparkSession, dir: String): DataFrame = {
     val path = minhashIndexPath(dir)
-    if (!new java.io.File(s"$path/signatures/_SUCCESS").exists())
+    // rebuild when absent OR stale: an index keyed only by dir path must
+    // not silently serve signatures of a replaced documents.parquet
+    if (indexStale(s"$path/signatures", s"$dir/documents.parquet"))
       minhashBuild(s, dir, path)
     val idx = s.read.parquet(s"$path/signatures")
-    val exploded = idx.select(
-      col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandCollisionPairs(idx)
     val sigs = idx.select(col("doc_id"), col("sig"))
     val est = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
@@ -537,17 +545,14 @@ object TextQueries {
         aggregate(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
           .cast("double") / size(col("sa")))
-    val perDoc = est
-      .select(explode(array(
-        struct(col("doc_a").as("doc_id"), col("jac_est")),
-        struct(col("doc_b").as("doc_id"), col("jac_est")))).as("x"))
-      .select("x.*")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("jac_est") >= 0.5, 1).otherwise(0)).as("n_near_dups"))
-    idx.select("doc_id")
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidates", "n_near_dups"))
+    perDocDupCounts(est, col("jac_est"), idx.select("doc_id"))
+  }
+
+  /** True when the index is missing or older than its source data. */
+  private[graft] def indexStale(indexDir: String, sourcePath: String): Boolean = {
+    val success = new java.io.File(s"$indexDir/_SUCCESS")
+    !success.exists() ||
+      success.lastModified() < new java.io.File(sourcePath).lastModified()
   }
 
   // ---------------------------------------------------------------- qd7

@@ -402,7 +402,9 @@ object VectorQueries {
 
   def qe5b(s: SparkSession, dir: String): DataFrame = {
     val path = ivfIndexPath(dir)
-    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+    // rebuild when absent OR older than the source embeddings (stale
+    // /tmp artifact must not survive a testdata swap)
+    if (TextQueries.indexStale(s"$path/assignments", s"$dir/embeddings.parquet"))
       ivfBuild(s, dir, path)
     ivfProbe(s.read.parquet(s"$path/assignments"),
       s.read.parquet(s"$path/centroids"))
