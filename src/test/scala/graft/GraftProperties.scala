@@ -191,6 +191,39 @@ object GraftProperties extends Properties("graft") {
       r.getSeq[String](0) == r.getSeq[String](1)
     }
 
+  property("hash sampling: monotone in fraction, null-keys never dropped, union = whole at f=1") =
+    forAll(Gen.listOf(Gen.option(Gen.chooseNum(0L, 100000L))),
+      Gen.chooseNum(0.1, 0.9)) { (keys, f) =>
+      keys.isEmpty || {
+        val df = keys.toDF("k")
+        val small = operators.Sampling.hashSample(df, col("k"), f * 0.5)
+        val big = operators.Sampling.hashSample(df, col("k"), f)
+        val all = operators.Sampling.hashSample(df, col("k"), 1.0)
+        // smaller fraction is a subset of the larger (same hash, lower cut)
+        small.exceptAll(big).count() == 0 &&
+          // f=1.0 keeps EVERY row — including null keys (sentinel-hashed)
+          all.count() == keys.size
+      }
+    }
+
+  property("mixture epochs partition the weight: counts per epoch match floor/frac semantics") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct),
+      Gen.chooseNum(0.0, 3.0)) { (keys, w) =>
+      keys.isEmpty || {
+        val df = keys.toDF("doc_id")
+        val mixed = operators.Sampling.mixture(Seq(("src", df, w)), "doc_id")
+        val full = math.floor(w).toInt
+        val byEpoch = mixed.groupBy("_epoch").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // each full epoch replays every key exactly once
+        (0 until full).forall(e => byEpoch.getOrElse(e, 0L) == keys.size) &&
+          // the fractional epoch (if any) keeps a subset, never more
+          byEpoch.getOrElse(full, 0L) <= keys.size &&
+          // nothing beyond the fractional epoch
+          byEpoch.keys.forall(_ <= full)
+      }
+    }
+
   property("native LSH band buckets equal the literal-plane HOF formulation") = {
     functions.VectorFunctions.registerNative(spark)
     // small bands·r so the HOF form stays under janino's method limit —
