@@ -442,12 +442,23 @@ object TextQueries {
     * Emits one row per doc so the result is stable on dup-free corpora.
     */
   private def qd6Sig(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+    signaturesOf(docs(s, dir)).select("doc_id", "grams", "sig", "bands")
+
+  /** MinHash signatures + band hashes for any frame with (doc_id, text)
+    * — ONE definition of the signature parameters (3-grams, k=64,
+    * 16×4 bands) shared by qd6, qd6b's index build and the streaming
+    * incremental dedup, so they can never drift.
+    */
+  private[graft] def signaturesOf(d: DataFrame): DataFrame =
+    d.withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
       .filter(size(col("grams")) > 0)
       .withColumn("sig", minhashSignature(col("grams"), 64))
       .withColumn("bands", bandHashes(col("sig"), 16, 4))
-      .select("doc_id", "grams", "sig", "bands")
+
+  /** Signature-estimated Jaccard between two sig columns. */
+  private[graft] def sigEstimate(sa: Column, sb: Column): Column =
+    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, x) => a + x).cast("double") / size(sa)
 
   /** MinHash band-collision candidate pairs (doc_a < doc_b), ids only —
     * exposed for the recall measurement (RECALL.json). The posting list
@@ -541,10 +552,7 @@ object TextQueries {
     val est = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
-      .withColumn("jac_est",
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
-          .cast("double") / size(col("sa")))
+      .withColumn("jac_est", sigEstimate(col("sa"), col("sb")))
     perDocDupCounts(est, col("jac_est"), idx.select("doc_id"))
   }
 

@@ -171,6 +171,71 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"restart must restore dedup state exactly-once (got $ids)")
   }
 
+  test("incremental streaming dedup: catches dups across AND within microbatches") {
+    import spark.implicits._
+    import graft.streaming.TextStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("spark", "scan", "join", "agg", "window", "shuffle",
+      "batch", "column", "row", "key", "hash", "sort", "merge", "scanline")
+    def doc(id: Long) =
+      (id, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en", "src", 0L)
+    val originals = (1L to 10L).map(doc)
+    def mutate(t: String) = { // light mutation: a near-dup, not a copy
+      val w = t.split(" "); (w.take(29) :+ "MUTANT").++(w.drop(30)).mkString(" ")
+    }
+    // batch 1: originals + one WITHIN-batch exact dup (id 50 copies id 1)
+    val b1 = (originals :+ (50L, originals.head._2, "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 2: two CROSS-batch near-dups of batch-1 docs + one fresh doc
+    val b2 = Seq(
+      (101L, mutate(originals.head._2), "en", "src", 0L),
+      (102L, mutate(originals(4)._2), "en", "src", 0L),
+      (103L, Seq.fill(60)("fresh").mkString(" "), "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TextStreaming.processBatch(spark, b1, idx, out)
+    TextStreaming.processBatch(spark, b2, idx, out)
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(verdicts.size == 14, "one verdict per ingested doc")
+    assert(verdicts(50L) == Some(1L), "within-batch exact dup must point at the canonical")
+    assert(verdicts(101L) == Some(1L), "cross-batch near-dup of doc 1 missed")
+    assert(verdicts(102L) == Some(5L), "cross-batch near-dup of doc 5 missed")
+    assert(verdicts(103L).isEmpty && verdicts(1L).isEmpty,
+      "fresh/canonical docs must not be flagged")
+    // the index grew with both batches
+    assert(spark.read.parquet(s"$idx/signatures").count() == 14)
+  }
+
+  test("streaming dedup end-to-end via the file source and foreachBatch") {
+    import graft.streaming.TextStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup2").toString
+    val q = TextStreaming.start(spark,
+      TextStreaming.readDocs(spark, "/root/testdata/sf0.001"),
+      s"$root/index", s"$root/out", s"$root/ckpt")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/out").cache()
+    // one verdict per doc with a non-empty gram set (the signature
+    // pipeline's domain), keep-first semantics: dup_of always smaller
+    assert(out.count() ==
+      queries.TextQueries.qd6b(spark, "/root/testdata/sf0.001").count())
+    assert(out.filter(col("dup_of") >= col("doc_id")).count() == 0)
+    // agreement with the batch est-based twin (qd6b, same signatures):
+    // every flagged doc is a qd6b near-dup member, and every dup clique
+    // of size k yields k-1 flagged docs, so flagged >= members/2
+    val flagged = out.filter(col("dup_of").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val members = queries.TextQueries.qd6b(spark, "/root/testdata/sf0.001")
+      .filter(col("n_near_dups") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "sf0.001 has planted near-dup pairs; none found")
+    assert(flagged.subsetOf(members), "streaming flagged a doc qd6b does not")
+    assert(flagged.size * 2 >= members.size,
+      s"flagged ${flagged.size} vs ${members.size} members: too few for keep-first")
+    out.unpersist()
+  }
+
   test("multimodal feature extraction: schema + deterministic stub decode") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(spark, media)
