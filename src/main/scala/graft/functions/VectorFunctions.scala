@@ -73,6 +73,22 @@ object VectorFunctions {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
   }
 
+  /** Symmetric int8 quantization scale: max|x| / 127 — the 4×-smaller
+    * storage layout for corpus-scale embedding stores.
+    */
+  def quantScale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / lit(127.0)
+
+  /** Quantized components floor(x/s + 0.5) ∈ [-127, 127], kept as
+    * array<double> of exact integers so the native dot product applies
+    * and every downstream sum is exact (≤ dim·127² ≪ 2⁵³) — which is
+    * what makes quantized similarity bit-reproducible across engines.
+    * In cosine the scale cancels, so similarity needs only these
+    * integer vectors.
+    */
+  def quantize8(vec: Column, scale: Column): Column =
+    transform(vec, x => floor(x / scale + lit(0.5)).cast("long").cast("double"))
+
   /** Sign-LSH bucket id: one bit per hyperplane (dot(v, plane) > 0). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

@@ -325,6 +325,57 @@ object VectorQueries {
       .distinct()
   }
 
+  // ---------------------------------------------------------------- qe6
+  /** Quantized top-k: brute-force cosine over int8-quantized embeddings
+    * — the 4×-compressed storage layout a 100 TB embedding store
+    * actually serves from (FAISS SQ8 / product-quantization-lite).
+    * Scale cancels in cosine, so similarity is pure integer arithmetic
+    * (dots ≤ 64·127² — exact in doubles on any engine), which is why
+    * this APPROXIMATE representation still hash-matches a DuckDB oracle
+    * exactly: the quantization error is deterministic, not random.
+    * Accuracy vs the float path is asserted in tests (max |Δcos| and
+    * top-5 recall vs qe1).
+    */
+  def qe6(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("qscale", quantScale(col("vec")))
+      .withColumn("qv", quantize8(col("vec"), col("qscale")))
+      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+      .select("vec_id", "qv", "qnrm")
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qnrm").as("qqnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qcosine",
+        dround(dot(col("qqv"), col("qv")) / (col("qqnrm") * col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qcosine"), col("rnk"))
+  }
+
+  private val qe6Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(vec, x -> CAST(CAST(floor(
+       |      x / (list_max(list_transform(vec, y -> abs(y))) / 127.0) + 0.5)
+       |      AS BIGINT) AS DOUBLE)) AS qv
+       |  FROM e),
+       |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm FROM qz),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         round(list_dot_product(a.qv, b.qv) / (a.qnrm * b.qnrm), 6) AS qcosine
+       |  FROM n a, n b
+       |  WHERE a.vec_id < $NQUERIES AND b.vec_id <> a.vec_id)
+       |SELECT query_id, neighbor_id, qcosine, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM p)
+       |WHERE rnk <= $K""".stripMargin
+
   // ---------------------------------------------------------------- qe5
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
     * into nlist inverted lists; queries probe the nprobe nearest
@@ -419,6 +470,7 @@ object VectorQueries {
     "qe4c_embedding_dedup_lsh_t08" -> (qe4c _),
     "qe5_ann_ivf" -> (qe5 _),
     "qe5b_ann_ivf_probe" -> (qe5b _),
+    "qe6_quantized_topk" -> (qe6 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,6 +485,7 @@ object VectorQueries {
     // agreement checked is the no-dup contract, with planted-duplicate
     // power asserted in TextVectorSpec.
     "qe4c_embedding_dedup_lsh_t08" -> qe4SqlAt("0.8"),
+    "qe6_quantized_topk" -> qe6Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -263,6 +263,25 @@ class TextVectorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qe6 int8-quantized top-k: small cosine error, high recall vs the float path") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = queries.VectorQueries.qe1(spark, sf01)
+    val quant = queries.VectorQueries.qe6(spark, sf01)
+    // per-(query, neighbor) cosine error on the exact top-5 pairs:
+    // int8 symmetric quantization of 64-dim unit-ish vectors keeps
+    // |Δcos| well under 0.05
+    val joined = exact.join(quant, Seq("query_id", "neighbor_id"))
+      .withColumn("err", abs(col("cosine") - col("qcosine")))
+    val maxErr = joined.agg(max("err")).collect()(0).getDouble(0)
+    assert(maxErr < 0.05, s"quantization cosine error $maxErr too large")
+    // recall@5 of the quantized ranking vs the float ranking
+    val n = exact.count()
+    val hit = exact.select("query_id", "neighbor_id")
+      .join(quant.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hit.toDouble / n >= 0.8, s"quantized recall ${hit.toDouble / n} < 0.8")
+  }
+
   test("IVF ANN (qe5): cosines exact for shared pairs, reasonable recall vs brute force") {
     val ivf = queries.VectorQueries.qe5(spark, sf)
     val exact = queries.VectorQueries.qe1(spark, sf)
