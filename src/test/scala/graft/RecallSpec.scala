@@ -83,6 +83,14 @@ class RecallSpec extends AnyFunSuite {
     record("qd7_simhash", hit.toDouble / n, 0.99, "exact all-pairs Hamming <= 6")
   }
 
+  test("qe6 int8-quantized top-k recall@5 vs exact float top-k") {
+    val exact = queries.VectorQueries.qe1(spark, sf).select("query_id", "neighbor_id")
+    val quant = queries.VectorQueries.qe6(spark, sf).select("query_id", "neighbor_id")
+    val n = exact.count()
+    val hit = exact.join(quant, Seq("query_id", "neighbor_id"), "left_semi").count()
+    record("qe6_quantized_topk", hit.toDouble / n, 0.8, "qe1 exact top-5, int8 SQ")
+  }
+
   test("write RECALL.json artifact") {
     val body = results.map { case (k, (r, f, vs)) =>
       f""""$k": {"recall": $r%.4f, "floor": $f%.2f, "exact_twin": "$vs"}"""
@@ -90,6 +98,6 @@ class RecallSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/RECALL.json"),
       s"""{\n  "sf": "$sf",\n  $body\n}\n""")
-    assert(results.size == 5, "all five recall measurements recorded")
+    assert(results.size == 6, "all six recall measurements recorded")
   }
 }
