@@ -361,6 +361,57 @@ object TextQueries {
       |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS pct_docs
       |FROM b""".stripMargin
 
+  // --------------------------------------------------------------- qd13
+  /** Benchmark decontamination: flag training docs that share any word
+    * 5-gram with an evaluation set — the standard pretraining hygiene
+    * step (eval contamination leaks test answers into training data).
+    * The demo eval set is the deterministic doc_id % 50 == 0 slice;
+    * in production it is the benchmark suite. Shape: distinct grams
+    * both sides → inverted-index equi-join on the gram → per-doc
+    * distinct-hit count. At 100 TB the gram strings become xxhash64
+    * keys (same join, 8-byte keys) and the eval side (tiny) broadcasts;
+    * here the strings stay so DuckDB can replicate verbatim.
+    */
+  def qd13(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 5)))
+      .select("doc_id", "grams")
+    val evalGrams = g.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = g.filter(col("doc_id") % 50 =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  private val qd13Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3),
+      |           i -> array_to_string(t[i:i+4], ' '))
+      |    ELSE [] END) AS grams
+      |  FROM toks),
+      |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+      |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT cg.doc_id, count(*) AS n_shared
+      |  FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id)
+      |SELECT g.doc_id,
+      |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+      |  coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+      |WHERE g.doc_id % 50 <> 0""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -652,6 +703,7 @@ object TextQueries {
     "qd10_corpus_prep" -> (qd10 _),
     "qd11_hash_sample" -> (qd11 _),
     "qd12_token_histogram" -> (qd12 _),
+    "qd13_decontamination" -> (qd13 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -665,6 +717,7 @@ object TextQueries {
     "qd10_corpus_prep" -> qd10Sql,
     "qd11_hash_sample" -> qd11Sql,
     "qd12_token_histogram" -> qd12Sql,
+    "qd13_decontamination" -> qd13Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )
