@@ -412,6 +412,45 @@ object TextQueries {
       |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
       |WHERE g.doc_id % 50 <> 0""".stripMargin
 
+  // --------------------------------------------------------------- qd14
+  /** PII / URL scrubbing: redact emails and URLs from text — the
+    * pretraining privacy-hygiene transform. The corpus has no natural
+    * PII, so the query derives a deterministic dirty column (text +
+    * synthetic contact suffix keyed by doc_id) and scrubs THAT — the
+    * oracle replicates the derivation, so the regex parity (Java vs
+    * RE2: ASCII classes only, per the determinism rules) is exercised
+    * on every row, not vacuously. Map-only projection at any scale.
+    */
+  def qd14(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    docs(s, dir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or http://host/p/"),
+        col("doc_id")))
+      .withColumn("n_emails", size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all(col("dirty"), lit(urlRe), lit(0))))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          urlRe, "<URL>"))
+      .select("doc_id", "n_emails", "n_urls", "clean")
+  }
+
+  private val qd14Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(dirty,
+      |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+      | CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS INT) AS n_urls,
+      | regexp_replace(
+      |   regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+      |     '<EMAIL>', 'g'),
+      |   'https?://[^\s]+', '<URL>', 'g') AS clean
+      |FROM (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or http://host/p/'
+      |         || doc_id AS dirty
+      |  FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -704,6 +743,7 @@ object TextQueries {
     "qd11_hash_sample" -> (qd11 _),
     "qd12_token_histogram" -> (qd12 _),
     "qd13_decontamination" -> (qd13 _),
+    "qd14_pii_scrub" -> (qd14 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -718,6 +758,7 @@ object TextQueries {
     "qd11_hash_sample" -> qd11Sql,
     "qd12_token_histogram" -> qd12Sql,
     "qd13_decontamination" -> qd13Sql,
+    "qd14_pii_scrub" -> qd14Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )
