@@ -451,6 +451,45 @@ object TextQueries {
       |         || doc_id AS dirty
       |  FROM documents)""".stripMargin
 
+  // --------------------------------------------------------------- qd15
+  /** Sequence-packing assignment: docs are greedily packed into
+    * fixed-token-budget training sequences (budget 512 whitespace
+    * tokens here) WITHIN their source shard — the standard
+    * pack-to-context-length step before tokenized training output.
+    * pack_id = floor(exclusive-prefix-sum(n_tokens) / budget): a doc
+    * lands in the pack where its first token falls (simple greedy —
+    * docs longer than the budget span packs and overflow into the
+    * next, like token-level packing does). Window partitioned by the
+    * shard key, ordered by doc_id: integer arithmetic end-to-end, and
+    * no global window — parallelism is per shard, the same layout the
+    * training writer shards by.
+    */
+  def qd15(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("tok_start", coalesce(sum("n_tokens").over(w), lit(0)).cast("long"))
+      .withColumn("pack_id", floor(col("tok_start") / budget).cast("long"))
+      .select("doc_id", "source", "n_tokens", "tok_start", "pack_id")
+  }
+
+  private val qd15Sql =
+    """SELECT doc_id, source, n_tokens,
+      | CAST(coalesce(sum(n_tokens) OVER (
+      |   PARTITION BY source ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |   AS tok_start,
+      | CAST(floor(coalesce(sum(n_tokens) OVER (
+      |   PARTITION BY source ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+      |   AS pack_id
+      |FROM (SELECT doc_id, source,
+      |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+      |               AS n_tokens
+      |      FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -744,6 +783,7 @@ object TextQueries {
     "qd12_token_histogram" -> (qd12 _),
     "qd13_decontamination" -> (qd13 _),
     "qd14_pii_scrub" -> (qd14 _),
+    "qd15_sequence_pack" -> (qd15 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -759,6 +799,7 @@ object TextQueries {
     "qd12_token_histogram" -> qd12Sql,
     "qd13_decontamination" -> qd13Sql,
     "qd14_pii_scrub" -> qd14Sql,
+    "qd15_sequence_pack" -> qd15Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )
