@@ -490,6 +490,46 @@ object TextQueries {
       |               AS n_tokens
       |      FROM documents)""".stripMargin
 
+  // --------------------------------------------------------------- qd16
+  /** Intra-document repetition metric (the Gopher-rules repetition
+    * filter): fraction of word-3-gram occurrences that are repeats of
+    * an earlier gram in the same doc — high values mean degenerate /
+    * templated text. Pure projection (map-only at any scale); docs
+    * above the 0.2 repetition threshold are flagged.
+    */
+  def qd16(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("grams", wordGrams(tokens(col("text")), 3))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          dround(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .withColumn("flagged", col("rep_ratio") > 0.2)
+  }
+
+  private val qd16Sql =
+    """SELECT doc_id, n_grams, n_distinct,
+      | CASE WHEN n_grams > 0
+      |   THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+      |   ELSE 0.0 END AS rep_ratio,
+      | (CASE WHEN n_grams > 0
+      |   THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+      |   ELSE 0.0 END) > 0.2 AS flagged
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(grams) AS INT) AS n_grams,
+      |    CAST(len(list_distinct(grams)) AS INT) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id, CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END AS grams
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |          FROM documents)))""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -784,6 +824,7 @@ object TextQueries {
     "qd13_decontamination" -> (qd13 _),
     "qd14_pii_scrub" -> (qd14 _),
     "qd15_sequence_pack" -> (qd15 _),
+    "qd16_repetition" -> (qd16 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -800,6 +841,7 @@ object TextQueries {
     "qd13_decontamination" -> qd13Sql,
     "qd14_pii_scrub" -> qd14Sql,
     "qd15_sequence_pack" -> qd15Sql,
+    "qd16_repetition" -> qd16Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )
