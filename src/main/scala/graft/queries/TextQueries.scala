@@ -463,6 +463,14 @@ object TextQueries {
     * shard key, ordered by doc_id: integer arithmetic end-to-end, and
     * no global window — parallelism is per shard, the same layout the
     * training writer shards by.
+    *
+    * Scale ceiling, named: `source` has ~20 values in this corpus, so
+    * at 100 TB the window key must be the TRAINING shard, not the
+    * crawl source — substitute `Sampling.hashBucket(doc_id, numShards)`
+    * (or a (source, sub_shard) composite) with numShards sized to the
+    * cluster; the md5-bucket key keeps the same cross-engine
+    * reproducibility as qd11's oracle. Packing semantics only need a
+    * deterministic grouping, so the key swap is free.
     */
   def qd15(s: SparkSession, dir: String): DataFrame = {
     val budget = 512
