@@ -87,7 +87,11 @@ object VectorFunctions {
     * integer vectors.
     */
   def quantize8(vec: Column, scale: Column): Column =
-    transform(vec, x => floor(x / scale + lit(0.5)).cast("long").cast("double"))
+    // scale 0 (all-zero vector) would give 0/0 = NaN components;
+    // quantize to exact zeros instead so downstream norms are 0, not
+    // NaN, and the degenerate case stays engine-agnostic
+    when(scale === 0.0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x => floor(x / scale + lit(0.5)).cast("long").cast("double")))
 
   /** Sign-LSH bucket id: one bit per hyperplane (dot(v, plane) > 0). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =

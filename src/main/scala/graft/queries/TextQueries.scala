@@ -423,7 +423,10 @@ object TextQueries {
     */
   def qd14(s: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val urlRe = "https?://[^\\s]+"
+    // whitespace class spelled out: Java's \s includes \x0B, RE2's does
+    // not — a URL followed by a vertical tab would scrub differently on
+    // the two engines (the determinism rules' Java-vs-RE2 drift class)
+    val urlRe = "https?://[^ \\t\\n\\r\\f]+"
     docs(s, dir)
       .withColumn("dirty", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or http://host/p/"),
@@ -440,11 +443,11 @@ object TextQueries {
     """SELECT doc_id,
       | CAST(len(regexp_extract_all(dirty,
       |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
-      | CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS INT) AS n_urls,
+      | CAST(len(regexp_extract_all(dirty, 'https?://[^ \t\n\r\f]+')) AS INT) AS n_urls,
       | regexp_replace(
       |   regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
       |     '<EMAIL>', 'g'),
-      |   'https?://[^\s]+', '<URL>', 'g') AS clean
+      |   'https?://[^ \t\n\r\f]+', '<URL>', 'g') AS clean
       |FROM (
       |  SELECT doc_id,
       |    text || ' contact user' || doc_id || '@example.com or http://host/p/'
@@ -649,10 +652,11 @@ object TextQueries {
 
   /** Shared candidate generator: band-collision pairs (doc_a < doc_b)
     * from any (doc_id, bands) frame — the fused path feeds it the
-    * freshly-computed signatures, the index probe the persisted ones, so
-    * banding changes cannot diverge the two.
+    * freshly-computed signatures, the index probe the persisted ones,
+    * and TextStreaming its per-batch signatures, so banding changes
+    * cannot diverge the three.
     */
-  private def bandCollisionPairs(withBands: DataFrame): DataFrame = {
+  private[graft] def bandCollisionPairs(withBands: DataFrame): DataFrame = {
     val exploded = withBands.select(
       col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

@@ -345,8 +345,12 @@ object VectorQueries {
     val q = e.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qnrm").as("qqnrm"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      // zero-norm guard: an all-zero vector quantizes to qnrm 0 and
+      // 0/0 = NaN, whose SORT position differs between engines — pin
+      // the degenerate case to cosine 0 on both sides
       .withColumn("qcosine",
-        dround(dot(col("qqv"), col("qv")) / (col("qqnrm") * col("qnrm")), 6))
+        when(col("qqnrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+          .otherwise(dround(dot(col("qqv"), col("qv")) / (col("qqnrm") * col("qnrm")), 6)))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qcosine").desc, col("vec_id").asc)))
       .filter(col("rnk") <= K)
@@ -360,14 +364,18 @@ object VectorQueries {
        |  FROM embeddings),
        |qz AS (
        |  SELECT vec_id,
-       |    list_transform(vec, x -> CAST(CAST(floor(
-       |      x / (list_max(list_transform(vec, y -> abs(y))) / 127.0) + 0.5)
-       |      AS BIGINT) AS DOUBLE)) AS qv
+       |    CASE WHEN list_max(list_transform(vec, y -> abs(y))) = 0
+       |      THEN list_transform(vec, x -> CAST(0.0 AS DOUBLE))
+       |      ELSE list_transform(vec, x -> CAST(CAST(floor(
+       |        x / (list_max(list_transform(vec, y -> abs(y))) / 127.0) + 0.5)
+       |        AS BIGINT) AS DOUBLE)) END AS qv
        |  FROM e),
        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm FROM qz),
        |p AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |         round(list_dot_product(a.qv, b.qv) / (a.qnrm * b.qnrm), 6) AS qcosine
+       |         CASE WHEN a.qnrm = 0 OR b.qnrm = 0 THEN 0.0
+       |           ELSE round(list_dot_product(a.qv, b.qv) / (a.qnrm * b.qnrm), 6)
+       |         END AS qcosine
        |  FROM n a, n b
        |  WHERE a.vec_id < $NQUERIES AND b.vec_id <> a.vec_id)
        |SELECT query_id, neighbor_id, qcosine, rnk FROM (

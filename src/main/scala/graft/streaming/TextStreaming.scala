@@ -41,10 +41,19 @@ object TextStreaming {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(s"$dir/documents.parque[t]")
 
-  /** Process one microbatch: verdicts appended to `outPath`
-    * (doc_id, dup_of nullable, jac_est nullable), signatures appended
-    * to `indexPath/signatures`. Exposed so tests can drive batches
-    * directly; `start` wires it into foreachBatch.
+  /** Process one microbatch: verdicts written to
+    * `outPath/batch=<id>/` (doc_id, dup_of nullable, jac_est
+    * nullable), signatures to `indexPath/signatures/batch=<id>/`.
+    * Exposed so tests can drive batches directly; `start` wires it
+    * into foreachBatch.
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: both
+    * writes go to batchId-keyed subdirectories with mode("overwrite"),
+    * so a replayed batch REPLACES its own previous (possibly partial)
+    * output instead of appending a second copy — no marker files, no
+    * read-side dedup. The history join also excludes the doc's own id,
+    * so a source-level re-delivery in a LATER batch cannot flag a doc
+    * as its own duplicate.
     *
     * A document is a duplicate iff some band bucket pairs it with an
     * indexed OR same-batch-smaller-id document at signature-estimated
@@ -52,47 +61,61 @@ object TextStreaming {
     * canonical survivor under keep-first semantics).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
-      outPath: String, threshold: Double = 0.5): Unit = {
+      outPath: String, batchId: Long, threshold: Double = 0.5): Unit = {
     graft.functions.VectorFunctions.registerNative(spark)
     val sigDir = s"$indexPath/signatures"
     // localCheckpoint: the batch's signatures feed BOTH the verdict join
-    // and the index append — and the append must not observe a
+    // and the index write — and the write must not observe a
     // re-evaluated plan after the verdict (single evaluation, like the
     // Pareto two-phase materialization)
     val newSigs = TextQueries.signaturesOf(batch)
       .select("doc_id", "sig", "bands").localCheckpoint()
-    val hasIndex = {
-      val d = new java.io.File(sigDir)
-      d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
-    }
+    // Hadoop FS, not java.io.File: the index lives on whatever
+    // filesystem the path names (HDFS/S3 on a cluster) — a local-only
+    // probe would silently disable ALL cross-batch dedup there.
+    val hadoopPath = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(hadoopPath) &&
+      fs.listStatus(hadoopPath).nonEmpty
+    // history = every PRIOR batch's signatures (batchId-keyed subdirs;
+    // exclude this batch's own replayed output so a replay can't pair
+    // docs with their previous write)
+    val history =
+      if (hasIndex) {
+        val prior = fs.listStatus(hadoopPath)
+          .map(_.getPath.toString)
+          .filter { p =>
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            name.startsWith("batch=") &&
+              name.stripPrefix("batch=").toLongOption.exists(_ != batchId)
+          }
+        if (prior.nonEmpty) Some(spark.read.parquet(prior.toIndexedSeq: _*))
+        else None
+      } else None
     // posting lists carry ONLY (id, band, hash) — candidate pairs are
     // deduped as bare id pairs and the 64-long signatures fetched by id
     // afterwards, same rule as the batch operators
     def posts(df: DataFrame, side: String): DataFrame =
       df.select(col("doc_id").as(s"${side}_id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val newPosts = posts(newSigs, "new")
-    // candidates: batch vs indexed history (any id), plus batch vs
-    // batch (smaller id only — keep-first within the batch)
-    val selfPairs = newPosts.as("a")
-      .join(posts(newSigs, "old").as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.new_id") > col("b.old_id"))
-      .select(col("a.new_id"), col("b.old_id"))
+    // within-batch candidates: the SAME generator the batch operators
+    // use (keep-first: new = larger id, old = smaller)
+    val selfPairs = TextQueries.bandCollisionPairs(newSigs)
+      .select(col("doc_b").as("new_id"), col("doc_a").as("old_id"))
     val pairs =
-      (if (hasIndex)
+      history.map { hist =>
         selfPairs.unionByName(
-          newPosts.join(posts(spark.read.parquet(sigDir), "old"),
+          posts(newSigs, "new").join(posts(hist, "old"),
             Seq("band_idx", "band_hash"))
+            // a re-delivered doc must not match its own indexed signature
+            .filter(col("new_id") =!= col("old_id"))
             .select(col("new_id"), col("old_id")))
-      else selfPairs)
+      }.getOrElse(selfPairs)
         .distinct()
     val oldSigs =
-      (if (hasIndex)
-        newSigs.select("doc_id", "sig")
-          .unionByName(spark.read.parquet(sigDir).select("doc_id", "sig"))
-      else newSigs.select("doc_id", "sig"))
+      history.map(h => newSigs.select("doc_id", "sig")
+        .unionByName(h.select("doc_id", "sig")))
+        .getOrElse(newSigs.select("doc_id", "sig"))
         .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
     val verdicts = pairs
       .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig")),
@@ -105,9 +128,9 @@ object TextStreaming {
       .agg(min(col("old_id")).as("dup_of"), max(col("jac_est")).as("jac_est"))
     newSigs.select("doc_id")
       .join(verdicts, Seq("doc_id"), "left")
-      .write.mode("append").parquet(outPath)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     newSigs.select("doc_id", "sig", "bands")
-      .write.mode("append").parquet(sigDir)
+      .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
   }
 
   /** Start the continuous dedup query (AvailableNow for drain-and-stop
@@ -119,8 +142,8 @@ object TextStreaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, indexPath, outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, indexPath, outPath, batchId)
       }
       .start()
 }

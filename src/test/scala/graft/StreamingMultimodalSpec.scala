@@ -194,8 +194,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       (102L, mutate(originals(4)._2), "en", "src", 0L),
       (103L, Seq.fill(60)("fresh").mkString(" "), "en", "src", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    TextStreaming.processBatch(spark, b1, idx, out)
-    TextStreaming.processBatch(spark, b2, idx, out)
+    TextStreaming.processBatch(spark, b1, idx, out, batchId = 0)
+    TextStreaming.processBatch(spark, b2, idx, out, batchId = 1)
+    // at-least-once replay of batch 1 (foreachBatch contract): the
+    // batchId-keyed overwrite must leave output and index unchanged —
+    // no duplicate verdicts, no self-matches from the previous write
+    TextStreaming.processBatch(spark, b2, idx, out, batchId = 1)
     val verdicts = spark.read.parquet(out).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(verdicts.size == 14, "one verdict per ingested doc")
