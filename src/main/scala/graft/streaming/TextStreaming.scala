@@ -77,9 +77,11 @@ object TextStreaming {
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasIndex = fs.exists(hadoopPath) &&
       fs.listStatus(hadoopPath).nonEmpty
-    // history = every PRIOR batch's signatures (batchId-keyed subdirs;
-    // exclude this batch's own replayed output so a replay can't pair
-    // docs with their previous write)
+    // history = STRICTLY PRIOR batches (batch < batchId), not merely
+    // "not this batch": a replayed batch must see exactly the history
+    // its original run saw — including its own previous write (replay
+    // self-match) and any LATER batches (which would flip verdicts
+    // against arrival order) are both excluded by the strict bound
     val history =
       if (hasIndex) {
         val prior = fs.listStatus(hadoopPath)
@@ -87,7 +89,7 @@ object TextStreaming {
           .filter { p =>
             val name = p.substring(p.lastIndexOf('/') + 1)
             name.startsWith("batch=") &&
-              name.stripPrefix("batch=").toLongOption.exists(_ != batchId)
+              name.stripPrefix("batch=").toLongOption.exists(_ < batchId)
           }
         if (prior.nonEmpty) Some(spark.read.parquet(prior.toIndexedSeq: _*))
         else None

@@ -240,6 +240,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("streaming embedding dedup: planted near-copies flagged across batches, replay-idempotent") {
+    import spark.implicits._
+    import graft.streaming.VectorStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_vdedup").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (1L to 15L).map(i => (i, "a", vec()))
+    def noisy(v: Seq[Float]) = v.map(x => x * (1f + 0.02f * rnd.nextGaussian().toFloat))
+    // batch 1: 15 originals + an exact within-batch copy of vec 1
+    val b1 = (base :+ (70L, "a", base.head._3))
+      .toDF("vec_id", "label", "embedding")
+    // batch 2: near-copies of vecs 1 and 7 (cos >> 0.9) + a fresh vector
+    val b2 = Seq(
+      (201L, "a", noisy(base.head._3)),
+      (202L, "a", noisy(base(6)._3)),
+      (203L, "a", vec()))
+      .toDF("vec_id", "label", "embedding")
+    VectorStreaming.processBatch(spark, b1, idx, out, batchId = 0)
+    VectorStreaming.processBatch(spark, b2, idx, out, batchId = 1)
+    // replay batch 1: overwrite of its own subdirs, nothing changes
+    VectorStreaming.processBatch(spark, b1, idx, out, batchId = 0)
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(verdicts.size == 19, "one verdict per ingested vector")
+    assert(verdicts(70L) == Some(1L), "within-batch exact copy must flag")
+    assert(verdicts(201L) == Some(1L), "cross-batch near-copy of vec 1 missed")
+    assert(verdicts(202L) == Some(7L), "cross-batch near-copy of vec 7 missed")
+    assert(verdicts(203L).isEmpty && verdicts(1L).isEmpty,
+      "fresh/canonical vectors must not be flagged")
+    assert(spark.read.parquet(s"$idx/vectors").count() == 19)
+  }
+
   test("multimodal feature extraction: schema + deterministic stub decode") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(spark, media)
