@@ -384,6 +384,70 @@ object VectorQueries {
        |  FROM p)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------- qe7
+  /** Staged retrieval: coarse search on a TRUNCATED 16-dim prefix of
+    * the embedding (Matryoshka-style dimension-adaptive retrieval),
+    * keep the top-`RERANK` candidates per query, then exact full-dim
+    * rerank to top-k. The production serving shape: the coarse pass
+    * touches 4× less data per vector (and in a real store, a separate
+    * narrow column/index), the exact pass runs on a fixed small
+    * candidate set. Entirely deterministic — both stages are rankings
+    * with id tiebreaks — so the full pipeline is SQL-expressible and
+    * oracle-checked; recall vs the full-dim qe1 is asserted in
+    * RecallSpec (truncation quality is the only approximation).
+    */
+  private val TRUNC_DIM = 16
+  private val RERANK = 50
+
+  def qe7(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("tvec", slice(col("vec"), 1, TRUNC_DIM))
+      .withColumn("tnrm", norm(col("tvec")))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm"),
+        col("tvec").as("qtvec"), col("tnrm").as("qtnrm"))
+    val coarse = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("tcos", dround(cosine(col("qtvec"), col("tvec"), col("qtnrm"), col("tnrm")), 6))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("tcos").desc, col("vec_id").asc)))
+      .filter(col("crnk") <= RERANK)
+    coarse
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  private val qe7Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
+       |         vec[1:$TRUNC_DIM] AS tvec,
+       |         sqrt(list_dot_product(vec[1:$TRUNC_DIM], vec[1:$TRUNC_DIM])) AS tnrm
+       |  FROM e),
+       |coarse AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, d.vec_id, d.vec, d.nrm, q.vec AS qvec, q.nrm AS qnrm,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_dot_product(q.tvec, d.tvec) / (q.tnrm * d.tnrm), 6) DESC,
+       |             d.vec_id) AS crnk
+       |    FROM n q, n d
+       |    WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id)
+       |  WHERE crnk <= $RERANK)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         round(list_dot_product(qvec, vec) / (qnrm * nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |           round(list_dot_product(qvec, vec) / (qnrm * nrm), 6) DESC,
+       |           vec_id) AS INT) AS rnk
+       |  FROM coarse)
+       |WHERE rnk <= $K""".stripMargin
+
   // ---------------------------------------------------------------- qe5
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
     * into nlist inverted lists; queries probe the nprobe nearest
@@ -479,6 +543,7 @@ object VectorQueries {
     "qe5_ann_ivf" -> (qe5 _),
     "qe5b_ann_ivf_probe" -> (qe5b _),
     "qe6_quantized_topk" -> (qe6 _),
+    "qe7_truncated_rerank" -> (qe7 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -494,6 +559,7 @@ object VectorQueries {
     // power asserted in TextVectorSpec.
     "qe4c_embedding_dedup_lsh_t08" -> qe4SqlAt("0.8"),
     "qe6_quantized_topk" -> qe6Sql,
+    "qe7_truncated_rerank" -> qe7Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -91,6 +91,18 @@ class RecallSpec extends AnyFunSuite {
     record("qe6_quantized_topk", hit.toDouble / n, 0.8, "qe1 exact top-5, int8 SQ")
   }
 
+  test("qe7 truncated-prefix rerank recall@5 vs full-dim top-k") {
+    // Random vectors are the WORST case for prefix truncation (no
+    // energy concentration — a trained Matryoshka embedding would score
+    // far higher); measured 0.60 here, floored at 0.5.
+    val exact = queries.VectorQueries.qe1(spark, sf).select("query_id", "neighbor_id")
+    val trunc = queries.VectorQueries.qe7(spark, sf).select("query_id", "neighbor_id")
+    val n = exact.count()
+    val hit = exact.join(trunc, Seq("query_id", "neighbor_id"), "left_semi").count()
+    record("qe7_truncated_rerank", hit.toDouble / n, 0.5,
+      "qe1 exact top-5, 16/64-dim coarse + rerank-50")
+  }
+
   test("write RECALL.json artifact") {
     val body = results.map { case (k, (r, f, vs)) =>
       f""""$k": {"recall": $r%.4f, "floor": $f%.2f, "exact_twin": "$vs"}"""
@@ -98,6 +110,6 @@ class RecallSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/RECALL.json"),
       s"""{\n  "sf": "$sf",\n  $body\n}\n""")
-    assert(results.size == 6, "all six recall measurements recorded")
+    assert(results.size == 7, "all seven recall measurements recorded")
   }
 }
