@@ -725,7 +725,7 @@ object TextQueries {
     val path = minhashIndexPath(dir)
     // rebuild when absent OR stale: an index keyed only by dir path must
     // not silently serve signatures of a replaced documents.parquet
-    if (indexStale(s"$path/signatures", s"$dir/documents.parquet"))
+    if (indexStale(s, s"$path/signatures", s"$dir/documents.parquet"))
       minhashBuild(s, dir, path)
     val idx = s.read.parquet(s"$path/signatures")
     val cand = bandCollisionPairs(idx)
@@ -737,12 +737,16 @@ object TextQueries {
     perDocDupCounts(est, col("jac_est"), idx.select("doc_id"))
   }
 
-  /** True when the index is missing or older than its source data. */
-  private[graft] def indexStale(indexDir: String, sourcePath: String): Boolean = {
-    val success = new java.io.File(s"$indexDir/_SUCCESS")
-    !success.exists() ||
-      success.lastModified() < new java.io.File(sourcePath).lastModified()
-  }
+  /** True when the index is missing or older than its source data.
+    * Probed through the Hadoop FileSystem API (sources.HadoopFs), NOT
+    * `java.io.File`: index/source paths are arbitrary and on a cluster
+    * name HDFS/S3 locations, where a local-file probe is always
+    * "missing" and would silently rebuild the index on every query.
+    */
+  private[graft] def indexStale(s: SparkSession, indexDir: String,
+      sourcePath: String): Boolean =
+    graft.sources.HadoopFs.indexStale(
+      s.sparkContext.hadoopConfiguration, indexDir, sourcePath)
 
   // ---------------------------------------------------------------- qd7
   /** SimHash fingerprint + banded Hamming near-dup count (no SQL oracle).

@@ -408,7 +408,13 @@ object VectorQueries {
         col("vec").as("qvec"), col("nrm").as("qnrm"),
         col("tvec").as("qtvec"), col("tnrm").as("qtnrm"))
     val coarse = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("tcos", dround(cosine(col("qtvec"), col("tvec"), col("qtnrm"), col("tnrm")), 6))
+      // zero-norm guard (same as qe6): a nonzero vector can still have an
+      // all-zero 16-dim PREFIX, making tnrm 0 and tcos NaN/Inf — whose
+      // DESC sort position is engine-dependent. Pin the degenerate case
+      // to cosine 0 on both sides.
+      .withColumn("tcos",
+        when(col("qtnrm") === 0.0 || col("tnrm") === 0.0, lit(0.0))
+          .otherwise(dround(cosine(col("qtvec"), col("tvec"), col("qtnrm"), col("tnrm")), 6)))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("tcos").desc, col("vec_id").asc)))
       .filter(col("crnk") <= RERANK)
@@ -434,7 +440,9 @@ object VectorQueries {
        |  SELECT * FROM (
        |    SELECT q.vec_id AS query_id, d.vec_id, d.vec, d.nrm, q.vec AS qvec, q.nrm AS qnrm,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |             round(list_dot_product(q.tvec, d.tvec) / (q.tnrm * d.tnrm), 6) DESC,
+       |             CASE WHEN q.tnrm = 0 OR d.tnrm = 0 THEN 0.0
+       |               ELSE round(list_dot_product(q.tvec, d.tvec) / (q.tnrm * d.tnrm), 6)
+       |             END DESC,
        |             d.vec_id) AS crnk
        |    FROM n q, n d
        |    WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id)
@@ -527,7 +535,7 @@ object VectorQueries {
     val path = ivfIndexPath(dir)
     // rebuild when absent OR older than the source embeddings (stale
     // /tmp artifact must not survive a testdata swap)
-    if (TextQueries.indexStale(s"$path/assignments", s"$dir/embeddings.parquet"))
+    if (TextQueries.indexStale(s, s"$path/assignments", s"$dir/embeddings.parquet"))
       ivfBuild(s, dir, path)
     ivfProbe(s.read.parquet(s"$path/assignments"),
       s.read.parquet(s"$path/centroids"))

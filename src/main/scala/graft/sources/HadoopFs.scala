@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem probes resolved through the Hadoop `FileSystem` API — the
+  * ONE place batch (qd6b / qe5b index staleness) and streaming
+  * (TextStreaming / VectorStreaming history listing) answer "is this
+  * artifact there, and how fresh is it".
+  *
+  * Why not `java.io.File`: persisted indexes and streaming state take
+  * arbitrary path strings, which on a cluster name HDFS/S3 locations.
+  * `File.exists` is always false and `File.lastModified` is 0 for
+  * those, so a local-only probe silently rebuilds a persisted index on
+  * every query (forfeiting the entire point of the offline artifact) or
+  * disables cross-batch dedup. Resolving each path through
+  * `Path.getFileSystem(conf)` gives the same one-RPC probe on every
+  * filesystem Spark can read.
+  */
+object HadoopFs {
+
+  private def fsOf(conf: Configuration, p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** Modification time of `path` itself, 0 if absent. */
+  def mtimeOf(conf: Configuration, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(conf, p)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  /** Newest modification time under `path`: the path itself or any of
+    * its DIRECT children (a parquet dataset's freshness lives in its
+    * part files — object stores don't bump "directory" mtimes on
+    * overwrite, so the children must be consulted). 0 if absent.
+    */
+  def newestMtime(conf: Configuration, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(conf, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val children = fs.listStatus(p)
+        if (children.isEmpty) st.getModificationTime
+        else math.max(st.getModificationTime, children.map(_.getModificationTime).max)
+      }
+    }
+  }
+
+  /** Direct children of `path` as fully-qualified path strings; empty
+    * if the path is absent or not a directory.
+    */
+  def listChildren(conf: Configuration, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = fsOf(conf, p)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).map(_.getPath.toString).toIndexedSeq
+    else Seq.empty
+  }
+
+  /** True when a persisted index at `indexDir` is missing or OLDER than
+    * its source data — the rebuild trigger for qd6b / qe5b artifacts
+    * (a stale index keyed only by path must not silently serve
+    * signatures of a replaced source table). The index's freshness
+    * witness is its `_SUCCESS` marker (written last by the committer);
+    * the source's is the newest file under it.
+    */
+  def indexStale(conf: Configuration, indexDir: String, sourcePath: String): Boolean = {
+    val successM = mtimeOf(conf, s"$indexDir/_SUCCESS")
+    successM == 0L || successM < newestMtime(conf, sourcePath)
+  }
+}
