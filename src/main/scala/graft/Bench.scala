@@ -36,13 +36,13 @@ object Bench {
     try {
       val idx = graft.queries.VectorQueries.ivfIndexPath(sfDir)
       if (graft.queries.TextQueries.indexStale(
-          s"$idx/assignments", s"$sfDir/embeddings.parquet"))
+          spark, s"$idx/assignments", s"$sfDir/embeddings.parquet"))
         graft.queries.VectorQueries.ivfBuild(spark, sfDir, idx)
     } catch { case e: Throwable => System.err.println(s"[bench] ivf build failed: $e") }
     try {
       val midx = graft.queries.TextQueries.minhashIndexPath(sfDir)
       if (graft.queries.TextQueries.indexStale(
-          s"$midx/signatures", s"$sfDir/documents.parquet"))
+          spark, s"$midx/signatures", s"$sfDir/documents.parquet"))
         graft.queries.TextQueries.minhashBuild(spark, sfDir, midx)
     } catch { case e: Throwable => System.err.println(s"[bench] minhash build failed: $e") }
     // Local-iteration filter: SPARK_GRAFT_ONLY=qe4b_...,q22_... runs a

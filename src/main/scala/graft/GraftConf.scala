@@ -45,6 +45,16 @@ object GraftConf {
   val abcA = 0.80
   val abcB = 0.95
 
+  /** Pareto/rank two-phase auto-dispatch: flip from the global-window
+    * shape to the distributed range-partition prefix sum when the input
+    * plan's Catalyst size estimate reaches this many bytes. Overridable
+    * per session via the runtime conf key. The default keeps every
+    * report-cardinality frame (≤ millions of keys) on the oracle-exact
+    * sequential shape and only flips genuinely fact-scale inputs.
+    */
+  val paretoTwoPhaseBytesKey = "graft.pareto.twoPhase.bytes"
+  val paretoTwoPhaseBytesDefault: Long = 256L << 20
+
   /** Z-score outlier threshold (reference uses 3.0,
     * /root/reference/config/settings.py:84-91; the bench data is uniform so
     * |z| maxes out ≈ 1.73 — queries use 1.5 to exercise the flag).

@@ -17,11 +17,11 @@ import graft.GraftConf
   *  - the final row's cumulative share is force-set to exactly 1.0.
   *
   * Two execution shapes behind one API:
-  *  - `twoPhase = false` (default): a global window — single partition,
+  *  - global window (`twoPhase = Some(false)`): single partition,
   *    correct at the reference's cardinality (accounts, not facts), and
   *    the only shape whose left-to-right double summation is
   *    bit-identical to the sequential oracle.
-  *  - `twoPhase = true`: the distributed prefix sum for when the key
+  *  - distributed prefix sum (`twoPhase = Some(true)`): for when the key
   *    dimension itself explodes — range-repartition by (value desc, key
   *    asc), per-partition local windows, per-partition (sum, count)
   *    offsets collected (one tiny P-row action) and broadcast back, then
@@ -29,6 +29,12 @@ import graft.GraftConf
   *    partitioning preserves the total order); cumulative sums differ
   *    from the sequential form only by floating-point re-association
   *    (ulps) — property-tested to agree on ranks and rounded outputs.
+  *  - `twoPhase = None` (default) AUTO-DISPATCHES on the input's
+  *    Catalyst size estimate vs `graft.pareto.twoPhase.bytes` (runtime
+  *    conf, default [[GraftConf.paretoTwoPhaseBytesDefault]]): report
+  *    cardinalities stay on the oracle-exact global window; a 100×
+  *    key-dimension blow-up flips to the distributed shape instead of
+  *    silently single-partitioning.
   */
 object Pareto {
 
@@ -36,10 +42,58 @@ object Pareto {
       perKey: DataFrame,
       keyCol: Column,
       valueCol: Column,
-      twoPhase: Boolean = false,
+      twoPhase: Option[Boolean] = None,
   ): DataFrame =
-    if (twoPhase) abcTwoPhase(perKey, keyCol, valueCol)
+    if (twoPhase.getOrElse(autoTwoPhase(perKey))) abcTwoPhase(perKey, keyCol, valueCol)
     else abcGlobalWindow(perKey, keyCol, valueCol)
+
+  /** Auto-dispatch signal: Catalyst's size estimate for the input plan
+    * (no action, no extra job) against the session's threshold. The
+    * estimate is coarse — that is fine: the global window has headroom
+    * of orders of magnitude, so only genuinely large inputs must flip.
+    */
+  private[graft] def autoTwoPhase(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .getOption(GraftConf.paretoTwoPhaseBytesKey).map(_.toLong)
+      .getOrElse(GraftConf.paretoTwoPhaseBytesDefault)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(threshold)
+  }
+
+  /** Global rank over `keys` with the same two execution shapes as
+    * [[abc]] (SURVEY §2.6 O1/O2 at scale): a global-window
+    * `row_number` below the threshold, the range-partition + offset
+    * reconstruction above it. Ranks are exact integers either way, so
+    * results are identical — only the plan shape changes.
+    */
+  def rankBy(df: DataFrame, keys: Seq[Column], rankCol: String,
+      twoPhase: Option[Boolean] = None): DataFrame =
+    if (twoPhase.getOrElse(autoTwoPhase(df))) rankTwoPhase(df, keys, rankCol)
+    else df.withColumn(rankCol, row_number().over(Window.orderBy(keys: _*)))
+
+  private def rankTwoPhase(df: DataFrame, keys: Seq[Column], rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Same boundary-pinning rationale as abcTwoPhase: the count collect
+    // and the returned plan must see the SAME range partitioning.
+    val parted = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .sliding(2)
+      .collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toSeq
+    val offDf = offsets.toDF("_pid", "_coff")
+    val wLocal = Window.partitionBy("_pid").orderBy(keys: _*)
+    parted
+      .withColumn("_lrn", row_number().over(wLocal))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(rankCol, (col("_lrn") + col("_coff")).cast("int"))
+      .drop("_pid", "_lrn", "_coff")
+  }
 
   /** Shared tail: pct / forced-1.0 cumulative / ABC classes from the
     * rank, total, cumulative and row-count columns.

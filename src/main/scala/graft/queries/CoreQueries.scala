@@ -363,10 +363,13 @@ object CoreQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
       .agg(dround(sum(net), 2).as("revenue"))
-    rev
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+    // heaps merged on the driver — instead of funnelling EVERY per-account
+    // aggregate through one single-partition window task. Only the k
+    // survivors (a constant) are then numbered by a window.
+    rev.orderBy(col("revenue").desc, col("o_custkey").asc).limit(10)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
-      .filter(col("rnk") <= 10)
   }
 
   private val q10Sql =
@@ -427,7 +430,9 @@ object CoreQueries {
   def q13(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
     val keys = TotalRow.dualSortKey(col("c_acctbal"), col("c_name")) :+ col("c_custkey").asc
-    c.withColumn("srt_rank", row_number().over(Window.orderBy(keys: _*)))
+    // rankBy auto-dispatches: global window at report cardinality,
+    // range-partitioned two-phase rank (exact same integers) at scale.
+    Pareto.rankBy(c, keys, "srt_rank")
       .select(
         col("c_custkey"),
         when(col("c_acctbal") > 0, "positivos").otherwise("no_positivos").as("block"),

@@ -28,10 +28,11 @@ object HadoopFs {
     if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
   }
 
-  /** Newest modification time under `path`: the path itself or any of
-    * its DIRECT children (a parquet dataset's freshness lives in its
-    * part files — object stores don't bump "directory" mtimes on
-    * overwrite, so the children must be consulted). 0 if absent.
+  /** Newest modification time under `path`: the path itself or any
+    * DESCENDANT file, recursively (a parquet dataset's freshness lives
+    * in its part files — which a Hive-partitioned layout nests under
+    * partition subdirs, and object stores don't bump "directory" mtimes
+    * on overwrite, so every leaf file must be consulted). 0 if absent.
     */
   def newestMtime(conf: Configuration, path: String): Long = {
     val p = new Path(path)
@@ -41,9 +42,10 @@ object HadoopFs {
       val st = fs.getFileStatus(p)
       if (!st.isDirectory) st.getModificationTime
       else {
-        val children = fs.listStatus(p)
-        if (children.isEmpty) st.getModificationTime
-        else math.max(st.getModificationTime, children.map(_.getModificationTime).max)
+        var m = st.getModificationTime
+        val it = fs.listFiles(p, true) // recursive: leaf files only
+        while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+        m
       }
     }
   }
@@ -59,15 +61,19 @@ object HadoopFs {
     else Seq.empty
   }
 
-  /** True when a persisted index at `indexDir` is missing or OLDER than
-    * its source data — the rebuild trigger for qd6b / qe5b artifacts
-    * (a stale index keyed only by path must not silently serve
-    * signatures of a replaced source table). The index's freshness
-    * witness is its `_SUCCESS` marker (written last by the committer);
-    * the source's is the newest file under it.
+  /** True when a persisted index at `indexDir` is missing or NOT NEWER
+    * than its source data — the rebuild trigger for qd6b / qe5b
+    * artifacts (a stale index keyed only by path must not silently
+    * serve signatures of a replaced source table). The index's
+    * freshness witness is its `_SUCCESS` marker (written last by the
+    * committer); the source's is the newest file under it. A TIE
+    * rebuilds: filesystem mtime granularity can be a full second
+    * (object stores, some NFS), so "same tick" cannot distinguish
+    * index-after-source from source-after-index — and a spurious
+    * rebuild is cheap where serving a stale index is not.
     */
   def indexStale(conf: Configuration, indexDir: String, sourcePath: String): Boolean = {
     val successM = mtimeOf(conf, s"$indexDir/_SUCCESS")
-    successM == 0L || successM < newestMtime(conf, sourcePath)
+    successM == 0L || successM <= newestMtime(conf, sourcePath)
   }
 }

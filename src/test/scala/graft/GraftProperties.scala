@@ -99,10 +99,25 @@ object GraftProperties extends Properties("graft") {
       val rows = (1 to n).map(i => (s"k$i", math.rint(rnd.nextDouble() * 1e6) / 100))
       val df = rows.toDF("k", "v").repartition(4)
       def snap(two: Boolean) =
-        operators.Pareto.abc(df, col("k"), col("v"), twoPhase = two)
+        operators.Pareto.abc(df, col("k"), col("v"), twoPhase = Some(two))
           .select("k", "rnk", "pct", "pct_acumulado", "clase_abc").collect()
           .map(r => r.getString(0) ->
             (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+      snap(two = false) == snap(two = true)
+    }
+
+  property("rankBy: two-phase rank == global-window rank exactly") =
+    forAll(Gen.chooseNum(1, 80), Gen.chooseNum(0L, 500L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // duplicate values on purpose: the key tiebreaker must keep the
+      // two shapes in exact agreement even across range boundaries
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(10).toDouble))
+      val df = rows.toDF("k", "v").repartition(4)
+      val keys = Seq(col("v").desc, col("k").asc)
+      def snap(two: Boolean) =
+        operators.Pareto.rankBy(df, keys, "rnk", twoPhase = Some(two))
+          .select("k", "rnk").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
       snap(two = false) == snap(two = true)
     }
 

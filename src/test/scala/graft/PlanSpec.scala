@@ -115,6 +115,41 @@ class PlanSpec extends AnyFunSuite {
     assert(full.contains("graft_lsh_buckets"), "native bucket expr missing from plan")
   }
 
+  test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
+    val df = queries.CoreQueries.q10(spark, sf)
+    df.collect()
+    // the limit's TakeOrderedAndProject may live in the initial plan
+    // rendering once AQE re-plans around it — assert the full string
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("TakeOrderedAndProject"),
+      "global sort+limit must plan as per-partition top-k heaps")
+  }
+
+  test("pareto two-phase plan has no single-partition exchange") {
+    val prev = spark.conf.getOption(GraftConf.paretoTwoPhaseBytesKey)
+    spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, "0") // force two-phase
+    try {
+      import org.apache.spark.sql.functions.col
+      val abc = operators.Pareto.abc(
+        Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
+        col("c_custkey"), col("c_acctbal"))
+      val p = finalPlan(abc)
+      assert(!p.contains("Exchange SinglePartition"),
+        "two-phase pareto must not funnel the frame through one partition")
+      val ranked = operators.Pareto.rankBy(
+        Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), "rnk")
+      val p2 = finalPlan(ranked)
+      assert(!p2.contains("Exchange SinglePartition"),
+        "two-phase rank must not funnel the frame through one partition")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, v)
+        case None => spark.conf.unset(GraftConf.paretoTwoPhaseBytesKey)
+      }
+    }
+  }
+
   test("qd6b probe reads only the signature index, never the documents table") {
     // ensure the index exists, then check the probe's scans
     val path = queries.TextQueries.minhashIndexPath(sf)
