@@ -21,7 +21,9 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "qm1_media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
-        "qm2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)))
+        "qm2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
+        "qm3_image_decode" -> ((s, d) => graft.multimodal.Multimodal.imageDecode(s, d)),
+        "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -35,5 +37,7 @@ object SparkEntry {
       graft.queries.VectorQueries.oracle ++
       Map(
         "qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql,
-        "qm2_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql)
+        "qm2_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
+        "qm3_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
+        "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql)
 }

@@ -1,5 +1,12 @@
 package graft.multimodal
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +14,17 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode/feature-extraction staged as
   * per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so `FakeDecoder` is a
-  * clearly-marked deterministic stand-in — the Spark-side shapes (schema,
-  * partition-level batching, feature struct) are real and tested. A
-  * production decoder drops in by replacing `Decoder` only; nothing in
-  * the plan changes.
+  * Decode is REAL: images via JDK `javax.imageio` (PNG/BMP/GIF/JPEG —
+  * zero external deps), audio via JDK `javax.sound.sampled` (WAV/AU/
+  * AIFF PCM). Fixtures are rendered deterministically from `doc_id` so
+  * the decoded statistics have exact closed-form SQL oracles: the qm3/
+  * qm4 gates round-trip the actual codecs (render → encode → decode →
+  * aggregate) and compare bit-exact against DuckDB arithmetic.
+  *
+  * Reference analog: image/chart rendering in
+  * /root/reference/src/reporte_pdf.py:97-193 (matplotlib render → PNG
+  * bytes → embedded in a report); here the same binary-column shape is
+  * decoded and featurized at scale instead.
   */
 object Multimodal {
 
@@ -25,29 +38,122 @@ object Multimodal {
       width: Int, height: Int, channels: Int, mean_intensity: Double)
 
   /** Decode stage contract: payload bytes → (width, height, channels,
-    * mean intensity). Real impl would wrap an image codec.
+    * mean intensity). For audio, width = frame count and height = 1.
     */
   trait Decoder extends Serializable {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Double)
   }
 
-  /** STUB decoder — deterministic fake: dimensions derived from payload
-    * length, intensity from a byte average. Replace with a codec-backed
-    * Decoder in production; everything else is unchanged.
+  /** JDK-codec decoder: `ImageIO` for images, `AudioSystem` for audio.
+    * No executor disk cache (`setUseCache(false)`) — decode stays
+    * in-memory per task. Headless-safe: raster access only, no display.
     */
-  object FakeDecoder extends Decoder {
-    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Double) = {
-      val n = payload.length
-      val w = math.max(1, math.min(4096, n % 1021))
-      val h = math.max(1, math.min(4096, n % 769))
-      val c = if (kind == "image") 3 else 1
-      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
-      (w, h, c, mean)
+  object JdkDecoder extends Decoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Double) =
+      kind match {
+        case "audio" => decodeAudio(payload)
+        case _ => decodeImage(payload)
+      }
+
+    def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      ImageIO.setUseCache(false)
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      // row-wise getPixels: one JNI-free bulk copy per scanline
+      val row = new Array[Int](w * bands)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var i = 0
+        var rowSum = 0L
+        while (i < row.length) { rowSum += row(i); i += 1 }
+        sum += rowSum.toDouble
+        y += 1
+      }
+      (w, h, bands, sum / (w.toLong * h * bands))
+    }
+
+    def decodeAudio(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        (frames, 1, fmt.getChannels, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+      } finally ais.close()
     }
   }
 
+  // ---- deterministic fixtures -------------------------------------------
+  // Rendered from doc_id alone so every decoded statistic has an exact
+  // closed form the DuckDB oracle can compute without any codec.
+
+  /** Checkerboard PNG: even width (equal a/b pixel counts per row) so the
+    * gray mean is exactly (a+b)/2; all three channels carry the same
+    * value. PNG is lossless → decode recovers the render bit-exact.
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (16 + (id % 16) * 2).toInt // even: 16..46
+    val h = (8 + id % 8).toInt // 8..15
+    val a = (id % 256).toInt
+    val b = ((id * 7) % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (((x + y) & 1) == 0) a else b
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Sawtooth WAV (8-bit unsigned PCM mono): a whole number of 256-sample
+    * periods of the permutation (id+i) mod 256 — every sample is read to
+    * verify the sum, which is exactly 32640 per period.
+    */
+  def wavPayload(id: Long): Array[Byte] = {
+    val periods = (2 + id % 3).toInt
+    val n = 256 * periods
+    val samples = Array.tabulate(n)(i => ((id + i) % 256).toByte)
+    val fmt = new AudioFormat(8000f, 8, 1, false, false) // unsigned 8-bit mono
+    val ais = new AudioInputStream(new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media lake over the documents ids: even ids carry a real
+    * PNG payload, odd ids a real WAV payload. The test-scale stand-in for
+    * a binary media column read straight from parquet.
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 2 == 0) MediaRow(id, "image", pngPayload(id), "synthetic")
+          else MediaRow(id, "audio", wavPayload(id), "synthetic")
+        }
+      }.toDF()
+  }
+
   /** Build a media table from the documents corpus (text bytes as the
-    * opaque payload) — the testdata stand-in for a binary media lake.
+    * opaque payload) — the opaque-binary-column stand-in used by the
+    * qm1 stats slice (no decode).
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir)
@@ -62,7 +168,7 @@ object Multimodal {
     * instance per partition, rows streamed through it).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
-      decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
+      decoder: Decoder = JdkDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -82,17 +188,24 @@ object Multimodal {
     def resize(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
-  /** STUB resampler — deterministic fake: strided byte take sized w*h.
-    * The partition-batched staging (one resampler per partition, rows
-    * streamed) is the real contract; a codec-backed Resampler drops in.
+  /** JDK Java2D resampler: decode → bilinear scale → lossless PNG
+    * re-encode. Deterministic within a JVM; headless-safe.
     */
-  object FakeResampler extends Resampler {
+  object ImageIoResampler extends Resampler {
     def resize(kind: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val target = math.max(1, w * h)
-      if (payload.isEmpty) new Array[Byte](0)
-      else Array.tabulate(math.min(target, payload.length))(i =>
-        payload((i.toLong * payload.length / math.min(target, payload.length)).toInt
-          .min(payload.length - 1)))
+      ImageIO.setUseCache(false)
+      val src = ImageIO.read(new ByteArrayInputStream(payload))
+      require(src != null, s"undecodable $kind payload (${payload.length} bytes)")
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -100,7 +213,7 @@ object Multimodal {
     * geometry — the schema/batching twin of a pandas-UDF image resize.
     */
   def resizeStage(spark: SparkSession, media: DataFrame, w: Int, h: Int,
-      resampler: Resampler = FakeResampler): Dataset[ResizedMedia] = {
+      resampler: Resampler = ImageIoResampler): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -109,6 +222,67 @@ object Multimodal {
         }
       }
   }
+
+  /** qm3: real image decode gate — render deterministic PNGs, decode
+    * them through the JDK codec, emit per-image pixel statistics. The
+    * oracle recomputes every statistic arithmetically: width/height from
+    * the id formulas, mean = (a+b)/2 exactly (even-width checkerboard).
+    * byte_len is PNG-encoder-dependent and deliberately excluded.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, c, mean) = JdkDecoder.decodeImage(pngPayload(id))
+          (id, w, h, c, mean)
+        }
+      }.toDF("media_id", "width", "height", "channels", "mean_intensity")
+  }
+
+  val imageDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(16 + (doc_id % 16) * 2 AS INT) AS width,
+      | CAST(8 + doc_id % 8 AS INT) AS height,
+      | 3 AS channels,
+      | ((doc_id % 256) + ((doc_id * 7) % 256)) / 2.0 AS mean_intensity
+      |FROM documents""".stripMargin
+
+  /** qm4: real audio decode gate — deterministic sawtooth WAVs decoded
+    * through `AudioSystem`; frame count, channel layout, sample rate,
+    * and the full-stream amplitude sum all have exact closed forms
+    * (sum of one 256-period = 0+1+…+255 = 32640).
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(wavPayload(id)))
+          try {
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength.toInt
+            val bytes = ais.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+            (id, frames, fmt.getChannels, fmt.getSampleRate.toInt,
+              sum, sum.toDouble / frames)
+          } finally ais.close()
+        }
+      }.toDF("media_id", "n_frames", "channels", "sample_rate",
+        "sum_amplitude", "mean_amplitude")
+  }
+
+  val audioDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(256 * (2 + doc_id % 3) AS INT) AS n_frames,
+      | 1 AS channels,
+      | 8000 AS sample_rate,
+      | CAST(32640 * (2 + doc_id % 3) AS BIGINT) AS sum_amplitude,
+      | 127.5 AS mean_amplitude
+      |FROM documents""".stripMargin
 
   /** Frame sampling, fully declarative (qm2): treat each document's text
     * as a framed stream of 256-character frames and keep every 4th frame
@@ -144,7 +318,7 @@ object Multimodal {
       |WHERE i % 4 = 0""".stripMargin
 
   /** Oracle-checkable slice of the media pipeline: pure-SQL features
-    * (byte length + content hash) — everything except the decode stub.
+    * (byte length + content hash) over the opaque-binary media table.
     */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     mediaFromDocuments(spark, dir)

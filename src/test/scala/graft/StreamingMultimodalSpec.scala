@@ -273,33 +273,65 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/vectors").count() == 19)
   }
 
-  test("multimodal feature extraction: schema + deterministic stub decode") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
-    val feats = Multimodal.extractFeatures(spark, media)
-    val n = media.count()
-    assert(feats.count() == n)
-    val bad = feats.filter(f =>
-      f.byte_len <= 0 || f.width < 1 || f.height < 1 ||
-        (f.kind == "image" && f.channels != 3) ||
-        (f.kind == "audio" && f.channels != 1) ||
-        f.mean_intensity <= 0.0)
-    assert(bad.count() == 0)
+  test("multimodal feature extraction: real JDK codec decode on PNG + WAV payloads") {
+    val media = Multimodal.syntheticMedia(spark, sf).cache()
+    val feats = Multimodal.extractFeatures(spark, media).cache()
+    assert(feats.count() == media.count())
+    // image rows: decoded geometry/mean must equal the render formulas
+    val badImg = feats.filter(_.kind == "image").filter { f =>
+      val id = f.media_id
+      f.width != (16 + (id % 16) * 2).toInt || f.height != (8 + id % 8).toInt ||
+        f.channels != 3 ||
+        f.mean_intensity != ((id % 256) + (id * 7) % 256) / 2.0
+    }
+    assert(badImg.count() == 0, "decoded PNG stats diverge from the render formulas")
+    // audio rows: width carries the frame count, mono, exact sawtooth mean
+    val badAud = feats.filter(_.kind == "audio").filter { f =>
+      f.width != 256 * (2 + f.media_id % 3).toInt || f.height != 1 ||
+        f.channels != 1 || f.mean_intensity != 127.5
+    }
+    assert(badAud.count() == 0, "decoded WAV stats diverge from the render formulas")
     // determinism: re-run produces identical rows
     val again = Multimodal.extractFeatures(spark, media)
     assert(feats.except(again).count() == 0)
+    media.unpersist(); feats.unpersist()
   }
 
-  test("resize stage: partition-batched, fixed geometry, deterministic payload") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
+  test("resize stage: real bilinear resample, fixed geometry, deterministic payload") {
+    val media = Multimodal.syntheticMedia(spark, sf)
+      .filter(col("kind") === "image").cache()
     val resized = Multimodal.resizeStage(spark, media, 8, 8).cache()
     assert(resized.count() == media.count())
     val r = resized.collect()
     assert(r.forall(m => m.width == 8 && m.height == 8))
-    assert(r.forall(m => m.payload.length <= 64 && m.payload.length > 0))
+    // the resized payload is a decodable 8x8 PNG
+    val roundTrip = Multimodal.JdkDecoder.decodeImage(r.head.payload)
+    assert(roundTrip._1 == 8 && roundTrip._2 == 8 && roundTrip._3 == 3)
     // deterministic across partitionings
     val again = Multimodal.resizeStage(spark, media.repartition(7), 8, 8)
       .collect().map(m => m.media_id -> m.payload.toSeq).toMap
     assert(r.forall(m => again(m.media_id) == m.payload.toSeq))
+    media.unpersist(); resized.unpersist()
+  }
+
+  test("qm3/qm4 decode gates agree with their closed-form oracles in-process") {
+    import spark.implicits._
+    val img = Multimodal.imageDecode(spark, sf)
+    val imgOracle = Tables.documents(spark, sf).select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 16) * 2).cast("int").as("width"),
+      (lit(8) + col("doc_id") % 8).cast("int").as("height"),
+      lit(3).as("channels"),
+      ((col("doc_id") % 256 + (col("doc_id") * 7) % 256) / 2.0).as("mean_intensity"))
+    assert(img.except(imgOracle).count() == 0 && imgOracle.except(img).count() == 0)
+    val aud = Multimodal.audioDecode(spark, sf)
+    val audOracle = Tables.documents(spark, sf).select(
+      col("doc_id").as("media_id"),
+      (lit(256) * (lit(2) + col("doc_id") % 3)).cast("int").as("n_frames"),
+      lit(1).as("channels"), lit(8000).as("sample_rate"),
+      (lit(32640L) * (lit(2) + col("doc_id") % 3)).as("sum_amplitude"),
+      lit(127.5).as("mean_amplitude"))
+    assert(aud.except(audOracle).count() == 0 && audOracle.except(aud).count() == 0)
   }
 
   test("qm2 frame sampling covers every doc and respects the stride") {
