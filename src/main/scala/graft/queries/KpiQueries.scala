@@ -61,18 +61,17 @@ object KpiQueries {
   def q22(s: SparkSession, dir: String): DataFrame = {
     val periodStart = date_sub(lit(asOf).cast("date"), periodDays)
 
-    // ONE aggregation of lineitem serves BOTH the settlement join and the
-    // global payment totals: the identical groupBy(l_orderkey) shuffle
-    // appears in two plan branches and Spark reuses the exchange — one
-    // scan of the payment table instead of two.
+    // ONE aggregation of lineitem, consumed ONCE: the payment totals are
+    // summed from the joined per-order columns instead of a second
+    // aggregation branch. Earlier rounds kept two branches over the same
+    // groupBy and leaned on exchange reuse to scan lineitem once — but
+    // AQE re-plans each branch independently and the ReusedExchange
+    // silently dies (observed r6: two lineitem scans in the executed
+    // plan, q22 1.5× slower). A single consumer can't un-reuse.
+    // Numerically identical under referential integrity (every lineitem
+    // joins an order — guaranteed by the TPC-H-ish generator and by the
+    // oracle agreeing).
     val liAgg = Tables.lineitem(s, dir)
-      // explicit, so BOTH consumers of this agg carry the same scan
-      // filter: the join branch gets isnotnull(l_orderkey) inferred from
-      // the join key, and if the scalar branch lacks it the two subtrees
-      // stop canonicalizing equal and exchange reuse dies. Synthetic
-      // lineitem has no null keys, so the filter is a no-op numerically
-      // (oracle unchanged).
-      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey").as("_link"))
       .agg(
         sum(net).as("_paid"),
@@ -92,27 +91,18 @@ object KpiQueries {
     val inPeriod = to_date(col("o_orderdate")) >= periodStart &&
       to_date(col("o_orderdate")) < lit(asOf).cast("date")
     val v = col("es_venta")
-    val saldoVentas = os.agg(
+    val k = os.agg(
       sum(when(v && col("saldo") > 0, col("saldo")).otherwise(0.0)).as("saldo_abierto"),
       sum(when(v && col("saldo") > 0 && col("mora") > 0, col("saldo")).otherwise(0.0)).as("saldo_vencido"),
       sum(when(v && inPeriod, col("o_totalprice")).otherwise(0.0)).as("ventas_periodo"),
       sum(when(v, col("o_totalprice")).otherwise(0.0)).as("cargos_totales"),
       sum(when(inPeriod, col("o_totalprice")).otherwise(0.0)).as("cargos_periodo"),
-      // numerically-neutral use of _paid_period (coalesce→*0→sum ≡ 0.0):
-      // without it column pruning drops l_shipdate from THIS branch's
-      // liAgg subtree, the two liAgg plans stop being canonically equal,
-      // and exchange reuse dies — lineitem would be scanned twice.
-      // PlanSpec pins the single-scan shape.
-      sum(coalesce(col("_paid_period"), lit(0.0)) * lit(0.0)).as("_zero"))
-    val pagos = liAgg.agg(
-      sum(col("_paid")).as("pagos_totales"),
-      sum(col("_paid_period")).as("cobros_periodo"))
-
-    val k = saldoVentas.crossJoin(pagos)
+      sum(coalesce(col("_paid"), lit(0.0))).as("pagos_totales"),
+      sum(coalesce(col("_paid_period"), lit(0.0))).as("cobros_periodo"))
       .withColumn("dso",
         when(col("ventas_periodo") > 0,
           dround(col("saldo_abierto") / col("ventas_periodo") * periodDays, 1)))
-      .withColumn("saldo_actual", col("cargos_totales") - col("pagos_totales") + col("_zero"))
+      .withColumn("saldo_actual", col("cargos_totales") - col("pagos_totales"))
       .withColumn("saldo_inicio",
         col("saldo_actual") - col("cargos_periodo") + col("cobros_periodo"))
       .withColumn("cei",
