@@ -5,23 +5,33 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 /** JDBC source configuration (SURVEY §2.1 S1/S2/S4/S5): the online
   * equivalent of the reference's Firebird connector
   * (/root/reference/src/db_connector.py:27-171), expressed as
-  * `spark.read.format("jdbc")` options. This build is offline (no JDBC
-  * driver jar, zero egress), so these builders are exercised as
-  * configuration only; Parquet snapshots of the same tables are the
-  * offline stand-in (Tables.scala).
+  * `spark.read.format("jdbc")` options. The Firebird driver jar is not
+  * in this offline image, so the Firebird URL assembly is exercised as
+  * configuration; the reader/table/query/probe EXECUTION paths are
+  * exercised live in JdbcSpec against embedded Derby (in the Spark
+  * distribution) — same Spark JDBC code path, different dialect.
   */
 object JdbcSource {
 
+  /** `url`/`probeSql` default to the Firebird shapes the reference uses
+    * (DSN host/port:database, `RDB$DATABASE` probe); both are overrides
+    * because they are dialect-specific, not connector logic.
+    */
   case class JdbcConf(
       host: String, port: Int = 3050, database: String,
       user: String, password: String,
       driver: String = "org.firebirdsql.jdbc.FBDriver",
-      charset: String = "WIN1252")
+      charset: String = "WIN1252",
+      url: Option[String] = None,
+      probeSql: String = "SELECT 1 AS ok FROM RDB$DATABASE") {
+    def jdbcUrl: String =
+      url.getOrElse(s"jdbc:firebirdsql://$host:$port/$database")
+  }
 
   /** Connection-level options (S1: DSN `host/port:database`, charset). */
   def reader(spark: SparkSession, conf: JdbcConf): DataFrameReader =
     spark.read.format("jdbc")
-      .option("url", s"jdbc:firebirdsql://${conf.host}:${conf.port}/${conf.database}")
+      .option("url", conf.jdbcUrl)
       .option("driver", conf.driver)
       .option("user", conf.user)
       .option("password", conf.password)
@@ -41,9 +51,11 @@ object JdbcSource {
   def query(spark: SparkSession, conf: JdbcConf, sql: String): DataFrame =
     reader(spark, conf).option("query", sql).load()
 
-  /** S5 — connectivity probe (`SELECT 1 FROM RDB$DATABASE`). */
+  /** S5 — connectivity probe (Firebird default: `SELECT 1 FROM
+    * RDB$DATABASE`; other dialects override `probeSql`).
+    */
   def probe(spark: SparkSession, conf: JdbcConf): Boolean =
-    try { query(spark, conf, "SELECT 1 AS ok FROM RDB$DATABASE").count() == 1 }
+    try { query(spark, conf, conf.probeSql).count() == 1 }
     catch { case _: Throwable => false }
 
   /** S6 — the reference's 10-table extraction plan as data

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcSource
+import graft.sources.JdbcSource.JdbcConf
+
+/** Live JDBC execution evidence (S1/S2/S4/S5): the reference's most
+  * exercised surface is its connection layer
+  * (/root/reference/src/db_connector.py:27-191,
+  * /root/reference/tests/check_connection.py:40-151). The Firebird
+  * driver jar is not in this offline image, so these tests run the SAME
+  * Spark JDBC reader against embedded Derby (shipped in the Spark
+  * distribution for the Hive metastore) — the connector logic
+  * (reader/table/query/probe, projection pushdown) is
+  * dialect-independent; only URL/probe SQL differ, and JdbcConf models
+  * both as overridable fields.
+  */
+class JdbcSpec extends AnyFunSuite {
+  import SparkSpecBase.spark
+
+  private val dbUrl = "jdbc:derby:memory:graftdb"
+
+  private def conf(url: String = dbUrl): JdbcConf = JdbcConf(
+    host = "unused", database = "unused", user = "app", password = "app",
+    driver = "org.apache.derby.jdbc.EmbeddedDriver",
+    url = Some(s"$url;create=true"),
+    probeSql = "SELECT 1 AS ok FROM SYSIBM.SYSDUMMY1")
+
+  // one-time embedded fixture: two tables from the extraction plan shape
+  private lazy val seeded: Unit = {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val c = DriverManager.getConnection(s"$dbUrl;create=true")
+    try {
+      val st = c.createStatement()
+      st.execute(
+        """CREATE TABLE CLIENTES (
+          | CLIENTE_ID INT PRIMARY KEY, NOMBRE VARCHAR(64),
+          | TIPO_CLIENTE_ID INT, LIMITE_CREDITO DOUBLE, ESTATUS CHAR(1))""".stripMargin)
+      st.execute("CREATE TABLE MONEDAS (MONEDA_ID INT PRIMARY KEY, NOMBRE VARCHAR(32))")
+      val ins = c.prepareStatement(
+        "INSERT INTO CLIENTES VALUES (?, ?, ?, ?, ?)")
+      (1 to 25).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"CLIENT $i")
+        ins.setInt(3, i % 3); ins.setDouble(4, i * 1000.0)
+        ins.setString(5, if (i % 5 == 0) "B" else "A")
+        ins.executeUpdate()
+      }
+      st.execute("INSERT INTO MONEDAS VALUES (1, 'MXN'), (2, 'USD')")
+      st.close()
+    } finally c.close()
+  }
+
+  test("S1/S4: reader + table scan reads live rows with the declared schema") {
+    seeded
+    val df = JdbcSource.table(spark, conf(), "CLIENTES")
+    assert(df.count() == 25)
+    assert(df.columns.toSeq ==
+      Seq("CLIENTE_ID", "NOMBRE", "TIPO_CLIENTE_ID", "LIMITE_CREDITO", "ESTATUS"))
+    assert(df.filter(col("ESTATUS") === "B").count() == 5)
+  }
+
+  test("S4: column-pruned scan pushes the projection into the JDBC query") {
+    seeded
+    val df = JdbcSource.table(spark, conf(), "CLIENTES",
+      Seq("CLIENTE_ID", "LIMITE_CREDITO"))
+    assert(df.columns.toSeq == Seq("CLIENTE_ID", "LIMITE_CREDITO"))
+    // pruning reaches the source: the JDBC relation's generated SELECT
+    // carries only the pruned columns, not *
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("NOMBRE"), s"pruned column still in scan:\n$scan")
+    assert(df.agg(sum("LIMITE_CREDITO")).collect()(0).getDouble(0) == 325000.0)
+  }
+
+  test("S2: arbitrary SQL pushed to the source as a subquery") {
+    seeded
+    val df = JdbcSource.query(spark, conf(),
+      """SELECT TIPO_CLIENTE_ID, COUNT(*) AS N, SUM(LIMITE_CREDITO) AS LIM
+        |FROM CLIENTES GROUP BY TIPO_CLIENTE_ID""".stripMargin)
+    val rows = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows == Map(0 -> 8, 1 -> 9, 2 -> 8))
+  }
+
+  test("S5: probe is true on a live database, false on a broken conf") {
+    seeded
+    assert(JdbcSource.probe(spark, conf()))
+    val bad = conf().copy(url = Some("jdbc:derby:memory:doesnotexist"))
+    assert(!JdbcSource.probe(spark, bad))
+  }
+
+  test("S6: extraction plan columns drive a multi-table pull") {
+    seeded
+    // the two seeded tables, pulled with their plan-declared projections
+    val pulled = Seq("CLIENTES", "MONEDAS").map { t =>
+      t -> JdbcSource.table(spark, conf(), t, JdbcSource.extractionPlan(t))
+    }.toMap
+    assert(pulled("CLIENTES").columns.toSeq == JdbcSource.extractionPlan("CLIENTES"))
+    assert(pulled("MONEDAS").count() == 2)
+    // and a downstream join works end-to-end on the live source
+    val joined = pulled("CLIENTES")
+      .join(pulled("MONEDAS"), pulled("CLIENTES")("TIPO_CLIENTE_ID") ===
+        pulled("MONEDAS")("MONEDA_ID"))
+    assert(joined.count() == 17) // tipo 1 (9) + tipo 2 (8)
+  }
+
+  test("Firebird conf assembles the reference DSN shape by default") {
+    val fb = JdbcConf(host = "fbhost", database = "/data/CXC.FDB",
+      user = "SYSDBA", password = "masterkey")
+    assert(fb.jdbcUrl == "jdbc:firebirdsql://fbhost:3050//data/CXC.FDB")
+    assert(fb.probeSql.contains("RDB$DATABASE"))
+  }
+}
