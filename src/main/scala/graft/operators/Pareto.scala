@@ -38,14 +38,39 @@ import graft.GraftConf
   */
 object Pareto {
 
+  /** Note on oracle exactness: below the dispatch threshold both shapes
+    * agree bit-for-bit with a sequential oracle; above it the two-phase
+    * cumulative sums re-associate doubles, so `dround(...)` outputs can
+    * differ in the last ulp at a rounding boundary. Hash-exact oracle
+    * comparison is therefore only guaranteed below the threshold — the
+    * driver gate runs at sf ≤ 0.1 (estimates far below 256 MB), and the
+    * two-phase shape is property-tested for exact rank agreement and
+    * rounded-output agreement on its own.
+    */
   def abc(
       perKey: DataFrame,
       keyCol: Column,
       valueCol: Column,
       twoPhase: Option[Boolean] = None,
-  ): DataFrame =
+  ): DataFrame = {
+    requireNoTempCollision(perKey)
     if (twoPhase.getOrElse(autoTwoPhase(perKey))) abcTwoPhase(perKey, keyCol, valueCol)
     else abcGlobalWindow(perKey, keyCol, valueCol)
+  }
+
+  /** Internal working columns. Public API frames must not carry these —
+    * a silent collision would corrupt ranks, so both entry points check
+    * loudly instead of renaming behind the caller's back.
+    */
+  private val tempCols = Seq("_pid", "_lrn", "_lcum", "_coff", "_soff",
+    "_cum", "_cum_raw", "_tot", "_n")
+
+  private def requireNoTempCollision(df: DataFrame): Unit = {
+    val clash = df.columns.intersect(tempCols)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Pareto's internal " +
+        s"working columns (${tempCols.mkString(", ")}); rename them first")
+  }
 
   /** Auto-dispatch signal: Catalyst's size estimate for the input plan
     * (no action, no extra job) against the session's threshold. The
@@ -54,7 +79,15 @@ object Pareto {
     */
   private[graft] def autoTwoPhase(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.conf
-      .getOption(GraftConf.paretoTwoPhaseBytesKey).map(_.toLong)
+      .getOption(GraftConf.paretoTwoPhaseBytesKey)
+      .map { v =>
+        // fail at the misconfiguration, naming the key — a bare toLong
+        // would surface as a NumberFormatException deep inside every
+        // abc/rankBy plan build
+        scala.util.Try(v.trim.toLong).getOrElse(throw new IllegalArgumentException(
+          s"${GraftConf.paretoTwoPhaseBytesKey} must be a byte count in plain " +
+            s"digits (got '$v'; suffixes like '256m' are not supported)"))
+      }
       .getOrElse(GraftConf.paretoTwoPhaseBytesDefault)
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(threshold)
   }
@@ -66,9 +99,11 @@ object Pareto {
     * results are identical — only the plan shape changes.
     */
   def rankBy(df: DataFrame, keys: Seq[Column], rankCol: String,
-      twoPhase: Option[Boolean] = None): DataFrame =
+      twoPhase: Option[Boolean] = None): DataFrame = {
+    requireNoTempCollision(df)
     if (twoPhase.getOrElse(autoTwoPhase(df))) rankTwoPhase(df, keys, rankCol)
     else df.withColumn(rankCol, row_number().over(Window.orderBy(keys: _*)))
+  }
 
   private def rankTwoPhase(df: DataFrame, keys: Seq[Column], rankCol: String): DataFrame = {
     val spark = df.sparkSession

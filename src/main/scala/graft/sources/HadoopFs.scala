@@ -41,12 +41,18 @@ object HadoopFs {
     else {
       val st = fs.getFileStatus(p)
       if (!st.isDirectory) st.getModificationTime
-      else {
-        var m = st.getModificationTime
-        val it = fs.listFiles(p, true) // recursive: leaf files only
-        while (it.hasNext) m = math.max(m, it.next().getModificationTime)
-        m
-      }
+      else
+        try {
+          var m = st.getModificationTime
+          val it = fs.listFiles(p, true) // recursive: leaf files only
+          while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+          m
+        } catch {
+          // a concurrent overwrite can delete a part file mid-iteration;
+          // "the source is changing right now" must read as maximally
+          // fresh (forcing an index rebuild), not as a query failure
+          case _: java.io.FileNotFoundException => Long.MaxValue
+        }
     }
   }
 

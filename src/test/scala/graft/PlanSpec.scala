@@ -126,28 +126,58 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pareto two-phase plan has no single-partition exchange") {
+    // twoPhase=Some(true) selects the shape explicitly — mutating the
+    // suite-global session conf here would silently force concurrent
+    // tests' auto-dispatch onto the two-phase path
+    import org.apache.spark.sql.functions.col
+    val abc = operators.Pareto.abc(
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
+      col("c_custkey"), col("c_acctbal"), twoPhase = Some(true))
+    val p = finalPlan(abc)
+    assert(!p.contains("Exchange SinglePartition"),
+      "two-phase pareto must not funnel the frame through one partition")
+    val ranked = operators.Pareto.rankBy(
+      Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), "rnk",
+      twoPhase = Some(true))
+    val p2 = finalPlan(ranked)
+    assert(!p2.contains("Exchange SinglePartition"),
+      "two-phase rank must not funnel the frame through one partition")
+  }
+
+  test("pareto auto-dispatch: flips on a large size estimate, stays off at report size") {
+    import org.apache.spark.sql.functions.col
+    // spark.range carries an exact Catalyst size estimate (8 bytes/row):
+    // 100M rows ≈ 800 MB > the 256 MB default threshold; 1k rows ≪ it.
+    // No job runs — the dispatch reads plan stats only.
+    val big = spark.range(100L * 1000 * 1000).toDF("k")
+    val small = spark.range(1000).toDF("k")
+    assert(operators.Pareto.autoTwoPhase(big),
+      "auto-dispatch must flip to two-phase above the size threshold")
+    assert(!operators.Pareto.autoTwoPhase(small),
+      "report-sized frames must stay on the oracle-exact global window")
+    // a malformed threshold fails loudly at the misconfiguration, and
+    // names the conf key rather than surfacing a bare NumberFormatException
     val prev = spark.conf.getOption(GraftConf.paretoTwoPhaseBytesKey)
-    spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, "0") // force two-phase
+    spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, "256m")
     try {
-      import org.apache.spark.sql.functions.col
-      val abc = operators.Pareto.abc(
-        Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
-        col("c_custkey"), col("c_acctbal"))
-      val p = finalPlan(abc)
-      assert(!p.contains("Exchange SinglePartition"),
-        "two-phase pareto must not funnel the frame through one partition")
-      val ranked = operators.Pareto.rankBy(
-        Tables.customer(spark, sf).select("c_custkey", "c_acctbal"),
-        Seq(col("c_acctbal").desc, col("c_custkey").asc), "rnk")
-      val p2 = finalPlan(ranked)
-      assert(!p2.contains("Exchange SinglePartition"),
-        "two-phase rank must not funnel the frame through one partition")
+      val e = intercept[IllegalArgumentException] {
+        operators.Pareto.rankBy(small, Seq(col("k")), "rnk")
+      }
+      assert(e.getMessage.contains(GraftConf.paretoTwoPhaseBytesKey))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, v)
         case None => spark.conf.unset(GraftConf.paretoTwoPhaseBytesKey)
       }
     }
+    // a frame already carrying an internal working column is rejected
+    // loudly instead of silently corrupting ranks
+    val clash = intercept[IllegalArgumentException] {
+      operators.Pareto.rankBy(small.withColumn("_pid", col("k")),
+        Seq(col("k")), "rnk")
+    }
+    assert(clash.getMessage.contains("_pid"))
   }
 
   test("qd6b probe reads only the signature index, never the documents table") {
