@@ -44,28 +44,21 @@ object VectorStreaming {
       outPath: String, batchId: Long, threshold: Double = 0.8): Unit = {
     registerNative(spark)
     val vecDir = s"$indexPath/vectors"
+    // explicit persist + eager materialization, released in the finally
+    // (a per-batch localCheckpoint would leak block-manager storage over
+    // an unbounded stream — see TextStreaming.processBatch)
     val newVecs = batch
       .withColumn("vec", toDouble(col("embedding")))
       .withColumn("nrm", norm(col("vec")))
       .withColumn("bands", lshBandBuckets(col("vec"), BANDS, RBITS, 64))
       .select("vec_id", "vec", "nrm", "bands")
-      .localCheckpoint()
-    val hadoopPath = new org.apache.hadoop.fs.Path(vecDir)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val history =
-      if (fs.exists(hadoopPath)) {
-        val prior = fs.listStatus(hadoopPath)
-          .map(_.getPath.toString)
-          // strictly prior batches only — a replay must see exactly the
-          // history its original run saw (see TextStreaming.processBatch)
-          .filter { p =>
-            val name = p.substring(p.lastIndexOf('/') + 1)
-            name.startsWith("batch=") &&
-              name.stripPrefix("batch=").toLongOption.exists(_ < batchId)
-          }
-        if (prior.nonEmpty) Some(spark.read.parquet(prior.toIndexedSeq: _*))
-        else None
-      } else None
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newVecs.count()
+    try {
+    // strictly prior batches only — a replay must see exactly the
+    // history its original run saw (see TextStreaming.processBatch);
+    // base segments + live dirs resolved by BatchIndex
+    val history = BatchIndex.historyBefore(spark, vecDir, batchId)
     def posts(df: DataFrame, side: String): DataFrame =
       df.select(col("vec_id").as(s"${side}_id"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
@@ -100,7 +93,13 @@ object VectorStreaming {
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     newVecs
       .write.mode("overwrite").parquet(s"$vecDir/batch=$batchId")
+    } finally newVecs.unpersist(blocking = false)
   }
+
+  /** Bound the one-dir-per-microbatch index growth (see BatchIndex). */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      keepLast: Int = 3, minEligible: Int = 8): Unit =
+    BatchIndex.compact(spark, s"$indexPath/vectors", keepLast, minEligible)
 
   def start(spark: SparkSession, embStream: DataFrame, indexPath: String,
       outPath: String, checkpoint: String): StreamingQuery =
@@ -110,6 +109,7 @@ object VectorStreaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, indexPath, outPath, batchId)
+        compactIndex(spark, indexPath)
       }
       .start()
 }

@@ -273,6 +273,59 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/vectors").count() == 19)
   }
 
+  test("streaming index compaction: bounded dirs, identical verdicts, replay safety") {
+    import spark.implicits._
+    import graft.streaming.TextStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val (idxA, outA) = (s"$root/a/index", s"$root/a/out") // never compacted
+    val (idxB, outB) = (s"$root/b/index", s"$root/b/out") // compacted as it goes
+    val rnd = new scala.util.Random(37)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text() = Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // batch 0 docs are the dup targets for every later batch: the
+    // compacted path must find them THROUGH the base segment
+    val batch0 = (1L to 5L).map(i => (i, text(), "en", "s", 0L))
+    def mkBatch(k: Long): Seq[(Long, String, String, String, Long)] =
+      if (k == 0) batch0
+      else Seq(
+        (k * 100 + 1, text(), "en", "s", 0L),
+        (k * 100 + 2, batch0((k % 5).toInt)._2, "en", "s", 0L)) // exact dup of batch 0
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    (0L to 10L).foreach { k =>
+      TextStreaming.processBatch(spark, df(mkBatch(k)), idxA, outA, k)
+      TextStreaming.processBatch(spark, df(mkBatch(k)), idxB, outB, k)
+      TextStreaming.compactIndex(spark, idxB, keepLast = 2, minEligible = 4)
+    }
+    def dirs(p: String) = Option(new java.io.File(p).listFiles())
+      .map(_.map(_.getName).toSeq.sorted).getOrElse(Seq.empty)
+    // compaction happened and bounded the live dir count
+    assert(dirs(s"$idxB/signatures").count(_.startsWith("batch=")) <= 6,
+      s"live dirs not bounded: ${dirs(s"$idxB/signatures")}")
+    assert(dirs(s"$idxB/signatures_base").exists(_.startsWith("hi=")),
+      "no base segment written")
+    assert(dirs(s"$idxA/signatures").count(_.startsWith("batch=")) == 11)
+    // verdicts agree batch-for-batch — including dups of batch-0 docs
+    // found through the base segment
+    def verdicts(out: String) = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val (va, vb) = (verdicts(outA), verdicts(outB))
+    assert(va == vb, s"compaction changed verdicts: ${va.toSet.diff(vb.toSet)}")
+    assert(vb(1002L) == Some(1L), "batch-10 dup of a batch-0 doc missed through the base")
+    // replay of a batch inside the horizon is idempotent on the
+    // compacted index
+    TextStreaming.processBatch(spark, df(mkBatch(10)), idxB, outB, 10)
+    assert(verdicts(outB) == vb, "replay changed verdicts on the compacted index")
+    // replay BELOW the compaction horizon must fail loudly, not serve
+    // corrupted history
+    val deep = intercept[IllegalArgumentException] {
+      TextStreaming.processBatch(spark, df(mkBatch(1)), idxB, outB, 1)
+    }
+    assert(deep.getMessage.contains("compaction horizon"))
+  }
+
   test("multimodal feature extraction: real JDK codec decode on PNG + WAV payloads") {
     val media = Multimodal.syntheticMedia(spark, sf).cache()
     val feats = Multimodal.extractFeatures(spark, media).cache()
