@@ -6,6 +6,13 @@ fails (exit 1) when:
   - the new result is unusable: rc != 0, missing/empty query map
     (the round-4 failure mode: a compile error left the bench empty and
     nothing noticed), or
+  - the new result reports per-query errors (Bench emits
+    "errors":["q…"] when a query throws — a broken query must not read
+    as a fast one), or
+  - the OLD side parses to an empty query map ("0 comparable queries"
+    is a gate failure, not a pass-through: round 6's official artifact
+    was truncated mid-marker and the gate silently degraded to
+    usability checks only), or
   - any query regresses more than THRESHOLD x vs the old artifact
     (both sides above MIN_SEC, so sub-jitter queries don't trip), or
   - more than 20% of the old queries vanished from the new map
@@ -14,17 +21,44 @@ fails (exit 1) when:
 Accepts both formats:
   - raw graft.Bench stdout line: {"metric":"total",...,"queries":{...}}
   - driver BENCH_r*.json wrapper: {"n":..,"rc":..,"tail":"..json line.."}
+    The driver truncates "tail" from the FRONT, which can cut the
+    '"queries":{' marker (BENCH_r06: tail begins ':{"q01_…'); three
+    extractors run in order: marker scan -> first '{"q' brace-balanced
+    map -> regex harvest of "qNN_name":float pairs.
 
 Usage:
   python3 tools/benchdiff.py <new.json> <old.json> [threshold] [min_sec]
   python3 tools/benchdiff.py --selftest
 """
 import json
+import re
 import sys
 
 THRESHOLD = 1.5
 MIN_SEC = 0.4
 MISSING_FRAC = 0.2
+
+# every suite query name starts with "q" (q01_…, qd…, qe…, qm…); the
+# lookahead demands a , or } terminator so a value cut mid-digits by the
+# driver's tail truncation is dropped instead of mis-parsed
+_PAIR_RE = re.compile(
+    r'"(q[a-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)(?=[,}])')
+
+
+def _balanced_map(seg):
+    """Parse a brace-balanced JSON object from the head of seg, or None."""
+    depth = 0
+    for j, ch in enumerate(seg):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    return json.loads(seg[: j + 1])
+                except ValueError:
+                    return None
+    return None
 
 
 def extract(obj):
@@ -38,16 +72,33 @@ def extract(obj):
     tail = obj.get("tail", "")
     i = tail.find('"queries":{')
     if i >= 0:
-        seg = tail[i + len('"queries":'):]
-        depth = 0
-        for j, ch in enumerate(seg):
-            if ch == "{":
-                depth += 1
-            elif ch == "}":
-                depth -= 1
-                if depth == 0:
-                    return rc, json.loads(seg[: j + 1])
-    return rc, {}
+        q = _balanced_map(tail[i + len('"queries":'):])
+        if q is not None:
+            return rc, q
+    # front-truncation cut the marker (BENCH_r06 shape): the queries map
+    # is the first {"q…  object in the tail
+    i = tail.find('{"q')
+    if i >= 0:
+        q = _balanced_map(tail[i:])
+        if q is not None:
+            return rc, q
+    # map cut at the END too: harvest whatever "qname":float pairs
+    # survived (better a partial diff than a vacuous gate)
+    pairs = _PAIR_RE.findall(tail)
+    return rc, {k: float(v) for k, v in pairs}
+
+
+def extract_errors(obj):
+    """-> list of failed query names reported by Bench (wrapper-aware)."""
+    if isinstance(obj.get("errors"), list):
+        return obj["errors"]
+    parsed = obj.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("errors"), list):
+        return parsed["errors"]
+    m = re.search(r'"errors":\[([^\]]*)\]', obj.get("tail", ""))
+    if m:
+        return [s.strip().strip('"') for s in m.group(1).split(",") if s.strip()]
+    return []
 
 
 def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
@@ -56,12 +107,19 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
     rc, new_q = extract(new_obj)
     if rc not in (None, 0):
         fails.append(f"new bench rc={rc} (expected 0)")
+    errs = extract_errors(new_obj)
+    if errs:
+        fails.append(f"new bench reports failed queries: {sorted(errs)}")
     if not new_q:
         fails.append("new bench has an EMPTY query map (r4 failure mode)")
         return fails
     _, old_q = extract(old_obj)
     if not old_q:
-        return fails  # nothing to diff against; usability checks only
+        # "nothing to diff against" must be loud: a truncated/unreadable
+        # baseline means the regression check never ran (r6 failure mode)
+        fails.append("old bench parsed to an EMPTY query map — 0 comparable "
+                     "queries, regression check did NOT run")
+        return fails
     missing = [q for q in old_q if q not in new_q]
     if len(missing) > MISSING_FRAC * len(old_q):
         fails.append(
@@ -97,6 +155,27 @@ def selftest():
     # driver-wrapper tail parsing
     wrapped = {"rc": 0, "tail": 'xx{"metric":"total","queries":{"q1":1.0,"q3":2.0}}'}
     assert extract(wrapped)[1] == {"q1": 1.0, "q3": 2.0}
+    # BENCH_r06 truncation shape: front-cut tail loses the '"queries":{'
+    # marker entirely; the first {"q… object must still be recovered
+    r6 = {"rc": 0, "tail": ':{"q01_pricing":0.71,"qd6_minhash":0.68},'
+                           '"sf":"/x"}\n[success] Total time: 77 s'}
+    assert extract(r6)[1] == {"q01_pricing": 0.71, "qd6_minhash": 0.68}, extract(r6)[1]
+    # tail cut at BOTH ends (no closing brace): regex harvest recovers pairs
+    both_cut = {"rc": 0, "tail": ':{"q01_pricing":0.71,"qd6_minhash":0.6'}
+    assert extract(both_cut)[1] == {"q01_pricing": 0.71}, extract(both_cut)[1]
+    # an unreadable OLD side must FAIL, not silently pass usability-only
+    assert any("0 comparable" in f
+               for f in diff(ok, {"rc": 0, "tail": "…[success]"}))
+    # per-query bench errors must trip, raw and wrapper forms
+    err_raw = {"rc": 0, "queries": {"q1": 0.1}, "errors": ["q1"]}
+    assert any("failed queries" in f for f in diff(err_raw, ok))
+    err_tail = {"rc": 0, "tail": '{"metric":"total","queries":{"q1":1.0,"q2":0.1,'
+                                 '"q3":2.0},"errors":["q3"],"sf":"/x"}'}
+    assert any("failed queries" in f for f in diff(err_tail, ok))
+    assert extract_errors(err_tail) == ["q3"]
+    # empty errors field is not a failure
+    no_err = {"rc": 0, "tail": '{"queries":{"q1":1.0,"q2":0.1,"q3":2.0},"errors":[],"sf":"/x"}'}
+    assert diff(no_err, ok) == [], diff(no_err, ok)
     # new queries are free; improvements are free
     grown = {"rc": 0, "queries": {"q1": 0.2, "q2": 0.1, "q3": 2.0, "q4": 9.0}}
     assert diff(grown, ok) == []
@@ -120,6 +199,7 @@ def main():
     _, new_q = extract(new_obj)
     _, old_q = extract(old_obj)
     both = [q for q in old_q if q in new_q]
+    print(f"parsed: new={len(new_q)} old={len(old_q)} comparable={len(both)}")
     if both:
         tot_old = sum(old_q[q] for q in both)
         tot_new = sum(new_q[q] for q in both)
