@@ -55,17 +55,41 @@ object Bench {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in the suite: $unknown")
     }
+    // Min-of-REPS steady-state timing: rounds 5 and 6 both burned
+    // judge/builder cycles on contiguous transient clusters in the
+    // single-shot artifact (GC pause / page-cache warmup inflating a
+    // window of untouched queries). The min over 2 runs is the
+    // post-JIT number and kills that noise class for ~60 s extra wall
+    // at sf0.1. SPARK_GRAFT_REPS=1 restores single-shot.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // A query that throws must NOT read as a fast one: its name goes
+    // into the "errors" field and tools/benchdiff.py fails the gate on
+    // a non-empty list (correctness itself is Verify's job).
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try run(fn) catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name FAILED: $e")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      if (failed) errors += name
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
