@@ -35,7 +35,9 @@ class RecallSpec extends AnyFunSuite {
     ("qd6_minhash_lsh", "sf0.01") -> 0.90, ("qd6_minhash_lsh", "sf0.1") -> 0.90,
     ("qd7_simhash", "sf0.01") -> 0.99, ("qd7_simhash", "sf0.1") -> 0.99,
     ("qe6_quantized_topk", "sf0.01") -> 0.80, ("qe6_quantized_topk", "sf0.1") -> 0.80,
-    ("qe7_truncated_rerank", "sf0.01") -> 0.50, ("qe7_truncated_rerank", "sf0.1") -> 0.50)
+    // r7: rerank pool n/10 -> n/5 lifted measured recall to 0.68/0.82;
+    // floors raised off the old one-unlucky-corpus margin (VERDICT r6 #5)
+    ("qe7_truncated_rerank", "sf0.01") -> 0.55, ("qe7_truncated_rerank", "sf0.1") -> 0.65)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -43,6 +45,7 @@ class RecallSpec extends AnyFunSuite {
   private def record(name: String, sf: Sf, recall: Double, vs: String): Unit = {
     val floor = floors(name -> sf.label)
     results(name -> sf.label) = (recall, floor, vs)
+    info(f"$name@${sf.label} recall $recall%.4f (floor $floor%.2f)")
     assert(recall >= floor,
       f"$name@${sf.label} recall $recall%.3f below floor $floor%.2f")
   }
@@ -125,7 +128,7 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(trunc, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe7_truncated_rerank", sf, hit.toDouble / n,
-        "qe1 exact top-5, 16/64-dim coarse + rerank-50")
+        "qe1 exact top-5, 16/64-dim coarse + n/5 rerank pool")
     }
   }
 
