@@ -21,11 +21,16 @@ object HadoopFs {
 
   private def fsOf(conf: Configuration, p: Path): FileSystem = p.getFileSystem(conf)
 
-  /** Modification time of `path` itself, 0 if absent. */
+  /** Modification time of `path` itself, 0 if absent. The exists /
+    * getFileStatus pair can race a concurrent delete — a path that
+    * vanishes between the two calls IS absent, so FNF maps to 0L
+    * rather than failing the probe (ADVICE r6).
+    */
   def mtimeOf(conf: Configuration, path: String): Long = {
     val p = new Path(path)
     val fs = fsOf(conf, p)
-    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+    try if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+    catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** Newest modification time under `path`: the path itself or any
@@ -38,22 +43,24 @@ object HadoopFs {
     val p = new Path(path)
     val fs = fsOf(conf, p)
     if (!fs.exists(p)) 0L
-    else {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else
-        try {
+    else
+      // the FNF guard covers the WHOLE post-exists probe (getFileStatus
+      // + recursive listing, ADVICE r6): a path or part file deleted
+      // after exists() returned true means "the source is changing
+      // right now", which must read as maximally fresh (forcing an
+      // index rebuild), not as a query failure
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else {
           var m = st.getModificationTime
           val it = fs.listFiles(p, true) // recursive: leaf files only
           while (it.hasNext) m = math.max(m, it.next().getModificationTime)
           m
-        } catch {
-          // a concurrent overwrite can delete a part file mid-iteration;
-          // "the source is changing right now" must read as maximally
-          // fresh (forcing an index rebuild), not as a query failure
-          case _: java.io.FileNotFoundException => Long.MaxValue
         }
-    }
+      } catch {
+        case _: java.io.FileNotFoundException => Long.MaxValue
+      }
   }
 
   /** Direct children of `path` as fully-qualified path strings; empty
@@ -62,9 +69,12 @@ object HadoopFs {
   def listChildren(conf: Configuration, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = fsOf(conf, p)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+    // same exists/getFileStatus/list race as mtimeOf: a directory
+    // deleted mid-probe is an absent directory, not a failure
+    try if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).map(_.getPath.toString).toIndexedSeq
     else Seq.empty
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   /** True when a persisted index at `indexDir` is missing or NOT NEWER

@@ -69,11 +69,16 @@ object TextStreaming {
     // evaluation. Released in the finally — a per-batch localCheckpoint
     // would pin blocks for the session's lifetime and leak storage
     // across an unbounded stream (the qd6 lesson applied here).
+    // persist() is a lazy marking (no job), so the val can sit outside
+    // the try; the materializing count() must be INSIDE it — if the
+    // signature computation fails, the finally still unpersists, or a
+    // foreachBatch retry loop leaks one pinned block set per attempt
+    // (ADVICE r6)
     val newSigs = TextQueries.signaturesOf(batch)
       .select("doc_id", "sig", "bands")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    newSigs.count()
     try {
+    newSigs.count()
     // history = STRICTLY PRIOR batches (batch < batchId), not merely
     // "not this batch": a replayed batch must see exactly the history
     // its original run saw — including its own previous write (replay

@@ -53,8 +53,10 @@ object VectorStreaming {
       .withColumn("bands", lshBandBuckets(col("vec"), BANDS, RBITS, 64))
       .select("vec_id", "vec", "nrm", "bands")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    newVecs.count()
+    // materializing count() inside the try: a failure here must still
+    // hit the finally unpersist (ADVICE r6; see TextStreaming)
     try {
+    newVecs.count()
     // strictly prior batches only — a replay must see exactly the
     // history its original run saw (see TextStreaming.processBatch);
     // base segments + live dirs resolved by BatchIndex
