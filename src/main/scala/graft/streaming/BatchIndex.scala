@@ -84,9 +84,16 @@ object BatchIndex {
     * `keepLast` newest live (the replay horizon) and only acting once
     * `minEligible` dirs are compactable (amortization). Idempotent and
     * safe to call after every batch.
+    *
+    * `onBaseWritten` is a crash-injection point for tests: it runs
+    * after the new base is complete and BEFORE the input dirs are
+    * retired — throwing there models a process kill in the window the
+    * crash-safety invariants are stated for. Production callers leave
+    * the default no-op.
     */
   def compact(spark: SparkSession, dir: String,
-      keepLast: Int = 3, minEligible: Int = 8): Unit = {
+      keepLast: Int = 3, minEligible: Int = 8,
+      onBaseWritten: () => Unit = () => ()): Unit = {
     val root = new Path(dir)
     val f = fs(spark, root)
     val base = newestBase(spark, dir)
@@ -106,6 +113,7 @@ object BatchIndex {
     val target = s"${baseRoot(dir)}/hi=$newHi"
     spark.read.parquet(base.map(_._2).toSeq ++ eligible.map(_._2): _*)
       .write.mode("overwrite").parquet(target)
+    onBaseWritten()
     // new base is complete: retire its inputs (reader already ignores
     // them, this just reclaims space)
     eligible.foreach { case (_, p) => f.delete(new Path(p), true) }

@@ -326,6 +326,80 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(deep.getMessage.contains("compaction horizon"))
   }
 
+  test("BatchIndex soak: 35 microbatches with per-batch compaction and a mid-compaction crash") {
+    // VERDICT r6 item 6: the unit invariants are stated, this drives
+    // them through a long stream. Twin A never compacts; twin B
+    // compacts after EVERY batch with a tight horizon, and at batch 17
+    // the compaction "process" is killed between the base write and
+    // the retirement deletes. Asserts: (a) live dir count stays
+    // bounded, (b) keep-first verdicts stay identical to the
+    // uncompacted twin the whole way, (c) the crash window leaves a
+    // readable duplicate-free view and the next compact GCs the
+    // leftovers.
+    import spark.implicits._
+    import graft.streaming.{BatchIndex, TextStreaming}
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val (idxA, outA) = (s"$root/a/index", s"$root/a/out")
+    val (idxB, outB) = (s"$root/b/index", s"$root/b/out")
+    val sigB = s"$idxB/signatures"
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text() = Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val batch0 = (1L to 5L).map(i => (i, text(), "en", "s", 0L))
+    // every batch k>0 ships one fresh doc and one exact dup of a
+    // batch-0 doc, so every batch's verdict depends on history that is
+    // eventually only reachable through base segments
+    def mkBatch(k: Long): Seq[(Long, String, String, String, Long)] =
+      if (k == 0) batch0
+      else Seq(
+        (k * 100 + 1, text(), "en", "s", 0L),
+        (k * 100 + 2, batch0((k % 5).toInt)._2, "en", "s", 0L))
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def liveDirs = Option(new java.io.File(sigB).listFiles())
+      .map(_.map(_.getName).count(_.startsWith("batch="))).getOrElse(0)
+    def baseDirs = Option(new java.io.File(s"${sigB}_base").listFiles())
+      .map(_.map(_.getName).toSeq.filter(_.startsWith("hi="))).getOrElse(Seq.empty)
+    def verdicts(out: String) = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    case class Crash() extends RuntimeException("injected mid-compaction kill")
+    var maxLive = 0
+    (0L to 34L).foreach { k =>
+      TextStreaming.processBatch(spark, df(mkBatch(k)), idxA, outA, k)
+      TextStreaming.processBatch(spark, df(mkBatch(k)), idxB, outB, k)
+      if (k == 17)
+        // killed between base write and input retirement: old base,
+        // absorbed live dirs and the new base all coexist on disk
+        intercept[Crash](BatchIndex.compact(spark, sigB, keepLast = 2,
+          minEligible = 4, onBaseWritten = () => throw Crash()))
+      else
+        BatchIndex.compact(spark, sigB, keepLast = 2, minEligible = 4)
+      maxLive = math.max(maxLive, liveDirs)
+      // (b) verdict parity at EVERY step — including the batches read
+      // off the crash-window state, which must not double-count the
+      // absorbed-but-undeleted live dirs
+      if (k == 17 || k == 18 || k == 34)
+        assert(verdicts(outA) == verdicts(outB),
+          s"compaction diverged from the uncompacted twin at batch $k")
+    }
+    // (a) bounded: keepLast=2 + minEligible=4 admits at most ~7 live
+    // dirs between compactions (plus the crash batch's leftovers)
+    assert(maxLive <= 9, s"live dir count not bounded over the soak: $maxLive")
+    assert(liveDirs <= 6, s"final live dirs not compacted: $liveDirs")
+    // (c) the post-crash compactions garbage-collected the leftovers:
+    // exactly one complete base remains
+    assert(baseDirs.size == 1, s"stale bases not GC'd after the crash: $baseDirs")
+    // full-history sanity: all 34 planted dups of batch-0 docs were
+    // flagged with their batch-0 originals as survivors
+    val vb = verdicts(outB)
+    (1L to 34L).foreach { k =>
+      assert(vb(k * 100 + 2) == Some((k % 5) + 1),
+        s"batch-$k planted dup missed (got ${vb(k * 100 + 2)})")
+    }
+  }
+
   test("multimodal feature extraction: real JDK codec decode on PNG + WAV payloads") {
     val media = Multimodal.syntheticMedia(spark, sf).cache()
     val feats = Multimodal.extractFeatures(spark, media).cache()
