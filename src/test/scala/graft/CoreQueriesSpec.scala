@@ -27,6 +27,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.forall(!_.matches("q\\d.*")), s"core queries missing oracle: $missing")
   }
 
+  test("lineitem->orders referential integrity (q22's single-scan rewrite assumes it)") {
+    // q22 sums pagos_totales/cobros_periodo THROUGH the orders join
+    // while the DuckDB oracle sums all of lineitem; the two agree only
+    // when every lineitem row carries a non-null l_orderkey that exists
+    // in orders (ADVICE r6). Pin the generator invariant here so a
+    // testdata change surfaces as this assertion, not as an opaque
+    // oracle hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = Tables.lineitem(spark, dir).select("l_orderkey")
+      assert(li.filter(col("l_orderkey").isNull).isEmpty,
+        s"$dir: null l_orderkey rows break q22's join-side payment sums")
+      val orphans = li.join(Tables.orders(spark, dir).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      assert(orphans.isEmpty,
+        s"$dir: orphaned lineitem rows break q22's join-side payment sums")
+    }
+  }
+
   test("q06 aging: TOTAL row equals sum of buckets, pct sums to ~1") {
     val rows = queries.CoreQueries.q06(spark, sf).collect()
     val total = rows.find(_.getString(0) == "TOTAL").get

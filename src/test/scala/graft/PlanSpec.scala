@@ -48,11 +48,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "aggregation left whole-stage codegen")
   }
 
-  test("q22 reuses the single lineitem aggregation exchange") {
+  test("q22 scans lineitem exactly once (single-consumer aggregation, r6 rewrite)") {
+    // The r6 rewrite exists because AQE silently killed the
+    // ReusedExchange the old two-branch shape depended on (two lineitem
+    // scans, 1.5x slower). Pin the invariant the rewrite bought:
+    // EXACTLY one lineitem scan, no reuse escape hatch — a refactor
+    // that regresses this should fail here, not in bench archaeology
+    // (VERDICT r6 item 7).
     val p = finalPlan(queries.KpiQueries.q22(spark, sf))
     val lineitemScans = "FileScan parquet[^\\n]*lineitem".r.findAllMatchIn(p).size
-    assert(p.contains("ReusedExchange") || lineitemScans <= 1,
-      s"lineitem should be scanned once via exchange reuse (scans=$lineitemScans)")
+    assert(lineitemScans == 1,
+      s"q22 must scan lineitem exactly once (scans=$lineitemScans)")
   }
 
   test("q29 broadcasts the supplier dimension") {
