@@ -6,6 +6,47 @@ import org.apache.spark.sql.SparkSession
   * one JSON line on stdout (driver contract).
   */
 object Bench {
+
+  /** Min-of-`reps` timing over named thunks. A thunk that throws stops
+    * its rep loop, logs to stderr, and lands in the returned error
+    * list — a broken query must NOT read as a fast one (its
+    * time-to-failure still appears in the map, but the gate fails on
+    * the error list). Factored out of main so the planted-failure
+    * contract is unit-testable without a SparkSession.
+    */
+  def timeQueries(qs: Seq[(String, () => Unit)],
+      reps: Int): (Seq[(String, Double)], Seq[String]) = {
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val results = qs.map { case (name, thunk) =>
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try thunk() catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name FAILED: $e")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      if (failed) errors += name
+      name -> best
+    }
+    (results, errors.toSeq)
+  }
+
+  /** The driver-contract JSON line (one line, stdout). */
+  def renderLine(results: Seq[(String, Double)], errors: Seq[String],
+      sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,34 +103,12 @@ object Bench {
     // post-JIT number and kills that noise class for ~60 s extra wall
     // at sf0.1. SPARK_GRAFT_REPS=1 restores single-shot.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    // A query that throws must NOT read as a fast one: its name goes
-    // into the "errors" field and tools/benchdiff.py fails the gate on
-    // a non-empty list (correctness itself is Verify's job).
-    val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var best = Double.MaxValue
-      var failed = false
-      var r = 0
-      while (r < reps && !failed) {
-        val t0 = System.nanoTime()
-        try run(fn) catch {
-          case e: Throwable =>
-            failed = true
-            System.err.println(s"[bench] $name FAILED: $e")
-        }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        r += 1
-      }
-      if (failed) errors += name
-      name -> best
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val (results, errors) = timeQueries(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) => name -> (() => run(fn)) },
+      reps)
+    println(renderLine(results, errors, sfDir))
     spark.stop()
   }
 }
