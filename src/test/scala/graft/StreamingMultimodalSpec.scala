@@ -273,6 +273,58 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/vectors").count() == 19)
   }
 
+  test("vector streaming compaction: near-dups found through base segments, twin parity") {
+    // The text path's compaction is soak-tested above; this pins the
+    // VECTOR path's wiring of the same BatchIndex lifecycle (its index
+    // rows carry vec/nrm/bands columns — a schema drift in the base
+    // union or a wrong subdir in compactIndex would only surface here).
+    import spark.implicits._
+    import graft.streaming.VectorStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_vcompact").toString
+    val (idxA, outA) = (s"$root/a/index", s"$root/a/out") // never compacted
+    val (idxB, outB) = (s"$root/b/index", s"$root/b/out") // compacted per batch
+    val rnd = new scala.util.Random(29)
+    def vec() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val originals = (1L to 5L).map(i => (i, "a", vec()))
+    def noisy(v: Seq[Float]) = v.map(x => x * (1f + 0.02f * rnd.nextGaussian().toFloat))
+    // batch k>0: one fresh vector + one near-copy of a batch-0 original
+    def mkBatch(k: Long) =
+      if (k == 0) originals.toDF("vec_id", "label", "embedding")
+      else Seq(
+        (k * 100 + 1, "a", vec()),
+        (k * 100 + 2, "a", noisy(originals((k % 5).toInt)._3)))
+        .toDF("vec_id", "label", "embedding")
+    (0L to 12L).foreach { k =>
+      val b = mkBatch(k)
+      VectorStreaming.processBatch(spark, b, idxA, outA, k)
+      VectorStreaming.processBatch(spark, b, idxB, outB, k)
+      VectorStreaming.compactIndex(spark, idxB, keepLast = 2, minEligible = 4)
+    }
+    def dirs(p: String) = Option(new java.io.File(p).listFiles())
+      .map(_.map(_.getName).toSeq.sorted).getOrElse(Seq.empty)
+    assert(dirs(s"$idxB/vectors").count(_.startsWith("batch=")) <= 6,
+      s"live dirs not bounded: ${dirs(s"$idxB/vectors")}")
+    assert(dirs(s"$idxB/vectors_base").exists(_.startsWith("hi=")),
+      "no base segment written")
+    def verdicts(out: String) = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val (va, vb) = (verdicts(outA), verdicts(outB))
+    assert(va == vb, s"compaction changed verdicts: ${va.toSet.diff(vb.toSet)}")
+    // the batch-12 near-copy's original (vec 3) is only reachable
+    // through the base segment by then
+    assert(vb(1202L) == Some(3L), "near-dup of a base-segment vector missed")
+    // the compacted view (base + unabsorbed live dirs) carries every
+    // vector EXACTLY once — neither lost by the union nor duplicated
+    // by a retirement miss
+    val view = spark.read.parquet(
+      (dirs(s"$idxB/vectors_base").map(d => s"$idxB/vectors_base/$d") ++
+        dirs(s"$idxB/vectors").filter(_.startsWith("batch="))
+          .map(d => s"$idxB/vectors/$d")): _*)
+    assert(view.count() == va.size, "compacted view lost or duplicated rows")
+    assert(view.select("vec_id").distinct.count() == va.size)
+  }
+
   test("streaming index compaction: bounded dirs, identical verdicts, replay safety") {
     import spark.implicits._
     import graft.streaming.TextStreaming
