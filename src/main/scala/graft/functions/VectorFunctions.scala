@@ -46,6 +46,11 @@ object VectorFunctions {
         exprs(3).eval().asInstanceOf[Int],
         exprs(4).eval().asInstanceOf[Long]),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_any",
+      exprs => graft.functions.expr.BloomAnyContain(exprs(0),
+        exprs(1).eval().asInstanceOf[Array[Byte]]),
+      "built-in")
   }
 
   /** Dot product via the native codegen expression

@@ -412,6 +412,49 @@ object TextQueries {
       |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
       |WHERE g.doc_id % 50 <> 0""".stripMargin
 
+  // --------------------------------------------------------------- qd13b
+  /** Bloom-filter decontamination — the 100 TB shape of qd13. The
+    * inverted-index join above shuffles every corpus gram; at scale the
+    * eval suite is tiny and FIXED while the corpus is the 100 TB side,
+    * so the right plan aggregates the EVAL grams into a kilobyte-scale
+    * Bloom filter once (the offline stage, like ivfBuild) and probes it
+    * from a map-only corpus scan via the native `BloomAnyContain`
+    * expression — zero corpus shuffle, cost = one pass + a broadcast
+    * literal. Approximation is one-sided: a Bloom filter cannot
+    * false-negative, so every doc qd13 flags is flagged here (recall
+    * 1.0 by construction, pinned in RecallSpec) and over-flagging is
+    * bounded by the build fpp (precision floored in the same test). Not
+    * SQL-expressible in DuckDB (sketch internals), so no oracle — the
+    * driver records the rows-only check like qd6/qe2.
+    */
+  def qd13b(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(s)
+    val g = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 5)))
+      .select("doc_id", "grams")
+    val evalGrams = g.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("grams")).as("gram"))
+    // build stage: two tiny eval-side jobs (distinct count sizes the
+    // filter, the aggregation fills it) — this is the part a real
+    // deployment runs once per eval-suite release and persists.
+    // fpp is PER GRAM PROBE and a doc probes every one of its grams
+    // (hundreds), so the per-doc false-flag rate compounds to
+    // 1-(1-fpp)^grams — at 1e-2 that flagged ~all docs (measured);
+    // 1e-6 keeps per-doc FP ~3e-4 at 300 grams for ~29 bits/gram
+    // (a 1M-gram eval suite is still a ~3.6 MB broadcast)
+    val nGrams = math.max(evalGrams.distinct().count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("gram", nGrams, 1e-6)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    g.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        call_function("graft_bloom_any", col("grams"), lit(bytes))
+          .as("contaminated"))
+  }
+
   // --------------------------------------------------------------- qd14
   /** PII / URL scrubbing: redact emails and URLs from text — the
     * pretraining privacy-hygiene transform. The corpus has no natural
@@ -868,6 +911,7 @@ object TextQueries {
     "qd11_hash_sample" -> (qd11 _),
     "qd12_token_histogram" -> (qd12 _),
     "qd13_decontamination" -> (qd13 _),
+    "qd13b_decontam_bloom" -> (qd13b _),
     "qd14_pii_scrub" -> (qd14 _),
     "qd15_sequence_pack" -> (qd15 _),
     "qd16_repetition" -> (qd16 _),

@@ -197,6 +197,31 @@ object GraftProperties extends Properties("graft") {
       r.getSeq[Long](0) == r.getSeq[Long](1)
     }
 
+  // the Bloom probe's structural guarantee: a filter can false-positive
+  // but NEVER false-negative — any array holding an inserted string
+  // must return true through the native expression (both the
+  // interpreted eval and the codegen'd projection path)
+  property("bloom any-contain: inserted strings always hit") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { (inserted, noise) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(inserted.size.toLong, 1L), 0.01)
+      inserted.foreach(bf.putString)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+      }
+      graft.functions.VectorFunctions.registerNative(spark)
+      val df = Seq(
+        Tuple1(noise :+ inserted.head),       // contains an inserted gram
+        Tuple1(List.empty[String])            // empty array: vacuously false
+      ).toDF("grams").select(
+        org.apache.spark.sql.functions.call_function(
+          "graft_bloom_any", col("grams"),
+          org.apache.spark.sql.functions.lit(bytes)).as("hit"))
+      val r = df.collect()
+      r(0).getBoolean(0) && !r(1).getBoolean(0)
+    }
+
   property("native word n-grams equal the HOF formulation exactly") =
     forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)), Gen.chooseNum(1, 5)) { (toks, n) =>
       val df = Seq(Tuple1(toks)).toDF("t")

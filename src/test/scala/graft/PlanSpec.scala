@@ -121,6 +121,18 @@ class PlanSpec extends AnyFunSuite {
     assert(full.contains("graft_lsh_buckets"), "native bucket expr missing from plan")
   }
 
+  test("qd13b probe is map-only: Bloom literal in-plan, zero Exchange, codegen'd") {
+    // the operator's entire point at 100 TB: the corpus side must be a
+    // pure scan→project (the eval-side filter rides in as a literal),
+    // never a shuffle of corpus grams like qd13's inverted index
+    val df = queries.TextQueries.qd13b(spark, sf)
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange"), "broadcast-sketch probe must not shuffle the corpus")
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("graft_bloom_any"), "native Bloom probe missing from plan")
+    assert(p.contains("*("), "probe projection left whole-stage codegen")
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
     val df = queries.CoreQueries.q10(spark, sf)
     df.collect()

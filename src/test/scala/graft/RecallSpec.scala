@@ -37,7 +37,10 @@ class RecallSpec extends AnyFunSuite {
     ("qe6_quantized_topk", "sf0.01") -> 0.80, ("qe6_quantized_topk", "sf0.1") -> 0.80,
     // r7: rerank pool n/10 -> n/5 lifted measured recall to 0.68/0.82;
     // floors raised off the old one-unlucky-corpus margin (VERDICT r6 #5)
-    ("qe7_truncated_rerank", "sf0.01") -> 0.55, ("qe7_truncated_rerank", "sf0.1") -> 0.65)
+    ("qe7_truncated_rerank", "sf0.01") -> 0.55, ("qe7_truncated_rerank", "sf0.1") -> 0.65,
+    // a Bloom filter cannot false-negative: 1.0 is a structural
+    // guarantee, so any miss is a bug, not an unlucky corpus
+    ("qd13b_bloom_decontam", "sf0.01") -> 1.0, ("qd13b_bloom_decontam", "sf0.1") -> 1.0)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -117,6 +120,21 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(quant, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe6_quantized_topk", sf, hit.toDouble / n, "qe1 exact top-5, int8 SQ")
+    }
+
+    test(s"qd13b Bloom decontamination: no false negatives vs exact qd13, precision bounded [${sf.label}]") {
+      val exact = queries.TextQueries.qd13(spark, sf.dir)
+        .filter(col("contaminated")).select("doc_id")
+      val bloom = queries.TextQueries.qd13b(spark, sf.dir)
+        .filter(col("contaminated")).select("doc_id")
+      val n = exact.count()
+      val hit = exact.join(bloom, Seq("doc_id"), "left_semi").count()
+      record("qd13b_bloom_decontam", sf, hit.toDouble / n, "exact qd13 gram-join flags")
+      // over-flagging is the fpp side: with fpp 0.01 per gram probe the
+      // per-doc flag precision stays near 1 (a doc needs only one of
+      // its ~dozens of grams to false-positive, so leave headroom)
+      val prec = hit.toDouble / bloom.count()
+      assert(prec >= 0.9, f"qd13b precision $prec%.3f below 0.9 — fpp drifted")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {
