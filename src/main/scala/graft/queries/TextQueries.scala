@@ -427,31 +427,52 @@ object TextQueries {
     * SQL-expressible in DuckDB (sketch internals), so no oracle — the
     * driver records the rows-only check like qd6/qe2.
     */
-  def qd13b(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.registerNative(s)
-    val g = docs(s, dir)
-      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 5)))
-      .select("doc_id", "grams")
-    val evalGrams = g.filter(col("doc_id") % 50 === 0)
-      .select(explode(col("grams")).as("gram"))
-    // build stage: two tiny eval-side jobs (distinct count sizes the
-    // filter, the aggregation fills it) — this is the part a real
-    // deployment runs once per eval-suite release and persists.
-    // fpp is PER GRAM PROBE and a doc probes every one of its grams
-    // (hundreds), so the per-doc false-flag rate compounds to
-    // 1-(1-fpp)^grams — at 1e-2 that flagged ~all docs (measured);
-    // 1e-6 keeps per-doc FP ~3e-4 at 300 grams for ~29 bits/gram
-    // (a 1M-gram eval suite is still a ~3.6 MB broadcast)
+  def bloomIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_bloom_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Offline build: aggregate the eval slice's grams into a Bloom
+    * filter and persist it (one-row binary parquet — FS-agnostic,
+    * `_SUCCESS`-gated like the other index artifacts). Two tiny
+    * eval-side jobs: the distinct count sizes the filter, the
+    * aggregation fills it. fpp is PER GRAM PROBE and a doc probes
+    * every one of its grams (hundreds), so the per-doc false-flag
+    * rate compounds to 1-(1-fpp)^grams — at 1e-2 that flagged ~all
+    * docs (measured); 1e-6 keeps per-doc FP ~3e-4 at 300 grams for
+    * ~29 bits/gram (a 1M-gram eval suite is still a ~3.6 MB filter).
+    */
+  def bloomBuild(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val evalGrams = docs(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
     val nGrams = math.max(evalGrams.distinct().count(), 1L)
     val bf = evalGrams.stat.bloomFilter("gram", nGrams, 1e-6)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    g.filter(col("doc_id") % 50 =!= 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("filter")
+      .write.mode("overwrite").parquet(s"$path/filter")
+  }
+
+  /** The persisted filter bytes, rebuilding when absent or older than
+    * the documents source (same staleness lifecycle as the MinHash /
+    * IVF indexes — a real deployment rebuilds once per eval-suite
+    * release, every query after that pays one small-file read).
+    */
+  private def bloomFilterBytes(s: SparkSession, dir: String): Array[Byte] = {
+    val path = bloomIndexPath(dir)
+    if (indexStale(s, s"$path/filter", s"$dir/documents.parquet"))
+      bloomBuild(s, dir, path)
+    s.read.parquet(s"$path/filter").head().getAs[Array[Byte]](0)
+  }
+
+  def qd13b(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(s)
+    val bytes = bloomFilterBytes(s, dir)
+    docs(s, dir)
+      .filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"),
-        call_function("graft_bloom_any", col("grams"), lit(bytes))
+        call_function("graft_bloom_any",
+          array_distinct(wordGrams(tokens(col("text")), 5)), lit(bytes))
           .as("contaminated"))
   }
 
