@@ -458,7 +458,7 @@ object TextQueries {
     * IVF indexes — a real deployment rebuilds once per eval-suite
     * release, every query after that pays one small-file read).
     */
-  private def bloomFilterBytes(s: SparkSession, dir: String): Array[Byte] = {
+  private[graft] def bloomFilterBytes(s: SparkSession, dir: String): Array[Byte] = {
     val path = bloomIndexPath(dir)
     if (indexStale(s, s"$path/filter", s"$dir/documents.parquet"))
       bloomBuild(s, dir, path)

@@ -129,6 +129,27 @@ object TextStreaming {
     } finally newSigs.unpersist(blocking = false)
   }
 
+  /** Stateless streaming decontamination: probe every incoming doc's
+    * grams against the persisted eval-suite Bloom filter (qd13b's
+    * artifact, rebuilt offline per eval-suite release). The filter is
+    * resolved ONCE at stream start and rides into the incremental plan
+    * as a literal, so this stage is a pure map — no state store, no
+    * watermark, no shuffle, and exact parity with the batch operator
+    * by construction (unlike dedup, decontamination needs no history:
+    * the reference set is fixed, which is why THIS streaming shape is
+    * trivially safe where dedup needed the disk-backed index).
+    */
+  def decontaminate(spark: SparkSession, docsStream: DataFrame,
+      dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(spark)
+    val bytes = TextQueries.bloomFilterBytes(spark, dir)
+    docsStream.select(col("doc_id"),
+      call_function("graft_bloom_any",
+        array_distinct(graft.functions.TextFunctions.wordGrams(
+          graft.functions.TextFunctions.tokens(col("text")), 5)),
+        lit(bytes)).as("contaminated"))
+  }
+
   /** Bound the one-dir-per-microbatch index growth (safe after every
     * batch; see BatchIndex for the crash/replay invariants).
     */

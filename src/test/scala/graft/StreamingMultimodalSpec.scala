@@ -240,6 +240,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("streaming decontamination: stateless Bloom probe matches batch qd13b exactly") {
+    import graft.streaming.TextStreaming
+    val dir = "/root/testdata/sf0.001"
+    val q = TextStreaming.decontaminate(spark, TextStreaming.readDocs(spark, dir), dir)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("decontam_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the streaming stage probes EVERY incoming doc (eval membership is
+    // a batch-construction artifact); corpus docs must agree with the
+    // batch operator flag-for-flag, and eval-slice docs — whose grams
+    // are all IN the filter — must flag by definition
+    val batch = queries.TextQueries.qd13b(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch.nonEmpty && batch.forall { case (id, f) =>
+      streamed.get(id).contains(f) }, "streaming flags diverge from batch qd13b")
+    val evalIds = streamed.keys.filter(_ % 50 == 0).toSeq
+    assert(evalIds.nonEmpty && evalIds.forall(streamed(_)),
+      "an eval-slice doc (grams inserted by construction) was not flagged")
+  }
+
   test("streaming embedding dedup: planted near-copies flagged across batches, replay-idempotent") {
     import spark.implicits._
     import graft.streaming.VectorStreaming
