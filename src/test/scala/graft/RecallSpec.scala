@@ -160,6 +160,13 @@ class RecallSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/RECALL.json"),
       s"{\n  $bySf\n}\n")
-    assert(results.size == 14, "seven recall measurements at each of two sfs")
+    // every floored operator must have recorded at BOTH sfs — derive
+    // the expected count from the floors map so adding an operator
+    // can't silently leave the artifact partial (and the count can't
+    // go stale the way the hard-coded 14 did when qd13b landed)
+    assert(results.size == floors.size,
+      s"recorded ${results.size} measurements, floors define ${floors.size}")
+    assert(floors.keySet.forall(results.contains),
+      s"missing measurements for: ${floors.keySet -- results.keySet}")
   }
 }
