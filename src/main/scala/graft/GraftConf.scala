@@ -55,6 +55,18 @@ object GraftConf {
   val paretoTwoPhaseBytesKey = "graft.pareto.twoPhase.bytes"
   val paretoTwoPhaseBytesDefault: Long = 256L << 20
 
+  /** Connected-components auto-dispatch: flip from the driver-side
+    * union-find to the distributed alternating-star rounds when the
+    * canonical (deduplicated, self-loop-free) edge set exceeds this many
+    * edges. Same philosophy as the Pareto threshold: the tiny regime
+    * takes the exact single-pass shape (a million-edge union-find is
+    * ~32 MB collected and microseconds of driver CPU — cheaper than ONE
+    * distributed round), and a dup-graph blow-up flips to the O(log n)
+    * shuffle rounds instead of silently collecting the world.
+    */
+  val ccDistributedEdgesKey = "graft.cc.distributed.edges"
+  val ccDistributedEdgesDefault: Long = 1L << 20
+
   /** Z-score outlier threshold (reference uses 3.0,
     * /root/reference/config/settings.py:84-91; the bench data is uniform so
     * |z| maxes out ≈ 1.73 — queries use 1.5 to exercise the flag).

@@ -578,6 +578,57 @@ object VectorQueries {
       s.read.parquet(s"$path/centroids"))
   }
 
+  // ---------------------------------------------------------------- qe8
+  /** Duplicate-cluster assignment: label every vector with the minimum
+    * vec_id of its connected component in the qe4 near-dup pair graph
+    * (cosine ≥ 0.4) plus the component size — the transitive-closure
+    * step between pair generation and keep-one-per-cluster that qe4's
+    * pairwise `keep` flag cannot express (A~B, B~C, A≁C keeps both A
+    * and C; cluster dedup keeps only A). Components via
+    * [[graft.operators.ConnectedComponents]], which auto-dispatches on
+    * edge count: this corpus' pair graph collapses to a driver-side
+    * union-find (one collect of the deduplicated edges), while a
+    * corpus-scale dup graph takes the alternating large-star/small-star
+    * rounds (O(log n) shuffles — survives the chain-shaped dup graphs
+    * that make label propagation O(diameter)). The pair source here is
+    * the exact all-pairs join so the DuckDB recursive-CTE oracle
+    * replicates the edge set bit-for-bit; at corpus scale it swaps to
+    * qe4b's banded-LSH candidates — the clustering stage only ever sees
+    * the edge list, so the swap is one line.
+    */
+  def qe8(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.4
+    val e = embs(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    // ida < idb: each undirected pair scored once; CC symmetrizes inside
+    val pairs = a.join(b, col("ida") < col("idb"))
+      .filter(dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6) >= t)
+      .select(col("ida"), col("idb"))
+    graft.operators.ConnectedComponents.clusters(pairs, e.select(col("vec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  private val qe8Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS u, b.vec_id AS v
+      |  FROM n a, n b
+      |  WHERE a.vec_id <> b.vec_id
+      |    AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.40),
+      |reach(u, v) AS (
+      |  SELECT vec_id, vec_id FROM e
+      |  UNION
+      |  SELECT r.u, p.v FROM reach r JOIN pairs p ON r.v = p.u),
+      |cl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT vec_id, cluster_id,
+      |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM cl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -589,6 +640,7 @@ object VectorQueries {
     "qe5b_ann_ivf_probe" -> (qe5b _),
     "qe6_quantized_topk" -> (qe6 _),
     "qe7_truncated_rerank" -> (qe7 _),
+    "qe8_dup_clusters" -> (qe8 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -605,6 +657,7 @@ object VectorQueries {
     "qe4c_embedding_dedup_lsh_t08" -> qe4SqlAt("0.8"),
     "qe6_quantized_topk" -> qe6Sql,
     "qe7_truncated_rerank" -> qe7Sql,
+    "qe8_dup_clusters" -> qe8Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }
