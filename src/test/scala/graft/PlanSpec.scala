@@ -133,6 +133,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "probe projection left whole-stage codegen")
   }
 
+  test("qe8 label join broadcasts on the driver union-find path (no shuffle join)") {
+    // the small regime's whole point is that cluster labels come back
+    // as a broadcast-sized frame — a SortMergeJoin here means the
+    // dispatch or the explicit broadcast() regressed
+    val p = finalPlan(queries.VectorQueries.qe8(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "labels must broadcast-join the vertices")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join in the qe8 label join")
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
     val df = queries.CoreQueries.q10(spark, sf)
     df.collect()
