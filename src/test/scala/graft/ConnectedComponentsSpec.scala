@@ -65,6 +65,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("star path handles a 150-node near-critical graph with giant components") {
+    // denser and larger than the property cases: mean degree ~1.5 puts
+    // the graph past the percolation threshold, so the star rounds must
+    // merge multi-hundred-edge giant components, not just pairs/triples
+    val n = 150
+    val rnd = new scala.util.Random(11)
+    val edges = for {
+      i <- 0L until n.toLong
+      j <- (i + 1) until n.toLong
+      if rnd.nextDouble() < 0.01
+    } yield (i, j)
+    val expect = unionFind(n, edges)
+    assert(expect.values.toSet.size < n / 2, "graph should have large components")
+    val (got, rounds) = run(n, edges, Some(true))
+    assert(got === expect, s"star path mismatch on the giant-component graph (${edges.size} edges)")
+    assert(rounds <= 15, s"giant components took $rounds rounds")
+  }
+
   test("a leaf shared by two centers is not mistaken for a star fixpoint") {
     // {(14,25),(16,25)}: a-side and b-side are disjoint, but 25 is a
     // leaf of BOTH 14 and 16 — the whole set is ONE component. A

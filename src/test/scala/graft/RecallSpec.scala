@@ -130,9 +130,11 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(bloom, Seq("doc_id"), "left_semi").count()
       record("qd13b_bloom_decontam", sf, hit.toDouble / n, "exact qd13 gram-join flags")
-      // over-flagging is the fpp side: with fpp 0.01 per gram probe the
-      // per-doc flag precision stays near 1 (a doc needs only one of
-      // its ~dozens of grams to false-positive, so leave headroom)
+      // over-flagging is the fpp side: the build's 1e-6 per-gram fpp
+      // compounds over a doc's hundreds of gram probes to ~3e-4 per
+      // doc (see bloomBuild), so flag precision stays near 1 — 0.9
+      // leaves headroom for an unlucky corpus without masking an fpp
+      // regression (at build fpp 1e-2 this assertion fails hard)
       val prec = hit.toDouble / bloom.count()
       assert(prec >= 0.9, f"qd13b precision $prec%.3f below 0.9 — fpp drifted")
     }
