@@ -37,14 +37,25 @@ object Bench {
     (results, errors.toSeq)
   }
 
+  /** JSON string-escape: sfDir is env-controlled (quotes/backslashes in
+    * the path would otherwise emit a line json.loads rejects, and the
+    * gate would misreport it as the empty-query-map failure mode).
+    */
+  private def jesc(sv: String): String = sv.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
   /** The driver-contract JSON line (one line, stdout). */
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
       sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jesc(sfDir)}"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -42,12 +42,17 @@ case class BloomAnyContain(child: Expression, bloomBytes: Array[Byte])
 
   def bloomFilter: BloomFilter = bloom
 
+  // Null ELEMENTS are skipped (a null gram is not in any filter):
+  // inputTypes admits ArrayType(StringType, containsNull = true), so a
+  // caller of the registered SQL function can legally pass
+  // array('x', NULL) — that must probe 'x', not NPE.
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var i = 0
     while (i < n) {
-      if (bloom.mightContainBinary(a.getUTF8String(i).getBytes)) return true
+      if (!a.isNullAt(i) &&
+        bloom.mightContainBinary(a.getUTF8String(i).getBytes)) return true
       i += 1
     }
     false
@@ -64,7 +69,7 @@ case class BloomAnyContain(child: Expression, bloomBytes: Array[Byte])
          |boolean $hit = false;
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n && !$hit; $i++) {
-         |  $hit = $self.bloomFilter().mightContainBinary(
+         |  $hit = !$a.isNullAt($i) && $self.bloomFilter().mightContainBinary(
          |    $a.getUTF8String($i).getBytes());
          |}
          |${ev.value} = $hit;

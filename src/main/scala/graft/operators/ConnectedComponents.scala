@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -34,10 +35,14 @@ import graft.GraftConf
   * Each distributed round's edge set is localCheckpoint-ed: the
   * convergence probe and the next round's lineage must see the SAME
   * materialized set (same rationale as Pareto's two-phase pinning), and
-  * without it the lineage doubles every round. Intermediate checkpoints
-  * are dropped for GC as soon as the next round lands; only the final
-  * star set (≤ one edge per non-canonical node) stays referenced by the
-  * returned plan.
+  * without it the PLAN doubles every round (each star op references its
+  * input twice). A spent round's checkpoint blocks are unpersisted
+  * EXPLICITLY as soon as the next round materializes — waiting for the
+  * ContextCleaner to GC the dropped RDD reference would pin up to
+  * rounds× the edge set in storage between GC cycles, the block-pinning
+  * class the qd6 localCheckpoint removal (r6) was about. Only the final
+  * star set (≤ one edge per non-canonical node) stays live, referenced
+  * by the returned plan.
   *
   * Convergence is detected by star-ness itself — the paper's fixpoints
   * are exactly the unions of stars, i.e. canonical edge sets whose min
@@ -89,7 +94,13 @@ object ConnectedComponents {
       .localCheckpoint()
     val useStars = distributed.getOrElse(cur.count() > threshold(cur))
     val (starEdges, rounds) =
-      if (useStars) alternatingStars(cur) else (driverUnionFind(cur), 0)
+      if (useStars) alternatingStars(cur)
+      else {
+        // union-find collects the edges; the initial checkpoint is spent
+        val uf = driverUnionFind(cur)
+        freeCheckpoint(cur)
+        (uf, 0)
+      }
     val labels = vertices.select(col(vertices.columns.head).as("id"))
       .join(starEdges.select(col("b").as("id"), col("a").as("_cc")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_cc"), col("id")).as("cluster_id"))
@@ -115,10 +126,25 @@ object ConnectedComponents {
       require(rounds <= MaxRounds,
         s"connected components did not converge in $MaxRounds rounds — " +
           "algorithm regression (expected O(log n) alternating-star rounds)")
-      cur = star(star(cur, large = true), large = false).localCheckpoint()
+      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      // next is eagerly materialized with truncated lineage, so the
+      // previous round's blocks are dead — release them now
+      freeCheckpoint(cur)
+      cur = next
     }
     (cur, rounds)
   }
+
+  /** Unpersist a spent localCheckpoint's RDD blocks. `Dataset.unpersist`
+    * only clears CacheManager entries; a checkpoint's blocks belong to
+    * the `LogicalRDD`-wrapped RDD and otherwise live until the
+    * ContextCleaner happens to GC it.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Small regime: path-compressed union-by-min over the collected edge
     * list, returned as a broadcast-sized (component-min, member) frame

@@ -465,15 +465,24 @@ object TextQueries {
     s.read.parquet(s"$path/filter").head().getAs[Array[Byte]](0)
   }
 
+  /** The qd13b probe column over a `text` column — ONE definition shared
+    * with the streaming twin ([[graft.streaming.TextStreaming.decontaminate]])
+    * so the gram derivation can never diverge between batch and stream.
+    * Null text (no grams) coalesces to clean=false, matching exact
+    * qd13's coalesce-to-0 — flag-for-flag parity includes the null row.
+    */
+  private[graft] def bloomProbe(bytes: Array[Byte]): Column =
+    coalesce(
+      call_function("graft_bloom_any",
+        array_distinct(wordGrams(tokens(col("text")), 5)), lit(bytes)),
+      lit(false))
+
   def qd13b(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.registerNative(s)
     val bytes = bloomFilterBytes(s, dir)
     docs(s, dir)
       .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"),
-        call_function("graft_bloom_any",
-          array_distinct(wordGrams(tokens(col("text")), 5)), lit(bytes))
-          .as("contaminated"))
+      .select(col("doc_id"), bloomProbe(bytes).as("contaminated"))
   }
 
   // --------------------------------------------------------------- qd14

@@ -143,11 +143,11 @@ object TextStreaming {
       dir: String): DataFrame = {
     graft.functions.VectorFunctions.registerNative(spark)
     val bytes = TextQueries.bloomFilterBytes(spark, dir)
+    // probe column is TextQueries.bloomProbe — the SAME definition the
+    // batch qd13b selects, so gram derivation cannot drift between the
+    // batch and streaming paths
     docsStream.select(col("doc_id"),
-      call_function("graft_bloom_any",
-        array_distinct(graft.functions.TextFunctions.wordGrams(
-          graft.functions.TextFunctions.tokens(col("text")), 5)),
-        lit(bytes)).as("contaminated"))
+      TextQueries.bloomProbe(bytes).as("contaminated"))
   }
 
   /** Bound the one-dir-per-microbatch index growth (safe after every

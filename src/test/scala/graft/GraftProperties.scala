@@ -213,13 +213,18 @@ object GraftProperties extends Properties("graft") {
       graft.functions.VectorFunctions.registerNative(spark)
       val df = Seq(
         Tuple1(noise :+ inserted.head),       // contains an inserted gram
-        Tuple1(List.empty[String])            // empty array: vacuously false
+        Tuple1(List.empty[String]),           // empty array: vacuously false
+        // null ELEMENTS are legal for ArrayType(String, containsNull) and
+        // must be skipped (no gram), not NPE — in both positions
+        Tuple1(List(null.asInstanceOf[String], inserted.head)),
+        Tuple1(List(null.asInstanceOf[String]))
       ).toDF("grams").select(
         org.apache.spark.sql.functions.call_function(
           "graft_bloom_any", col("grams"),
           org.apache.spark.sql.functions.lit(bytes)).as("hit"))
       val r = df.collect()
-      r(0).getBoolean(0) && !r(1).getBoolean(0)
+      r(0).getBoolean(0) && !r(1).getBoolean(0) &&
+        r(2).getBoolean(0) && !r(3).getBoolean(0)
     }
 
   property("native word n-grams equal the HOF formulation exactly") =

@@ -339,4 +339,21 @@ class TextVectorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
   }
+
+  test("qd13b probe column: null text is clean=false, matching exact qd13") {
+    // exact qd13 coalesces a null-text doc's n_shared to 0 → false;
+    // the Bloom probe must agree flag-for-flag, not emit NULL (the
+    // streaming parity test reads the column with getBoolean)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    bf.putString("a b c d e")
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val rows = Seq(("a b c d e f", true), (null: String, false), ("short text", false))
+      .toDF("text", "expect")
+    val got = rows.select(col("expect"),
+      graft.queries.TextQueries.bloomProbe(bos.toByteArray).as("got")).collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1), "probe must never be NULL")
+      assert(r.getBoolean(1) === r.getBoolean(0))
+    }
+  }
 }

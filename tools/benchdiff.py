@@ -12,7 +12,9 @@ fails (exit 1) when:
   - the OLD side parses to an empty query map ("0 comparable queries"
     is a gate failure, not a pass-through: round 6's official artifact
     was truncated mid-marker and the gate silently degraded to
-    usability checks only), or
+    usability checks only), or covers under half of the current suite
+    (a truncated baseline surviving as a few regex-harvested pairs
+    leaves the check just as vacuous), or
   - any query regresses more than THRESHOLD x vs the old artifact
     (both sides above MIN_SEC, so sub-jitter queries don't trip), or
   - more than 20% of the old queries vanished from the new map
@@ -37,6 +39,13 @@ import sys
 THRESHOLD = 1.5
 MIN_SEC = 0.4
 MISSING_FRAC = 0.2
+# the OLD side must cover at least this fraction of the new suite: a
+# heavily-truncated baseline that still regex-harvests a FEW pairs must
+# not pass as "compared" when most of the suite went unchecked (the r6
+# silent-degradation mode, moved from 0 surviving pairs to a handful);
+# 0.5 still admits legitimate suite growth (new queries have no
+# baseline and are free)
+OLD_COVER_FRAC = 0.5
 
 # every suite query name starts with "q" (q01_…, qd…, qe…, qm…); the
 # lookahead demands a , or } terminator so a value cut mid-digits by the
@@ -120,6 +129,14 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
         fails.append("old bench parsed to an EMPTY query map — 0 comparable "
                      "queries, regression check did NOT run")
         return fails
+    comparable = [q for q in old_q if q in new_q]
+    if len(comparable) < OLD_COVER_FRAC * len(new_q):
+        # same failure mode with 1..k surviving pairs instead of 0
+        fails.append(
+            f"old bench covers only {len(comparable)}/{len(new_q)} of the "
+            f"current suite — truncated baseline? regression check would be "
+            f"vacuous")
+        return fails
     missing = [q for q in old_q if q not in new_q]
     if len(missing) > MISSING_FRAC * len(old_q):
         fails.append(
@@ -166,6 +183,11 @@ def selftest():
     # an unreadable OLD side must FAIL, not silently pass usability-only
     assert any("0 comparable" in f
                for f in diff(ok, {"rc": 0, "tail": "…[success]"}))
+    # ...and so must a PARTIALLY-readable old side: a truncated baseline
+    # that harvests one pair out of a 3-query suite leaves the check
+    # vacuous (same r6 mode, 1 surviving pair instead of 0)
+    assert any("truncated baseline" in f for f in diff(ok, both_cut)), \
+        diff(ok, both_cut)
     # per-query bench errors must trip, raw and wrapper forms
     err_raw = {"rc": 0, "queries": {"q1": 0.1}, "errors": ["q1"]}
     assert any("failed queries" in f for f in diff(err_raw, ok))
