@@ -614,6 +614,103 @@ object TextQueries {
       |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |          FROM documents)))""".stripMargin
 
+  // --------------------------------------------------------------- qd17
+  /** BM25 keyword retrieval: top-10 corpus docs per query under Okapi
+    * BM25 (k1=1.2, b=0.75, Lucene's log(1+x) idf so every contribution
+    * stays positive) — the lexical-retrieval workhorse a curation
+    * pipeline runs for quality/topicality selection next to the dense
+    * retrievers (qe1/qe2/qe5). Queries are deterministic and
+    * data-derived: the distinct first four tokens of every
+    * doc_id % 100 == 0 document.
+    *
+    * Shape: the per-(doc,term) tf aggregation IS the inverted-index
+    * posting list, term-partitioned; df is a second aggregation over
+    * it; the tiny query-term side broadcasts into the posting join, so
+    * the corpus shuffles ONCE (by term) and never meets itself. At
+    * 100 TB the postings persist as an offline artifact (qd6b's
+    * lifecycle) and ultra-high-df terms are dropped at build time
+    * (idf ≈ 0 — the classic stop-list cut, which also bounds the
+    * posting-join fan-out); this synthetic 31-word corpus would lose
+    * every term to that cut, so the demo keeps all.
+    *
+    * Cross-engine determinism: scores are dround-ed BEFORE the rank
+    * window (per-group FP-association in the ≤4-term sum and libm ln
+    * ulps sit at ~1e-15, far under the 1e-6 grid) and doc_id breaks
+    * rounded ties, so top-k membership is total-ordered on both
+    * engines.
+    */
+  def qd17(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val topK = 10
+    val corpus = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val tf = corpus
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // long sum / long count: association-free inputs, one double divide
+    val stats = corpus.agg(count(lit(1)).as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val qterms = corpus.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
+    val contrib = tf
+      .join(dfreq, "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    contrib.groupBy("query_id", "doc_id")
+      .agg(dround(sum(col("c")), 6).as("score"))
+      .select(col("query_id"), col("doc_id"), col("score"),
+        row_number().over(w).cast("int").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  private val qd17Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |corpus AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+      |stats AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM corpus),
+      |tfx AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus)
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+      |q AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+      |  FROM corpus WHERE doc_id % 100 = 0),
+      |contrib AS (
+      |  SELECT q.query_id, tfx.doc_id,
+      |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+      |    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+      |    (tf + CAST(1.2 AS DOUBLE) *
+      |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+      |       CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
+      |  FROM tfx
+      |  JOIN dfreq USING (term)
+      |  JOIN q USING (term)
+      |  CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, round(sum(c), 6) AS score
+      |  FROM contrib GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, score, rank FROM (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -945,6 +1042,7 @@ object TextQueries {
     "qd14_pii_scrub" -> (qd14 _),
     "qd15_sequence_pack" -> (qd15 _),
     "qd16_repetition" -> (qd16 _),
+    "qd17_bm25" -> (qd17 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -962,6 +1060,7 @@ object TextQueries {
     "qd14_pii_scrub" -> qd14Sql,
     "qd15_sequence_pack" -> qd15Sql,
     "qd16_repetition" -> qd16Sql,
+    "qd17_bm25" -> qd17Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )

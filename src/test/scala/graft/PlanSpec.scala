@@ -142,6 +142,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "unexpected shuffle join in the qe8 label join")
   }
 
+  test("qd17 BM25 broadcasts the query-term and stats sides, never the postings") {
+    // the posting list (corpus × terms) is the big side: the tiny
+    // query-term frame and the 1-row stats frame must ride in as
+    // broadcasts, and nothing may cartesian-join the corpus
+    val p = finalPlan(queries.TextQueries.qd17(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast into the posting join")
+    assert(!p.contains("CartesianProduct"), "corpus must never cartesian-join")
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
     val df = queries.CoreQueries.q10(spark, sf)
     df.collect()
