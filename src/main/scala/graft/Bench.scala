@@ -48,14 +48,36 @@ object Bench {
     case c             => c.toString
   }
 
-  /** The driver-contract JSON line (one line, stdout). */
+  /** Millisecond-precision seconds (Locale.ROOT: a comma decimal
+    * separator would corrupt the JSON). Full-double rendering cost
+    * ~6 bytes/query, and the line has a hard budget — see renderLine.
+    */
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The driver-contract JSON line (one line, stdout).
+    *
+    * LENGTH BUDGET: the driver wrapper keeps only the LAST 2000 chars
+    * of stdout, and sbt appends a ~75-char "[success] Total time…"
+    * line after ours — everything past ~1900 chars is truncated from
+    * the FRONT, which is why BENCH_r01–r07 all have "parsed": null and
+    * benchdiff needs its salvage extractors. Values are rendered at
+    * millisecond precision and sf as the bare scale factor when the
+    * dir is a standard sfN path; BenchSpec pins the rendered length of
+    * the real suite under the budget so growth that would re-truncate
+    * the line fails a test, not the next round's artifact.
+    */
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
       sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jesc(sfDir)}"}"""
+    // "/…/sf0.1" → 0.1 (numeric, saves ~20 chars); anything else stays
+    // the quoted path
+    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
+    s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
   }
 
   def main(args: Array[String]): Unit = {

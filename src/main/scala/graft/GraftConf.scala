@@ -59,13 +59,15 @@ object GraftConf {
     * union-find to the distributed alternating-star rounds when the
     * canonical (deduplicated, self-loop-free) edge set exceeds this many
     * edges. Same philosophy as the Pareto threshold: the tiny regime
-    * takes the exact single-pass shape (a million-edge union-find is
-    * ~32 MB collected and microseconds of driver CPU — cheaper than ONE
-    * distributed round), and a dup-graph blow-up flips to the O(log n)
-    * shuffle rounds instead of silently collecting the world.
+    * takes the exact single-pass shape, and a dup-graph blow-up flips to
+    * the O(log n) shuffle rounds instead of silently collecting the
+    * world. The default is sized to the REAL driver footprint: collect()
+    * returns boxed Rows at ~100-200 B/edge (not the ~32 B the raw ids
+    * suggest), so 2^18 edges is ~25-50 MB of transient driver
+    * allocation — still far cheaper than one distributed round.
     */
   val ccDistributedEdgesKey = "graft.cc.distributed.edges"
-  val ccDistributedEdgesDefault: Long = 1L << 20
+  val ccDistributedEdgesDefault: Long = 1L << 18
 
   /** Z-score outlier threshold (reference uses 3.0,
     * /root/reference/config/settings.py:84-91; the bench data is uniform so

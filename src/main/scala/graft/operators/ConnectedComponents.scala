@@ -18,8 +18,11 @@ import graft.GraftConf
   *
   *  - driver union-find (small regime): collect the deduplicated edge
   *    list, label with path-compressed union-by-min, broadcast the
-  *    labels back. A million edges is ~32 MB and microseconds of driver
-  *    CPU — cheaper than one distributed round, and exact.
+  *    labels back. collect() returns boxed Rows (~100-200 B/edge
+  *    with the two boxed ids), so the quarter-million-edge default
+  *    threshold is ~25-50 MB of transient driver allocation and
+  *    milliseconds of union-find CPU — cheaper than one distributed
+  *    round, and exact.
   *  - alternating large-star / small-star (big regime; Kiveris,
   *    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
   *    in MapReduce and Beyond", SoCC 2014). Each round rewires the edge
@@ -92,7 +95,17 @@ object ConnectedComponents {
       edges.select(col(sc).as("a"), col(dc).as("b"))
         .filter(col("a").isNotNull && col("b").isNotNull))
       .localCheckpoint()
-    val useStars = distributed.getOrElse(cur.count() > threshold(cur))
+    val useStars = distributed match {
+      case Some(true)  => true
+      case Some(false) =>
+        require(driverOrderable(cur.schema("a").dataType),
+          s"driver union-find orders collected ids via Comparable, which " +
+            s"${cur.schema("a").dataType.simpleString} ids don't collect " +
+            "to — use distributed = Some(true) or the auto-dispatch")
+        false
+      case None =>
+        !driverOrderable(cur.schema("a").dataType) || cur.count() > threshold(cur)
+    }
     val (starEdges, rounds) =
       if (useStars) alternatingStars(cur)
       else {
@@ -105,6 +118,25 @@ object ConnectedComponents {
       .join(starEdges.select(col("b").as("id"), col("a").as("_cc")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_cc"), col("id")).as("cluster_id"))
     (labels, rounds)
+  }
+
+  /** The driver path's ordering contract: ids whose COLLECTED (external)
+    * JVM representation is Comparable. Catalyst-orderable types outside
+    * this set — arrays (collect to Seq), structs (Row), binary
+    * (Array[Byte]) — pass canonical()'s least/greatest fine but would
+    * ClassCastException in driverUnionFind's compareTo, so auto-dispatch
+    * routes them to the star rounds regardless of edge count and an
+    * explicit Some(false) fails loudly up front instead.
+    */
+  private def driverOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | StringType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
   }
 
   private def threshold(df: DataFrame): Long = {
@@ -150,9 +182,10 @@ object ConnectedComponents {
     * list, returned as a broadcast-sized (component-min, member) frame
     * in the same shape the star rounds converge to. Union-by-min keeps
     * every root the minimum of its set, so find() IS the cluster id;
-    * ids compare via their natural ordering (numeric, string, date —
-    * anything Catalyst can sort, which the canonical least/greatest
-    * already required).
+    * ids compare via their natural Comparable ordering (numeric,
+    * string, date — the atomic types [[driverOrderable]] admits;
+    * dispatch never routes array/struct/binary ids here because their
+    * collected forms don't implement Comparable).
     */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -158,4 +158,45 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         "gamma" -> "alpha", "delta" -> "delta"))
     }
   }
+
+  test("array ids auto-dispatch to the star rounds (collected Seq is not Comparable)") {
+    // arrays are Catalyst-orderable (least/greatest, sort all work) but
+    // collect to Seq, which has no Comparable — the driver union-find
+    // would ClassCastException. Auto-dispatch must route them to the
+    // distributed shape even though the edge count is far below the
+    // threshold, and an explicit driver request must fail loudly up
+    // front, not at the first compareTo.
+    val e = Seq((Seq(2, 0), Seq(1, 0)), (Seq(2, 0), Seq(3, 0)))
+      .toDF("src", "dst")
+    val v = Seq(Seq(1, 0), Seq(2, 0), Seq(3, 0), Seq(9, 9)).toDF("id")
+    val (df, rounds) = ConnectedComponents.clustersWithRounds(e, v, None)
+    assert(rounds > 0, "array ids must take the star rounds under auto-dispatch")
+    val got = df.collect()
+      .map(r => r.getSeq[Int](0).toList -> r.getSeq[Int](1).toList).toMap
+    assert(got === Map(
+      List(1, 0) -> List(1, 0), List(2, 0) -> List(1, 0),
+      List(3, 0) -> List(1, 0), List(9, 9) -> List(9, 9)))
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.clusters(e, v, Some(false)).collect()
+    }
+    assert(ex.getMessage.contains("Comparable"))
+  }
+
+  test("binary ids (atomic but not Comparable when collected) avoid the driver path") {
+    // a 3-node path centered on (2) is NOT a star fixpoint, so the
+    // distributed shape must actually run a round — a single edge would
+    // converge in 0 and prove nothing about the dispatch
+    val e = Seq((Array[Byte](2), Array[Byte](1)), (Array[Byte](2), Array[Byte](3)))
+      .toDF("src", "dst")
+    val v = Seq(Array[Byte](1), Array[Byte](2), Array[Byte](3), Array[Byte](7))
+      .toDF("id")
+    val (df, rounds) = ConnectedComponents.clustersWithRounds(e, v, None)
+    assert(rounds > 0, "binary ids must take the star rounds under auto-dispatch")
+    val got = df.collect()
+      .map(r => r.getAs[Array[Byte]](0).toList -> r.getAs[Array[Byte]](1).toList)
+      .toMap
+    assert(got === Map(
+      List[Byte](1) -> List[Byte](1), List[Byte](2) -> List[Byte](1),
+      List[Byte](3) -> List[Byte](1), List[Byte](7) -> List[Byte](7)))
+  }
 }

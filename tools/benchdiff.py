@@ -39,12 +39,14 @@ import sys
 THRESHOLD = 1.5
 MIN_SEC = 0.4
 MISSING_FRAC = 0.2
-# the OLD side must cover at least this fraction of the new suite: a
+# comparable pairs must cover at least this fraction of the OLD map: a
 # heavily-truncated baseline that still regex-harvests a FEW pairs must
-# not pass as "compared" when most of the suite went unchecked (the r6
-# silent-degradation mode, moved from 0 surviving pairs to a handful);
-# 0.5 still admits legitimate suite growth (new queries have no
-# baseline and are free)
+# not pass as "compared" when most of the baseline went unchecked (the
+# r6 silent-degradation mode, moved from 0 surviving pairs to a
+# handful). Measured against len(old), NOT len(new): queries absent
+# from the old map are suite GROWTH with no baseline to regress
+# against, and any legitimate >2x one-round growth would otherwise fail
+# with a misleading "truncated baseline?" message
 OLD_COVER_FRAC = 0.5
 
 # every suite query name starts with "q" (q01_…, qd…, qe…, qm…); the
@@ -129,19 +131,36 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
         fails.append("old bench parsed to an EMPTY query map — 0 comparable "
                      "queries, regression check did NOT run")
         return fails
-    comparable = [q for q in old_q if q in new_q]
-    if len(comparable) < OLD_COVER_FRAC * len(new_q):
-        # same failure mode with 1..k surviving pairs instead of 0
-        fails.append(
-            f"old bench covers only {len(comparable)}/{len(new_q)} of the "
-            f"current suite — truncated baseline? regression check would be "
-            f"vacuous")
-        return fails
     missing = [q for q in old_q if q not in new_q]
     if len(missing) > MISSING_FRAC * len(old_q):
+        # checked BEFORE baseline coverage: a shrunk NEW suite also
+        # drops the comparable count, and "truncated baseline?" would be
+        # the wrong diagnosis for it
         fails.append(
             f"{len(missing)}/{len(old_q)} old queries missing from new bench: "
             f"{sorted(missing)[:5]}…")
+    comparable = [q for q in old_q if q in new_q]
+    if len(comparable) < OLD_COVER_FRAC * len(old_q):
+        # same failure mode with 1..k surviving pairs instead of 0; the
+        # denominator is the OLD map so genuine suite growth (new
+        # queries with no baseline) stays free
+        fails.append(
+            f"only {len(comparable)}/{len(old_q)} baseline queries are "
+            f"comparable — truncated baseline or mass rename? regression "
+            f"check would be vacuous")
+        return fails
+    if len(old_q) < OLD_COVER_FRAC * len(new_q):
+        # a baseline that is a valid map but much smaller than the
+        # current suite is EITHER a truncated artifact whose harvested
+        # pairs all happen to survive, or a legitimate >2x one-round
+        # suite growth — can't tell them apart here, so fail loudly and
+        # say so instead of silently under-checking
+        fails.append(
+            f"baseline has only {len(old_q)} queries vs {len(new_q)} in the "
+            f"new suite — truncated baseline, or the suite more than "
+            f"doubled this round (then re-run against a fuller baseline or "
+            f"accept the reduced coverage explicitly)")
+        return fails
     for q in sorted(old_q):
         if q not in new_q:
             continue
@@ -201,6 +220,23 @@ def selftest():
     # new queries are free; improvements are free
     grown = {"rc": 0, "queries": {"q1": 0.2, "q2": 0.1, "q3": 2.0, "q4": 9.0}}
     assert diff(grown, ok) == []
+    # sub-2x suite growth stays free even when it would have failed the
+    # old new-suite-denominator coverage check (3 baseline / 5 new)
+    grown5 = {"rc": 0, "queries":
+              {"q1": 1.0, "q2": 0.1, "q3": 2.0, "q4": 9.0, "q5": 1.0}}
+    assert diff(grown5, ok) == [], diff(grown5, ok)
+    # >2x growth (or an equally-shrunk baseline) fails with a message
+    # that names BOTH causes instead of just "truncated baseline?"
+    grown7 = {"rc": 0, "queries": {f"q{i}": 1.0 for i in range(1, 8)}}
+    assert any("more than doubled" in f for f in diff(grown7, ok)), \
+        diff(grown7, ok)
+    # a baseline truncated to a minority of its own pairs fails even
+    # when every surviving pair matches the new suite
+    old_bigger = {"rc": 0, "queries":
+                  {"q1": 1.0, "q2": 0.1, "qgone_a": 1.0, "qgone_b": 1.0,
+                   "qgone_c": 1.0}}
+    assert any("baseline queries are comparable" in f
+               for f in diff(ok, old_bigger)), diff(ok, old_bigger)
     print("selftest OK")
 
 
