@@ -711,6 +711,132 @@ object TextQueries {
       |  FROM scored)
       |WHERE rank <= 10""".stripMargin
 
+  // --------------------------------------------------------------- qd18
+  /** Cross-document duplicate-SPAN detection — the doc-granular
+    * approximation of suffix-array exact-substring dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * qd1 only sees whole-doc copies, but training corpora are polluted
+    * by boilerplate PARAGRAPHS pasted into otherwise-distinct pages.
+    * Each doc's word-5-gram md5 stream is winnowed with a w=4
+    * sliding-window min (Schleimer/Wilkerson/Aiken, the MOSS scheme —
+    * any shared run of ≥ 8 words is guaranteed to contribute a shared
+    * selected fingerprint), and the doc's duplicate-span ratio is the
+    * fraction of its selected fingerprints that also occur in some
+    * OTHER doc; above 0.5 the doc is mostly duplicated material.
+    *
+    * Scale shape: fingerprint selection is map-only (winnowing keeps
+    * ~2/(w+1) of grams, bounding posting volume); the inverted index is
+    * ONE hash shuffle on the fingerprint key; the per-doc rollup is one
+    * more on doc_id. Never all-pairs, no suffix array to build.
+    */
+  def qd18(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    val fps = docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("grams",
+        when(size(col("toks")) < 5, array(md5(col("text"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("toks")) - lit(4)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(5)))))))
+      .withColumn("fps", array_distinct(
+        when(size(col("grams")) <= w, array(array_min(col("grams"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("grams")) - lit(w - 1)),
+            j => array_min(slice(col("grams"), j, lit(w)))))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are distinct within a doc, so the per-fp row count IS the
+    // number of docs containing that span fingerprint
+    val perFp = Window.partitionBy("fp")
+    fps
+      .withColumn("n_docs_fp", count(lit(1)).over(perFp))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L)).as("n_shared_fps"))
+      .withColumn("dup_span_ratio",
+        dround(col("n_shared_fps").cast("double") / col("n_fps"), 6))
+      .withColumn("dup_span_flag", col("dup_span_ratio") > 0.5)
+  }
+
+  private val qd18Sql =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 5 THEN [md5(text)]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                i -> md5(array_to_string(toks[i:i+4], ' ')))
+      |    END AS grams
+      |  FROM (SELECT doc_id, text,
+      |               regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, fp
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(grams) <= 4
+      |        THEN [list_aggregate(grams, 'min')]
+      |        ELSE list_transform(range(1, len(grams) - 2),
+      |               j -> list_aggregate(grams[j:j+3], 'min'))
+      |      END) AS fp
+      |    FROM grams)),
+      |counted AS (
+      |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs_fp
+      |  FROM fps),
+      |rolled AS (
+      |  SELECT doc_id, count(*) AS n_fps,
+      |    CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_shared_fps
+      |  FROM counted GROUP BY doc_id)
+      |SELECT doc_id, n_fps, n_shared_fps,
+      |  round(CAST(n_shared_fps AS DOUBLE) / n_fps, 6) AS dup_span_ratio,
+      |  round(CAST(n_shared_fps AS DOUBLE) / n_fps, 6) > 0.5 AS dup_span_flag
+      |FROM rolled""".stripMargin
+
+  // --------------------------------------------------------------- qd19
+  /** Per-domain quota cap — the representativeness guard web-scale
+    * pipelines apply so a handful of giant domains can't dominate the
+    * training mixture (C4/RefinedWeb-style per-host caps): rank each
+    * doc within its `source` by qd4's quality score (doc_id breaks
+    * rounded-score ties, so the rank is a total order on both engines)
+    * and keep the top [[capPerSource]]. Both the rank and the keep
+    * verdict are emitted so the selection is auditable, not just the
+    * survivors.
+    *
+    * Scale shape: one hash shuffle on the domain key + a bounded
+    * per-domain sort — no global sort, no collect. A pathological
+    * mega-domain skews its one partition; AQE skew-split handles the
+    * sort spill, and the cap itself discards the tail immediately after
+    * rank, so downstream stages never see the skew.
+    */
+  val capPerSource = 10
+
+  def qd19(s: SparkSession, dir: String): DataFrame = {
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    withQuality(docs(s, dir))
+      .withColumn("src_rank", row_number().over(byQuality))
+      .withColumn("kept", col("src_rank") <= capPerSource)
+      .select("doc_id", "source", "quality_score", "src_rank", "kept")
+  }
+
+  private val qd19Sql =
+    s"""SELECT doc_id, source, quality_score,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY quality_score DESC, doc_id) AS INT) AS src_rank,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY quality_score DESC, doc_id) AS INT) <= $capPerSource
+       |    AS kept
+       |FROM (
+       |  SELECT doc_id, source,
+       |   round(round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |           / length(text), 6) * 0.5
+       |     + (1.0 - round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text), 6)) * 0.2
+       |     + round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) * 0.3,
+       |     6) AS quality_score
+       |  FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -1043,6 +1169,8 @@ object TextQueries {
     "qd15_sequence_pack" -> (qd15 _),
     "qd16_repetition" -> (qd16 _),
     "qd17_bm25" -> (qd17 _),
+    "qd18_dup_spans" -> (qd18 _),
+    "qd19_domain_cap" -> (qd19 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1061,6 +1189,8 @@ object TextQueries {
     "qd15_sequence_pack" -> qd15Sql,
     "qd16_repetition" -> qd16Sql,
     "qd17_bm25" -> qd17Sql,
+    "qd18_dup_spans" -> qd18Sql,
+    "qd19_domain_cap" -> qd19Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
   )

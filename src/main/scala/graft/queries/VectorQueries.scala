@@ -629,6 +629,84 @@ object VectorQueries {
       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM cl""".stripMargin
 
+  // ---------------------------------------------------------------- qe9
+  /** Topic-cluster assignment: one seeded Lloyd iteration of k-means
+    * over the corpus — the partitioning primitive semantic pipelines
+    * run before per-cluster work (SemDeDup clusters FIRST, then probes
+    * near-dups only within clusters; mixture balancing samples per
+    * topic). qe5's IVF quantizer is the persisted many-iteration
+    * sibling tuned for ANN routing; this operator exposes the
+    * assignment itself, exact enough to ORACLE: seeds are the K
+    * smallest vec_ids, every argmin input (squared-L2 distances AND the
+    * re-fit centroid components) is rounded to 6dp first so
+    * FP summation order can't flip a verdict, and distance ties break
+    * to the smaller centroid id — a total order on both engines.
+    *
+    * Scale shape: centroids are a K-row broadcast at BOTH steps, so the
+    * corpus never shuffles whole vectors; each Lloyd iteration is one
+    * scan + a (K×dim)-cell partial aggregation (posexplode → avg is
+    * map-side combinable, K×dim cells regardless of corpus size). More
+    * iterations = more scans of the same shape, no new shuffle class.
+    */
+  def qe9(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = embs(s, dir).select("vec_id", "vec")
+    // squared L2 via dots: rounding BEFORE the argmin keeps both
+    // engines' FP summation orders from flipping near-ties
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d", dround(
+          dot(col("vec"), col("vec"))
+            - lit(2.0) * dot(col("vec"), col("cvec"))
+            + dot(col("cvec"), col("cvec")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("vec"))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+    val refit = assign(seeds)
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(dround(avg(col("col")), 6).as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+    assign(refit)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("cluster_size"))
+  }
+
+  private val qe9Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, vec AS cvec FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cid, vec, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY round(list_dot_product(vec, vec)
+      |        - 2 * list_dot_product(vec, cvec)
+      |        + list_dot_product(cvec, cvec), 6) ASC, cid ASC) AS rk
+      |  FROM e, seeds),
+      |comp AS (
+      |  SELECT cid, unnest(range(1, len(vec) + 1)) AS i, unnest(vec) AS x
+      |  FROM a1 WHERE rk = 1),
+      |cent AS (
+      |  SELECT cid, list(m ORDER BY i) AS cvec
+      |  FROM (SELECT cid, i, round(avg(x), 6) AS m FROM comp GROUP BY cid, i)
+      |  GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, cid, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY round(list_dot_product(vec, vec)
+      |        - 2 * list_dot_product(vec, cvec)
+      |        + list_dot_product(cvec, cvec), 6) ASC, cid ASC) AS rk
+      |  FROM e, cent)
+      |SELECT vec_id, cid AS cluster_id,
+      |       count(*) OVER (PARTITION BY cid) AS cluster_size
+      |FROM a2 WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -641,6 +719,7 @@ object VectorQueries {
     "qe6_quantized_topk" -> (qe6 _),
     "qe7_truncated_rerank" -> (qe7 _),
     "qe8_dup_clusters" -> (qe8 _),
+    "qe9_kmeans_assign" -> (qe9 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -658,6 +737,7 @@ object VectorQueries {
     "qe6_quantized_topk" -> qe6Sql,
     "qe7_truncated_rerank" -> qe7Sql,
     "qe8_dup_clusters" -> qe8Sql,
+    "qe9_kmeans_assign" -> qe9Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

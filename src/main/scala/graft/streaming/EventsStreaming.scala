@@ -90,6 +90,100 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** One closed gap-session: emitted when the inactivity gap is observed
+    * in-batch, or by event-time timeout once the watermark passes the
+    * session's horizon. `sum_value` stays raw here (cent-granular
+    * doubles sum exactly); presentation rounding happens in the
+    * DataFrame layer so stream and batch twin round identically.
+    */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** The (single) open session carried between microbatches. */
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long,
+      sumValue: Double)
+
+  /** Session-granular sessionization — the flatMapGroupsWithState shape
+    * [[sessionize]]'s running counters can't express: one output row per
+    * CLOSED session (start/end/size/value), not a running per-user
+    * rollup. In-batch gaps close sessions immediately; the tail session
+    * stays in state and is closed by EVENT-TIME timeout when the
+    * watermark passes `last event + gap` — so state is one small struct
+    * per user active inside the watermark horizon, evicted on timeout,
+    * and the output is append-mode (each session exactly once), the
+    * contract a downstream sink (training-shard writer, feature store)
+    * actually wants. Batch twin: [[sessionsBatch]]; parity pinned in
+    * StreamingMultimodalSpec.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000L
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .selectExpr("user_id", "ts div 1000 AS us", "value", "ts_ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the open
+            // session is definitively closed
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, o.startUs, o.lastUs, o.nEvents, o.sumValue))
+          } else {
+            // arrival order is not time order: sort the microbatch slice
+            val sorted = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            sorted.foreach { case (us, v) =>
+              open match {
+                case Some(o) if us - o.lastUs <= gapUs =>
+                  open = Some(OpenSession(o.startUs, us, o.nEvents + 1, o.sumValue + v))
+                case Some(o) =>
+                  closed += ClosedSession(uid, o.startUs, o.lastUs, o.nEvents, o.sumValue)
+                  open = Some(OpenSession(us, us, 1L, v))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L, v))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // timeout in EVENT time: fires once the watermark passes
+              // the session's inactivity horizon
+              state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L)
+            }
+            closed.iterator
+          }
+      }
+      .toDF()
+      .withColumn("sum_value", round(col("sum_value"), 2))
+  }
+
+  /** Batch twin of [[closedSessions]]: every gap-session of the bounded
+    * input (the stream can only ever emit a subset — tail sessions
+    * inside the watermark horizon are still open when it ends).
+    */
+  def sessionsBatch(events: DataFrame): DataFrame = {
+    val gapUs = 3600L * 1000000L
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc)
+    events
+      .selectExpr("user_id", "ts div 1000 AS us", "value")
+      .withColumn("gap", col("us") - lag("us", 1).over(wo))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        wo.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+  }
+
   /** Sliding-window variant (1 h window, 30 min slide): each event lands
     * in two windows; same watermark bound on state.
     */
