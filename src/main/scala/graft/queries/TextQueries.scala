@@ -731,19 +731,26 @@ object TextQueries {
     */
   def qd18(s: SparkSession, dir: String): DataFrame = {
     val w = 4
+    // The gram array MUST be bound once per row: naming it as a column
+    // and referencing it from inside the window lambdas lets the
+    // optimizer inline the whole md5-array construction into every
+    // reference, and the per-window slice() then re-hashes the entire
+    // doc once per window — O(n²) md5 calls per doc (measured 186 s at
+    // sf0.1). transform over a single-element array is the binding
+    // idiom: the element is evaluated ONCE, the lambda variable is a
+    // cheap bound reference.
+    val winnowed = flatten(transform(array(tokens(col("text"))), tk =>
+      flatten(transform(
+        array(when(size(tk) < 5, array(md5(col("text"))))
+          .otherwise(transform(
+            sequence(lit(1), size(tk) - lit(4)),
+            i => md5(concat_ws(" ", slice(tk, i, lit(5))))))),
+        g => when(size(g) <= w, array(array_min(g)))
+          .otherwise(transform(
+            sequence(lit(1), size(g) - lit(w - 1)),
+            j => array_min(slice(g, j, lit(w)))))))))
     val fps = docs(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("grams",
-        when(size(col("toks")) < 5, array(md5(col("text"))))
-          .otherwise(transform(
-            sequence(lit(1), size(col("toks")) - lit(4)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(5)))))))
-      .withColumn("fps", array_distinct(
-        when(size(col("grams")) <= w, array(array_min(col("grams"))))
-          .otherwise(transform(
-            sequence(lit(1), size(col("grams")) - lit(w - 1)),
-            j => array_min(slice(col("grams"), j, lit(w)))))))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), explode(array_distinct(winnowed)).as("fp"))
     // fps are distinct within a doc, so the per-fp row count IS the
     // number of docs containing that span fingerprint
     val perFp = Window.partitionBy("fp")

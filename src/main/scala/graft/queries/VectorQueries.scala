@@ -651,20 +651,31 @@ object VectorQueries {
   def qe9(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = embs(s, dir).select("vec_id", "vec")
-    // squared L2 via dots: rounding BEFORE the argmin keeps both
-    // engines' FP summation orders from flipping near-ties
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("d", dround(
-          dot(col("vec"), col("vec"))
-            - lit(2.0) * dot(col("vec"), col("cvec"))
-            + dot(col("cvec"), col("cvec")), 6))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("vec"))
+    // Assignment is MAP-ONLY: the K centroids are collected to the
+    // driver (K×dim doubles — the same scalar-frame class as the KPI
+    // collects and what qe5's ML model object holds internally) and the
+    // argmin is one array_min over K distance structs per row —
+    // lexicographic struct order = (distance, cid), so the tiebreak to
+    // the smaller centroid id is inside the expression. No join, no
+    // shuffle of corpus vectors, ever; squared L2 via dots with the
+    // |c|² term a driver-side scalar. Rounding BEFORE the argmin keeps
+    // both engines' FP summation orders from flipping near-ties.
+    def assign(cents: Array[(Int, Seq[Double])]): DataFrame = {
+      val cands = array(cents.map { case (cid, c) =>
+        struct(
+          dround(dot(col("vec"), col("vec"))
+            - lit(2.0) * dot(col("vec"), typedLit(c))
+            + lit(c.map(x => x * x).sum), 6).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      e.withColumn("cid", array_min(cands).getField("cid"))
+    }
     val seeds = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("vec").as("cvec"))
+      .select(col("vec_id").cast("int"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // one Lloyd refit: per-(cluster, dim) mean — posexplode feeds a
+    // partial-aggregable groupBy whose reduced size is K×dim cells
+    // regardless of corpus size
     val refit = assign(seeds)
       .select(col("cid"), posexplode(col("vec")))
       .groupBy(col("cid"), col("pos"))
@@ -672,9 +683,13 @@ object VectorQueries {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
-    assign(refit)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // cluster sizes via a K-row broadcast join back onto the map-only
+    // assignment — NOT a window partitioned by cid, which would funnel
+    // the whole corpus through K reducer tasks
+    val a2 = assign(refit).select(col("vec_id"), col("cid"))
+    val sizes = a2.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    a2.join(broadcast(sizes), Seq("cid"))
       .select(col("vec_id"), col("cid").as("cluster_id"), col("cluster_size"))
   }
 

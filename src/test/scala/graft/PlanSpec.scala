@@ -216,6 +216,31 @@ class PlanSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("_pid"))
   }
 
+  test("qe9 assignment is map-only: no join for the argmin, K-row broadcast for sizes") {
+    val p = finalPlan(queries.VectorQueries.qe9(spark, sf))
+    // the centroid argmin is a scalar array_min expression, not a join:
+    // the ONLY join in the plan is the K-row cluster-size broadcast
+    assert(!p.contains("SortMergeJoin"), "corpus must never shuffle-join for k-means")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "assignment must be an expression, not a centroid cross join")
+    assert(p.contains("BroadcastHashJoin"), "cluster sizes should broadcast back")
+  }
+
+  test("qd18 builds its inverted index from one documents scan, no pair join") {
+    val p = finalPlan(queries.TextQueries.qd18(spark, sf))
+    val docScans = "FileScan parquet[^\\n]*documents".r.findAllMatchIn(p).size
+    assert(docScans == 1, s"winnowing must read documents once (scans=$docScans)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "duplicate spans come from the fingerprint inverted index, not a doc-pair join")
+  }
+
+  test("qd19 domain cap shuffles once, on the domain key") {
+    val p = finalPlan(queries.TextQueries.qd19(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"per-domain rank needs exactly one shuffle (got $exchanges)")
+    assert(p.contains("hashpartitioning(source"), "the one shuffle must key on source")
+  }
+
   test("qd6b probe reads only the signature index, never the documents table") {
     // ensure the index exists, then check the probe's scans
     val path = queries.TextQueries.minhashIndexPath(sf)

@@ -47,6 +47,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 0, "stream/batch session counts diverge")
   }
 
+  test("closed-session stream emits exact batch sessions, exhaustively past the horizon") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.closedSessions(spark, stream), "closed_sess_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchEvents = Tables.events(spark, sf)
+    val twin = EventsStreaming.sessionsBatch(batchEvents)
+    assert(out.count() > 0, "fixture should close at least one session")
+    // append-mode contract: every emitted row IS a batch session, once
+    assert(out.exceptAll(twin).count() == 0,
+      "stream emitted a session the batch twin doesn't have")
+    assert(out.count() == out.distinct().count(), "a session was emitted twice")
+    // completeness: every session whose inactivity horizon (gap 1 h)
+    // plus the watermark delay (2 h) lies strictly before the final
+    // watermark MUST have been closed — in-batch or by event-time
+    // timeout in the trailing no-data microbatch. Sessions nearer the
+    // stream's end may legitimately still be open.
+    val maxUs = batchEvents.agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val horizonUs = maxUs - 3L * 3600L * 1000000L
+    val mustClose = twin.filter(col("end_us") < horizonUs)
+    assert(mustClose.exceptAll(out).count() == 0,
+      "a session past the watermark+gap horizon was never closed")
+  }
+
   test("streaming watermark dedup emits each event_id once") {
     val stream = EventsStreaming.readEvents(spark, sf)
     val out = EventsStreaming.runToMemory(
