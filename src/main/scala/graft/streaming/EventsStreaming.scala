@@ -140,7 +140,13 @@ object EventsStreaming {
             sorted.foreach { case (us, v) =>
               open match {
                 case Some(o) if us - o.lastUs <= gapUs =>
-                  open = Some(OpenSession(o.startUs, us, o.nEvents + 1, o.sumValue + v))
+                  // min/max guards: a LATE event from a following batch
+                  // can be older than the carried session's bounds —
+                  // merging must never move lastUs backward (it anchors
+                  // the timeout horizon) or leave start_us after an
+                  // absorbed earlier event
+                  open = Some(OpenSession(math.min(o.startUs, us),
+                    math.max(o.lastUs, us), o.nEvents + 1, o.sumValue + v))
                 case Some(o) =>
                   closed += ClosedSession(uid, o.startUs, o.lastUs, o.nEvents, o.sumValue)
                   open = Some(OpenSession(us, us, 1L, v))
@@ -151,8 +157,15 @@ object EventsStreaming {
             open.foreach { o =>
               state.update(o)
               // timeout in EVENT time: fires once the watermark passes
-              // the session's inactivity horizon
-              state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L)
+              // the session's inactivity horizon. A group whose events
+              // ran entirely behind the watermark (late data in a
+              // multi-batch stream) would have a horizon in the past,
+              // which setTimeoutTimestamp rejects — clamp to just past
+              // the watermark so the session closes in the next batch
+              // instead of crashing the query.
+              val horizon = o.lastUs / 1000L + gapUs / 1000L
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }

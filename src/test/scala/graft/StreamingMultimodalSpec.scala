@@ -71,6 +71,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "a session past the watermark+gap horizon was never closed")
   }
 
+  test("closed sessions survive multi-batch streams: state carries across microbatches") {
+    // split the events table into two time-halves, streamed as two
+    // microbatches (maxFilesPerTrigger=1, modTimes force the order) —
+    // sessions spanning the cut must continue from carried state, and
+    // batch-1 sessions whose horizon the batch-2 watermark passes must
+    // close by event-time timeout, not stay open forever
+    val dir = java.nio.file.Files.createTempDirectory("sess_two_batches").toFile
+    val ev = Tables.events(spark, sf)
+    val cutUs = ev.selectExpr("ts div 1000 AS us")
+      .agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
+    ev.filter(expr(s"ts div 1000 <= ${cutUs}L")).coalesce(1)
+      .write.parquet(s"$dir/half1")
+    ev.filter(expr(s"ts div 1000 > ${cutUs}L")).coalesce(1)
+      .write.parquet(s"$dir/half2")
+    val files = Seq("half1", "half2").map { h =>
+      new java.io.File(s"$dir/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+    }
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*.parquet")
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.closedSessions(spark, stream), "closed_sess_2b",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val twin = EventsStreaming.sessionsBatch(Tables.events(spark, sf))
+    assert(out.count() > 0)
+    assert(out.exceptAll(twin).count() == 0,
+      "a session split across microbatches was emitted fragmented or duplicated")
+    assert(out.count() == out.distinct().count())
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val mustClose = twin.filter(col("end_us") < maxUs - 3L * 3600L * 1000000L)
+    assert(mustClose.exceptAll(out).count() == 0,
+      "a closed-horizon session was lost across the batch boundary")
+  }
+
   test("streaming watermark dedup emits each event_id once") {
     val stream = EventsStreaming.readEvents(spark, sf)
     val out = EventsStreaming.runToMemory(
