@@ -48,12 +48,18 @@ object Bench {
     case c             => c.toString
   }
 
-  /** Millisecond-precision seconds (Locale.ROOT: a comma decimal
-    * separator would corrupt the JSON). Full-double rendering cost
-    * ~6 bytes/query, and the line has a hard budget — see renderLine.
+  /** Fixed-precision seconds (Locale.ROOT: a comma decimal separator
+    * would corrupt the JSON). Full-double rendering cost ~6 bytes/query
+    * and the line has a hard budget — see renderLine. Per-query values
+    * carry centiseconds (10 ms resolution on seconds-scale timings —
+    * run-to-run noise is larger than that); the single total keeps
+    * milliseconds.
     */
   private def s3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def s2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   /** The driver-contract JSON line (one line, stdout).
     *
@@ -61,15 +67,15 @@ object Bench {
     * of stdout, and sbt appends a ~75-char "[success] Total time…"
     * line after ours — everything past ~1900 chars is truncated from
     * the FRONT, which is why BENCH_r01–r07 all have "parsed": null and
-    * benchdiff needs its salvage extractors. Values are rendered at
-    * millisecond precision and sf as the bare scale factor when the
+    * benchdiff needs its salvage extractors. Per-query values are
+    * rendered at centisecond precision and sf as the bare scale factor when the
     * dir is a standard sfN path; BenchSpec pins the rendered length of
     * the real suite under the budget so growth that would re-truncate
     * the line fails a test, not the next round's artifact.
     */
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
       sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + s3(v) }
+    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + s2(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

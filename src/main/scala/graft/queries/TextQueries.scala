@@ -844,6 +844,54 @@ object TextQueries {
        |     6) AS quality_score
        |  FROM documents)""".stripMargin
 
+  // --------------------------------------------------------------- qd20
+  /** Per-source vocabulary profile, EXACT: distinct tokens, doc count,
+    * total tokens — the dataset-card cardinality table. Exact NDV is
+    * the expensive path by construction: count(DISTINCT token) must
+    * shuffle every (source, token) pair to dedup before counting, so
+    * its cost scales with the token stream, not the group count. It
+    * exists as the oracle-checkable twin; qd20b is the operating point
+    * at scale.
+    */
+  def qd20(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("tok")).as("ndv_tokens"),
+        count(lit(1)).as("total_tokens"))
+
+  private val qd20Sql =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS ndv_tokens,
+      |  CAST(count(*) AS BIGINT) AS total_tokens
+      |FROM tok GROUP BY source""".stripMargin
+
+  // -------------------------------------------------------------- qd20b
+  /** qd20's NDV via HyperLogLog++ sketches (`approx_count_distinct`,
+    * rsd 2%) — the 100 TB shape: each task folds its tokens into a
+    * fixed-size register array, partials merge by register-max, so the
+    * shuffle carries one sketch per (source × task) instead of the
+    * deduplicated token stream. Merge is commutative and the hash is
+    * seedless, so the estimate is partitioning-independent
+    * (property-tested) — but it is engine-specific, so no DuckDB
+    * oracle: SketchSpec floors the relative error against the exact
+    * twin instead, the qd6b/qe2 pattern for approximate operators.
+    */
+  def qd20b(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        approx_count_distinct(col("tok"), 0.02).as("ndv_approx"),
+        count(lit(1)).as("total_tokens"))
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -1178,6 +1226,8 @@ object TextQueries {
     "qd17_bm25" -> (qd17 _),
     "qd18_dup_spans" -> (qd18 _),
     "qd19_domain_cap" -> (qd19 _),
+    "qd20_token_ndv" -> (qd20 _),
+    "qd20b_token_ndv_approx" -> (qd20b _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1198,7 +1248,10 @@ object TextQueries {
     "qd17_bm25" -> qd17Sql,
     "qd18_dup_spans" -> qd18Sql,
     "qd19_domain_cap" -> qd19Sql,
+    "qd20_token_ndv" -> qd20Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
+    // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
+    // floors its relative error against the exact qd20 twin.
   )
 }

@@ -610,7 +610,11 @@ object VectorQueries {
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  private val qe8Sql =
+  /** Recursive-CTE connected components over the exact near-dup pair
+    * graph, shared by the qe8 and qe11 oracles; ends at `cl` =
+    * (vec_id, cluster_id).
+    */
+  private val ccCtes =
     """WITH RECURSIVE e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |  FROM embeddings),
@@ -624,10 +628,13 @@ object VectorQueries {
       |  SELECT vec_id, vec_id FROM e
       |  UNION
       |  SELECT r.u, p.v FROM reach r JOIN pairs p ON r.v = p.u),
-      |cl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
-      |SELECT vec_id, cluster_id,
-      |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-      |FROM cl""".stripMargin
+      |cl AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  private val qe8Sql =
+    s"""$ccCtes
+       |SELECT vec_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM cl""".stripMargin
 
   // ---------------------------------------------------------------- qe9
   /** Topic-cluster assignment: one seeded Lloyd iteration of k-means
@@ -648,9 +655,16 @@ object VectorQueries {
     * map-side combinable, K×dim cells regardless of corpus size). More
     * iterations = more scans of the same shape, no new shuffle class.
     */
-  def qe9(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val e = embs(s, dir).select("vec_id", "vec")
+  /** The seeded two-step Lloyd assignment shared by qe9 (sizes) and
+    * qe10 (within-cluster dedup): (vec_id, vec, nrm, cid).
+    */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignFrom(embs(s, dir).select("vec_id", "vec", "nrm"), 8)
+
+  /** Frame-parameterized twin (tests plant duplicates): `e` carries
+    * (vec_id, vec, nrm); seeds are the k smallest vec_ids.
+    */
+  private[graft] def kmeansAssignFrom(e: DataFrame, k: Int): DataFrame = {
     // Assignment is MAP-ONLY: the K centroids are collected to the
     // driver (K×dim doubles — the same scalar-frame class as the KPI
     // collects and what qe5's ML model object holds internally) and the
@@ -684,16 +698,23 @@ object VectorQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assign(refit)
+  }
+
+  def qe9(s: SparkSession, dir: String): DataFrame = {
     // cluster sizes via a K-row broadcast join back onto the map-only
     // assignment — NOT a window partitioned by cid, which would funnel
     // the whole corpus through K reducer tasks
-    val a2 = assign(refit).select(col("vec_id"), col("cid"))
+    val a2 = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
     val sizes = a2.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
     a2.join(broadcast(sizes), Seq("cid"))
       .select(col("vec_id"), col("cid").as("cluster_id"), col("cluster_size"))
   }
 
-  private val qe9Sql =
+  /** CTE chain replicating [[kmeansAssign]] bit-for-bit, shared by the
+    * qe9 and qe10 oracles; ends at `asg` = (vec_id, cid, vec).
+    */
+  private val kmeansCtes =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |  FROM embeddings),
@@ -713,14 +734,124 @@ object VectorQueries {
       |  FROM (SELECT cid, i, round(avg(x), 6) AS m FROM comp GROUP BY cid, i)
       |  GROUP BY cid),
       |a2 AS (
-      |  SELECT vec_id, cid, row_number() OVER (
+      |  SELECT vec_id, cid, vec, row_number() OVER (
       |      PARTITION BY vec_id ORDER BY round(list_dot_product(vec, vec)
       |        - 2 * list_dot_product(vec, cvec)
       |        + list_dot_product(cvec, cvec), 6) ASC, cid ASC) AS rk
-      |  FROM e, cent)
-      |SELECT vec_id, cid AS cluster_id,
-      |       count(*) OVER (PARTITION BY cid) AS cluster_size
-      |FROM a2 WHERE rk = 1""".stripMargin
+      |  FROM e, cent),
+      |asg AS (SELECT vec_id, cid, vec FROM a2 WHERE rk = 1)""".stripMargin
+
+  private val qe9Sql =
+    s"""$kmeansCtes
+       |SELECT vec_id, cid AS cluster_id,
+       |       count(*) OVER (PARTITION BY cid) AS cluster_size
+       |FROM asg""".stripMargin
+
+  // --------------------------------------------------------------- qe10
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster FIRST with the seeded k-means of qe9, then
+    * score pairs ONLY within a cluster — qe4's aggregation (n_near /
+    * max_cos / keep-first) applied to a candidate set that an equi-join
+    * on cluster id generates. This is the third candidate-generation
+    * strategy next to qe4's all-pairs and qe4b's LSH bands, and the one
+    * semantic pipelines actually run at corpus scale: Σ n_c² work
+    * instead of n², with the clustering amortized across every
+    * per-cluster stage downstream. Because the qe9 assignment is
+    * deterministic and oracle-exact, the WHOLE operator stays
+    * hash-matched against DuckDB — no recall floor needed (the price:
+    * cross-cluster near-dups are out of scope by definition; that
+    * boundary loss is the documented SemDeDup trade).
+    *
+    * Scale shape: one shuffle of (vec, cid) on the cluster key, pairs
+    * expand inside each partition, and the aggregation is partial
+    * (map-side combinable) on ida. A skewed giant cluster re-introduces
+    * the n_c² wall — production caps per-cluster candidates by raising
+    * K (finer clusters) or salting the in-cluster join on a secondary
+    * LSH band (qe4b inside qe10), both of which keep the equi-join
+    * class unchanged.
+    */
+  def qe10(s: SparkSession, dir: String): DataFrame =
+    withinClusterDedup(kmeansAssign(s, dir), 0.4)
+
+  /** Frame-parameterized twin for planted-duplicate tests: cluster
+    * `corpus` (vec_id, vec, nrm) into k cells, dedup within cells.
+    */
+  private[graft] def semanticDedupFrom(corpus: DataFrame, t: Double, k: Int): DataFrame =
+    withinClusterDedup(kmeansAssignFrom(corpus, k), t)
+
+  private def withinClusterDedup(asg: DataFrame, t: Double): DataFrame = {
+    val a = asg.select(col("cid"), col("vec_id").as("ida"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("idb"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val near = a.join(b, Seq("cid"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos") >= t)
+      .groupBy(col("ida"))
+      .agg(
+        count(lit(1)).as("n_near"),
+        max(col("cos")).as("max_cos"),
+        max(when(col("idb") < col("ida"), 1).otherwise(0)).as("_smaller"))
+    asg.select(col("vec_id"), col("cid"))
+      .join(near, col("vec_id") === col("ida"), "left")
+      .select(
+        col("vec_id"),
+        col("cid").as("cluster_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_cos"),
+        coalesce(col("_smaller") === 0, lit(true)).as("keep"))
+  }
+
+  private val qe10Sql =
+    s"""$kmeansCtes,
+       |n AS (
+       |  SELECT vec_id, cid, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+       |  FROM asg),
+       |near AS (
+       |  SELECT a.vec_id AS ida, count(*) AS n_near,
+       |         max(round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)) AS max_cos,
+       |         max(CASE WHEN b.vec_id < a.vec_id THEN 1 ELSE 0 END) AS smaller
+       |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+       |  GROUP BY a.vec_id)
+       |SELECT n.vec_id, n.cid AS cluster_id,
+       |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+       |  near.max_cos,
+       |  coalesce(near.smaller = 0, true) AS keep
+       |FROM n LEFT JOIN near ON n.vec_id = near.ida""".stripMargin
+
+  // --------------------------------------------------------------- qe11
+  /** Leakage-safe train/val/test split: the split is decided by the
+    * md5-bucket of the near-dup CLUSTER id (qe8's connected
+    * components), not the row id — so the two halves of any
+    * near-duplicate pair, and the whole transitive cluster around
+    * them, land in the SAME split by construction. Splitting by row
+    * hash (qd11's shape) leaks: a train/test near-dup pair inflates
+    * eval scores, the documented failure mode whole-corpus dedup
+    * exists to prevent (the train-test overlap analyses in the GPT-3
+    * and Lee et al. 2021 appendices). Cost on top of the cluster
+    * labels is a pure map-side projection — the same md5-bucket
+    * arithmetic as qd11, applied to cluster_id, 80/10/10.
+    */
+  def qe11(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.operators.Sampling.hashBucket(col("cluster_id"), 100)
+    qe8(s, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .select(col("vec_id"), col("cluster_id"), col("split"))
+  }
+
+  private val qe11Sql =
+    s"""$ccCtes
+       |SELECT vec_id, cluster_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT vec_id, cluster_id,
+       |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 AS b
+       |  FROM cl)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
@@ -735,6 +866,8 @@ object VectorQueries {
     "qe7_truncated_rerank" -> (qe7 _),
     "qe8_dup_clusters" -> (qe8 _),
     "qe9_kmeans_assign" -> (qe9 _),
+    "qe10_semantic_dedup" -> (qe10 _),
+    "qe11_leakage_split" -> (qe11 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -753,6 +886,8 @@ object VectorQueries {
     "qe7_truncated_rerank" -> qe7Sql,
     "qe8_dup_clusters" -> qe8Sql,
     "qe9_kmeans_assign" -> qe9Sql,
+    "qe10_semantic_dedup" -> qe10Sql,
+    "qe11_leakage_split" -> qe11Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -43,7 +43,7 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderLine(
       Seq("q1" -> 1.5, "q2" -> 0.25), Seq("q2"), "/root/testdata/sf0.1")
     assert(line.startsWith("""{"metric":"total","value":1.750,"""))
-    assert(line.contains(""""queries":{"q1":1.500,"q2":0.250}"""))
+    assert(line.contains(""""queries":{"q1":1.50,"q2":0.25}"""))
     assert(line.contains(""""errors":["q2"]"""))
     // standard sfN dir → bare scale factor (the ~20 chars matter, see
     // the renderLine length budget)
@@ -56,11 +56,12 @@ class BenchSpec extends AnyFunSuite {
     assert(empty.endsWith(""""sf":"/x"}"""))
   }
 
-  test("full-precision doubles are rendered at millisecond precision") {
+  test("full-precision doubles are rendered at fixed precision (2dp query, 3dp total)") {
     val line = Bench.renderLine(
       Seq("q1" -> 0.552002599, "q2" -> 12.0000001), Seq.empty, "/x")
-    assert(line.contains(""""q1":0.552"""))
-    assert(line.contains(""""q2":12.000"""))
+    assert(line.contains(""""q1":0.55"""))
+    assert(line.contains(""""q2":12.00"""))
+    assert(line.contains(""""value":12.552"""))
   }
 
   test("the real suite's rendered line fits the driver's 2000-char tail capture") {
@@ -68,13 +69,13 @@ class BenchSpec extends AnyFunSuite {
     // appends ~75 chars of "[success] Total time…" after our line;
     // BENCH_r01–r07 all exceeded that and landed as "parsed": null.
     // Render the actual suite at the realistic worst case — every query
-    // taking tens of seconds ("99.999", 6 chars; today's slowest is
+    // taking tens of seconds ("99.99", 5 chars; today's slowest is
     // ~4 s). A >100 s query would already be a failed round, and even
     // then only the line's HEAD (metric/value) is cut, which
     // benchdiff's salvage extractors handle.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.renderLine(
-      names.map(_ -> 99.999), Seq.empty, "/root/testdata/sf0.1")
+      names.map(_ -> 99.99), Seq.empty, "/root/testdata/sf0.1")
     assert(line.length <= 1880,
       s"bench line is ${line.length} chars — the driver tail capture will " +
         "truncate it again; shorten new query names or the rendering")

@@ -226,6 +226,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "cluster sizes should broadcast back")
   }
 
+  test("qe10 scores pairs only within clusters: cid equi-join, no all-pairs") {
+    val p = finalPlan(queries.VectorQueries.qe10(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "semantic dedup exists to avoid the all-pairs non-equi join; " +
+        "its candidate join must stay an equi-join on the cluster id")
+  }
+
+  test("qd20b folds HLL sketches map-side: one exchange, no Expand") {
+    // the exact twin (qd20) must pay a two-distinct Expand + dedup
+    // shuffle; the whole point of the sketch is that the approx path
+    // ships fixed-size partials through a single hash exchange
+    val p = finalPlan(queries.TextQueries.qd20b(spark, sf))
+    assert(!p.contains("Expand"),
+      "HLL NDV must not plan a count-distinct Expand")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"sketch agg needs exactly one shuffle (got $exchanges)")
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("approx_count_distinct"),
+      "the aggregation must be the HLL sketch, not exact distinct")
+  }
+
   test("qd18 builds its inverted index from one documents scan, no pair join") {
     val p = finalPlan(queries.TextQueries.qd18(spark, sf))
     val docScans = "FileScan parquet[^\\n]*documents".r.findAllMatchIn(p).size

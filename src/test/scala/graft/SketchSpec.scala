@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** qd20b's HLL++ NDV sketch, checked the way approximate operators are
+  * checked here: error-floored against the exact twin (qd20) rather
+  * than hash-matched, plus the property that makes the sketch safe at
+  * scale — merge-order / partitioning independence.
+  */
+class SketchSpec extends AnyFunSuite {
+  import SparkSpecBase.{spark, sf}
+
+  test("qd20b HLL NDV stays within 6% of the exact twin per source") {
+    // rsd 0.02 → ~2% typical error; 6% is the 3σ envelope. A miss
+    // here means the sketch config (or Spark's HLL impl) changed.
+    val exact = queries.TextQueries.qd20(spark, sf)
+      .select(col("source"), col("ndv_tokens"))
+    val approx = queries.TextQueries.qd20b(spark, sf)
+      .select(col("source"), col("ndv_approx"), col("total_tokens"))
+    val joined = approx.join(exact, Seq("source"))
+      .withColumn("rel_err",
+        abs(col("ndv_approx") - col("ndv_tokens")) / col("ndv_tokens"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err <= 0.06,
+        s"source ${r.getAs[String]("source")}: HLL rel err $err > 0.06 " +
+          s"(approx ${r.getAs[Long]("ndv_approx")} vs exact ${r.getAs[Long]("ndv_tokens")})")
+    }
+  }
+
+  test("qd20b is partitioning-independent: any repartition yields the same sketch") {
+    // HLL registers merge by max — commutative and associative — and
+    // the underlying hash is seedless, so the estimate must not depend
+    // on how the token stream is split across tasks. This is the
+    // property that makes the sketch a safe 100 TB primitive (a
+    // per-partition-seeded draw, by contrast, changes under AQE).
+    val base = queries.TextQueries.qd20b(spark, sf)
+    val shuffled = {
+      val docsRe = Tables.documents(spark, sf).repartition(7, col("doc_id"))
+      docsRe
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(
+          approx_count_distinct(col("tok"), 0.02).as("ndv_approx"),
+          count(lit(1)).as("total_tokens"))
+    }
+    assert(base.exceptAll(shuffled).count() == 0 &&
+      shuffled.exceptAll(base).count() == 0,
+      "HLL estimate drifted under a different input partitioning")
+  }
+}

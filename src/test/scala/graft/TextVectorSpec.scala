@@ -263,6 +263,61 @@ class TextVectorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qe10 semantic dedup: planted near-copies land in their original's cluster and drop") {
+    // Plant 20 near-copies (0.5% relative noise — cos >> 0.99, and the
+    // centroid argmin is overwhelmingly unchanged, so copy and original
+    // share a cluster). SemDeDup must flag every planted pair within
+    // its cluster, keep the smaller id, and leave the untouched corpus
+    // alone (no pair in the clean 200 reaches cos 0.8).
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf01)
+      .withColumn("vec", graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .limit(200)
+      .select("vec_id", "vec")
+    val rnd = new scala.util.Random(11)
+    val dups = e.limit(20).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val noisy = v.map(x => x * (1.0 + 0.005 * rnd.nextGaussian()))
+      (r.getLong(0) + 100000L, noisy.toSeq)
+    }.toSeq
+    import SparkSpecBase.spark.implicits._
+    val corpus = e.unionByName(dups.toDF("vec_id", "vec"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("vec"), col("vec"))))
+    val out = queries.VectorQueries.semanticDedupFrom(corpus, 0.8, 8).cache()
+    assert(out.count() == 220)
+    assert(out.filter(col("n_near") > 0).count() == 40,
+      "each planted pair must flag both members inside one cluster")
+    assert(out.filter(col("keep") === false).count() == 20)
+    assert(out.filter(col("keep") === false).filter(col("vec_id") < 100000L).count() == 0,
+      "canonical member (smaller id) must be kept")
+    // copy and original really share a cluster (the SemDeDup premise)
+    val cl = out.select(col("vec_id"), col("cluster_id"))
+    val pairsSameCell = cl.filter(col("vec_id") >= 100000L)
+      .withColumn("orig_id", col("vec_id") - 100000L)
+      .join(cl.select(col("vec_id").as("orig_id"), col("cluster_id").as("orig_cl")), Seq("orig_id"))
+      .filter(col("cluster_id") === col("orig_cl")).count()
+    assert(pairsSameCell == 20, s"only $pairsSameCell/20 copies clustered with their original")
+    out.unpersist()
+  }
+
+  test("qe11 leakage split: clusters never straddle splits, fractions near 80/10/10") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = queries.VectorQueries.qe11(spark, sf01).cache()
+    // the leakage guarantee: one split per cluster
+    val straddlers = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlers == 0, s"$straddlers clusters straddle a split boundary")
+    // members of multi-vector clusters really share their split (the
+    // pairwise statement of the same invariant, through the public API)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    assert(frac.keySet == Set("train", "val", "test"), s"splits: ${frac.keySet}")
+    assert(frac("train") / n > 0.7 && frac("train") / n < 0.9,
+      s"train fraction ${frac("train") / n} far from 0.8")
+    out.unpersist()
+  }
+
   test("qe6 int8-quantized top-k: small cosine error, high recall vs the float path") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = queries.VectorQueries.qe1(spark, sf01)
