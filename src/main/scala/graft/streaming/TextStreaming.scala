@@ -41,6 +41,26 @@ object TextStreaming {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(s"$dir/documents.parque[t]")
 
+  /** Streaming per-source vocabulary NDV (qd20b's sketch, incremental):
+    * the running approximate distinct-token count per source over a
+    * document stream. HLL registers merge by max — a commutative
+    * monoid — so however the stream is sliced into microbatches, the
+    * end-of-stream table equals the batch sketch EXACTLY (tested
+    * bit-for-bit against qd20b). Unlike the dedup paths there is no
+    * unbounded history problem: state is K registers per source
+    * regardless of stream length, so this needs no watermark, no
+    * external index, no compaction — the textbook case for a streaming
+    * aggregation over mergeable sketch state.
+    */
+  def vocabularyNdv(docsStream: DataFrame): DataFrame =
+    docsStream
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        approx_count_distinct(col("tok"), 0.02).as("ndv_approx"),
+        count(lit(1)).as("total_tokens"))
+
   /** Process one microbatch: verdicts written to
     * `outPath/batch=<id>/` (doc_id, dup_of nullable, jac_est
     * nullable), signatures to `indexPath/signatures/batch=<id>/`.

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventsStreaming
+import graft.streaming.{EventsStreaming, TextStreaming}
 import graft.multimodal.Multimodal
 
 class StreamingMultimodalSpec extends AnyFunSuite {
@@ -113,6 +113,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val mustClose = twin.filter(col("end_us") < maxUs - 3L * 3600L * 1000000L)
     assert(mustClose.exceptAll(out).count() == 0,
       "a closed-horizon session was lost across the batch boundary")
+  }
+
+  test("streaming vocabulary NDV equals the batch sketch regardless of microbatch slicing") {
+    // HLL registers are a commutative monoid: two doc_id-parity halves
+    // streamed as separate microbatches must land on EXACTLY the batch
+    // qd20b table — the property that lets a continuous ingest keep a
+    // running vocabulary profile with K registers per source of state.
+    val dir = java.nio.file.Files.createTempDirectory("vocab_stream").toFile
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/even")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/odd")
+    Seq("even", "odd").zipWithIndex.foreach { case (h, i) =>
+      val f = new java.io.File(s"$dir/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    val stream = spark.readStream
+      .schema(TextStreaming.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*.parquet")
+    val out = EventsStreaming.runToMemory(
+      spark, TextStreaming.vocabularyNdv(stream), "vocab_ndv",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val twin = queries.TextQueries.qd20b(spark, sf)
+    assert(out.count() > 0)
+    assert(out.exceptAll(twin).count() == 0 && twin.exceptAll(out).count() == 0,
+      "incremental HLL accumulation diverged from the batch sketch")
   }
 
   test("streaming watermark dedup emits each event_id once") {
