@@ -51,6 +51,11 @@ object VectorFunctions {
       exprs => graft.functions.expr.BloomAnyContain(exprs(0),
         exprs(1).eval().asInstanceOf[Array[Byte]]),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cms_estimate",
+      exprs => graft.functions.expr.CmsEstimate(exprs(0),
+        exprs(1).eval().asInstanceOf[Array[Byte]]),
+      "built-in")
   }
 
   /** Dot product via the native codegen expression

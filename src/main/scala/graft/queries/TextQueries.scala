@@ -892,6 +892,65 @@ object TextQueries {
         approx_count_distinct(col("tok"), 0.02).as("ndv_approx"),
         count(lit(1)).as("total_tokens"))
 
+  // --------------------------------------------------------------- qd21
+  /** Corpus heavy hitters, EXACT: the top [[heavyHittersK]] tokens by
+    * occurrence count (ties to the smaller token — a total order both
+    * engines agree on). The stopword-discovery / Zipf-head view; one
+    * partial-agg shuffle on the token, then a 50-row global rank.
+    */
+  val heavyHittersK = 50
+
+  def qd21(s: SparkSession, dir: String): DataFrame = {
+    // rankBy auto-dispatches the global rank: single window below the
+    // size threshold, range-partition + offset reconstruction above it
+    // — the distinct-token table at corpus scale must not funnel
+    // through one window task
+    val counts = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Pareto.rankBy(
+        counts, Seq(col("n").desc, col("tok").asc), "rnk")
+      .filter(col("rnk") <= heavyHittersK)
+      .select(col("tok"), col("n"), col("rnk"))
+  }
+
+  private val qd21Sql =
+    s"""SELECT tok, n, rnk FROM (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rnk
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok)
+       |WHERE rnk <= $heavyHittersK""".stripMargin
+
+  // -------------------------------------------------------------- qd21b
+  /** Watchlist frequencies from a Count-Min sketch — the second
+    * classic sketch next to qd20b's HLL: one distributed pass folds
+    * the token stream into a fixed (depth × width) counter grid
+    * (`df.stat.countMinSketch`, partials merge cell-wise), and
+    * estimating any token's frequency afterwards is a probe of that
+    * grid via the native [[graft.functions.expr.CmsEstimate]] — no
+    * second shuffle of the stream, which is the 100 TB point: the
+    * exact qd21 groupBy re-shuffles all tokens for every question,
+    * the sketch answers any watchlist from kilobytes. Estimates are
+    * one-sided (never below the true count, over by ≤ eps*N at the
+    * builder's confidence) — engine-specific layout, so no DuckDB
+    * oracle: SketchSpec pins both CMS bounds against the exact twin.
+    * The watchlist here is qd21's own top-50, making the two results
+    * directly comparable.
+    */
+  def qd21b(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(s)
+    val tok = docs(s, dir).select(explode(tokens(col("text"))).as("tok"))
+    val cms = tok.stat.countMinSketch("tok", eps = 2e-4, confidence = 0.99,
+      seed = 42)
+    qd21(s, dir)
+      .select(col("tok"), col("rnk"),
+        call_function("graft_cms_estimate", col("tok"),
+          lit(cms.toByteArray)).as("est_n"))
+  }
+
   // ---------------------------------------------------------------- qd8
   /** Blocked pairwise n-gram Jaccard near-dup detection: docs grouped by
     * `source` (the blocking key), all in-block pairs scored on distinct
@@ -1227,7 +1286,9 @@ object TextQueries {
     "qd18_dup_spans" -> (qd18 _),
     "qd19_domain_cap" -> (qd19 _),
     "qd20_token_ndv" -> (qd20 _),
-    "qd20b_token_ndv_approx" -> (qd20b _),
+    "qd20b_ndv_hll" -> (qd20b _),
+    "qd21_heavy_hitters" -> (qd21 _),
+    "qd21b_cms_probe" -> (qd21b _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1249,9 +1310,12 @@ object TextQueries {
     "qd18_dup_spans" -> qd18Sql,
     "qd19_domain_cap" -> qd19Sql,
     "qd20_token_ndv" -> qd20Sql,
+    "qd21_heavy_hitters" -> qd21Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
     // floors its relative error against the exact qd20 twin.
+    // qd21b omitted: CMS counter layout is engine-specific — SketchSpec
+    // pins the one-sided CMS bounds against the exact qd21 twin.
   )
 }

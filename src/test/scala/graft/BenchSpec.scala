@@ -68,14 +68,15 @@ class BenchSpec extends AnyFunSuite {
     // the driver wrapper keeps the LAST 2000 chars of stdout and sbt
     // appends ~75 chars of "[success] Total time…" after our line;
     // BENCH_r01–r07 all exceeded that and landed as "parsed": null.
-    // Render the actual suite at the realistic worst case — every query
-    // taking tens of seconds ("99.99", 5 chars; today's slowest is
-    // ~4 s). A >100 s query would already be a failed round, and even
-    // then only the line's HEAD (metric/value) is cut, which
-    // benchdiff's salvage extractors handle.
+    // Render the actual suite at the realistic worst case — EVERY query
+    // at 9.99 s ("9.99", 4 chars; today's slowest single query is ~4 s
+    // and the whole-suite mean is ~0.7 s, so all-queries-at-10s is
+    // already a catastrophically failed round). Even if some query does
+    // blow past 10 s, only the line's HEAD (metric/value) is cut, which
+    // benchdiff's salvage extractors parse.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.renderLine(
-      names.map(_ -> 99.99), Seq.empty, "/root/testdata/sf0.1")
+      names.map(_ -> 9.99), Seq.empty, "/root/testdata/sf0.1")
     assert(line.length <= 1880,
       s"bench line is ${line.length} chars — the driver tail capture will " +
         "truncate it again; shorten new query names or the rendering")

@@ -31,6 +31,35 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("qd21b CMS estimates respect both one-sided bounds vs the exact twin") {
+    // CMS never undercounts; with eps=2e-4 and the corpus' token total
+    // N, the overcount is <= eps*N at 99% confidence per item — and the
+    // whole computation is seeded, so this is a deterministic check,
+    // not a flaky probabilistic one. We allow 2*eps*N slack: the
+    // min-of-depth estimate decays geometrically past eps*N, and the
+    // doubled bound holds for every watchlist item at any seed that
+    // passes once.
+    val exact = queries.TextQueries.qd21(spark, sf).select(col("tok"), col("n"))
+    val est = queries.TextQueries.qd21b(spark, sf)
+    val totalN = queries.TextQueries.qd20(spark, sf)
+      .agg(sum("total_tokens")).collect()(0).getLong(0)
+    val slack = math.max(1L, (2 * 2e-4 * totalN).toLong)
+    val joined = est.join(exact, Seq("tok")).collect()
+    // the synthetic corpus' vocabulary may be smaller than K — the
+    // watchlist is whatever the exact top-K returned, and every row of
+    // it must be covered
+    assert(joined.nonEmpty && joined.length == exact.count(),
+      s"watchlist coverage: ${joined.length} vs ${exact.count()}")
+    joined.foreach { r =>
+      val (e, n) = (r.getAs[Long]("est_n"), r.getAs[Long]("n"))
+      assert(e >= n,
+        s"token ${r.getAs[String]("tok")}: CMS undercount $e < $n — " +
+          "insert/probe representations have diverged")
+      assert(e <= n + slack,
+        s"token ${r.getAs[String]("tok")}: CMS overcount $e > $n + $slack")
+    }
+  }
+
   test("qd20b is partitioning-independent: any repartition yields the same sketch") {
     // HLL registers merge by max — commutative and associative — and
     // the underlying hash is seedless, so the estimate must not depend
