@@ -5,14 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.EventTime
 import graft.operators.Rounding.dround
 
 /** Event-stream operators (batch form; the streaming variants live in
-  * graft.streaming). The `events` table carries TIMESTAMP(NANOS) parquet
-  * timestamps, which Spark reads via `spark.sql.legacy.parquet.nanosAsLong`
-  * as a nanosecond Long — all time arithmetic here floors to MICROS
-  * (`ts div 1000`) because the DuckDB oracle's TIMESTAMP_NS values are
-  * µs-truncated on read.
+  * graft.streaming). The physical type of `events.ts` has varied across
+  * testdata regenerations (int64 nanoseconds, TIMESTAMP_NTZ(µs)) — all
+  * time arithmetic goes through [[graft.operators.EventTime]], which
+  * dispatches on the type the file actually declares and lands on a
+  * canonical `us: Long` micros column matching the DuckDB oracle's
+  * `epoch_us(ts)`.
   *
   * Scale notes: every operator below is a per-user window or a
   * hash-aggregate — partitioned by user_id / hour, no global state. The
@@ -23,10 +25,10 @@ import graft.operators.Rounding.dround
 object EventQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = {
+    // kept for int64-nanos testdata generations: without it Spark fails
+    // the TIMESTAMP(NANOS) footer outright; a no-op for µs timestamps
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: double division of 19-digit ns longs loses
-    // ulps and rounds up past the oracle's floor(ns/1000)
-    Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    EventTime.withUs(Tables.events(s, dir))
   }
 
   // ---------------------------------------------------------------- q18

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
+import graft.operators.EventTime
+
 /** Structured Streaming over the `events` table (SURVEY §2.9: the
   * reference has no streaming — this is the §7.5 extension surface).
   *
@@ -20,7 +22,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
-  /** Event schema as Spark reads it with nanosAsLong (ts = ns Long). */
+  /** Fixture event schema (ts = int64 nanoseconds) — what the spec
+    * fixtures write. Real testdata may declare any type
+    * [[graft.operators.EventTime]] supports; [[readEvents]] reads the
+    * actual footer instead of assuming this.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -32,17 +38,21 @@ object EventsStreaming {
 
   /** File-source stream of the events table (one file = one microbatch
     * locally; on a cluster this is any file/Kafka source with the same
-    * schema).
+    * schema). The file source requires a declared schema: declare
+    * exactly what the file's footer says (one driver-side footer read),
+    * so a regeneration that changes the physical `ts` type never
+    * desyncs the stream from the files.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       // Glob-match ONLY the events table (the sf dir holds every table);
       // the [t] forces glob interpretation — a bare file path is rejected
       // by the file stream source ("basePath must be a directory").
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    EventTime.withUs(raw).withColumn("ts_ts", timestamp_micros(col("us")))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark for
@@ -72,7 +82,8 @@ object EventsStreaming {
     import spark.implicits._
     val gapUs = 3600L * 1000000L
     events
-      .selectExpr("user_id", "ts div 1000 AS us")
+      .select(col("user_id"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
@@ -120,7 +131,9 @@ object EventsStreaming {
     val gapUs = 3600L * 1000000L
     events
       .withWatermark("ts_ts", "2 hours")
-      .selectExpr("user_id", "ts div 1000 AS us", "value", "ts_ts")
+      .select(col("user_id"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"),
+        col("value"), col("ts_ts"))
       .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
@@ -183,7 +196,9 @@ object EventsStreaming {
     val wo = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("us").asc)
     events
-      .selectExpr("user_id", "ts div 1000 AS us", "value")
+      .select(col("user_id"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"),
+        col("value"))
       .withColumn("gap", col("us") - lag("us", 1).over(wo))
       .withColumn("new_sess",
         when(col("gap").isNull || col("gap") > gapUs, 1L).otherwise(0L))

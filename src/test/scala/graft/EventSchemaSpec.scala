@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.EventTime
+
+/** The events-table physical-schema contract (VERDICT r8 item 2).
+  *
+  * The driver regenerates /root/testdata between rounds and has already
+  * changed `events.ts`'s physical type once (int64 nanoseconds →
+  * TIMESTAMP_NTZ micros), which silently broke every events consumer.
+  * This spec is the single place an environment change like that should
+  * surface: if the derivation below fails, fix
+  * [[graft.operators.EventTime]] — everything else dispatches through
+  * it.
+  */
+class EventSchemaSpec extends AnyFunSuite {
+  import SparkSpecBase.{spark, sf}
+
+  test("events.ts physical type is one EventTime supports, and us derives sanely") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(spark, sf)
+    val dt = ev.schema("ts").dataType
+    assert(Seq(LongType, TimestampType, TimestampNTZType).contains(dt),
+      s"events.ts arrived as $dt — teach graft.operators.EventTime the new type")
+    val us = EventTime.withUs(ev)
+    assert(us.schema("us").dataType == LongType)
+    val row = us.agg(min("us"), max("us"), count(lit(1))).collect()(0)
+    val (lo, hi, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n > 0, "events table is empty")
+    // micros since epoch, not nanos/millis/seconds: the generator's
+    // clock lives in recent years (2020-01-01 .. 2040-01-01 in µs)
+    assert(lo >= 1577836800000000L && hi < 2208988800000000L,
+      s"us range [$lo, $hi] is not micros-since-epoch — unit dispatch is wrong")
+  }
+
+  test("all three supported ts encodings derive the identical us column") {
+    import spark.implicits._
+    // one instant three ways: 2024-03-01 12:34:56.789012 UTC
+    val micros = 1709296496789012L
+    val asLongNs = Seq(Tuple1(micros * 1000L)).toDF("ts")
+    val asTs = Seq(Tuple1(new java.sql.Timestamp(0L))).toDF("ts")
+      .select(timestamp_micros(lit(micros)).as("ts"))
+    val asNtz = asTs.select(col("ts").cast(TimestampNTZType).as("ts"))
+    assert(asTs.schema("ts").dataType == TimestampType)
+    assert(asNtz.schema("ts").dataType == TimestampNTZType)
+    for (df <- Seq(asLongNs, asTs, asNtz)) {
+      val got = EventTime.withUs(df).select("us").collect()(0).getLong(0)
+      assert(got == micros,
+        s"${df.schema("ts").dataType} derived $got, expected $micros")
+    }
+    // unsupported types refuse loudly instead of mis-deriving
+    val bad = Seq(Tuple1("2024-01-01")).toDF("ts")
+    intercept[IllegalArgumentException](EventTime.withUs(bad))
+  }
+}

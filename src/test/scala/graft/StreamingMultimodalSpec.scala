@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.{EventsStreaming, TextStreaming}
 import graft.multimodal.Multimodal
+import graft.operators.EventTime
 
 class StreamingMultimodalSpec extends AnyFunSuite {
   import SparkSpecBase.{spark, sf}
@@ -64,7 +65,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // watermark MUST have been closed — in-batch or by event-time
     // timeout in the trailing no-data microbatch. Sessions nearer the
     // stream's end may legitimately still be open.
-    val maxUs = batchEvents.agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val maxUs = EventTime.withUs(batchEvents).agg(max("us")).collect()(0).getLong(0)
     val horizonUs = maxUs - 3L * 3600L * 1000000L
     val mustClose = twin.filter(col("end_us") < horizonUs)
     assert(mustClose.exceptAll(out).count() == 0,
@@ -78,12 +79,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // batch-1 sessions whose horizon the batch-2 watermark passes must
     // close by event-time timeout, not stay open forever
     val dir = java.nio.file.Files.createTempDirectory("sess_two_batches").toFile
-    val ev = Tables.events(spark, sf)
-    val cutUs = ev.selectExpr("ts div 1000 AS us")
+    val ev = EventTime.withUs(Tables.events(spark, sf))
+    val cutUs = ev
       .agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
-    ev.filter(expr(s"ts div 1000 <= ${cutUs}L")).coalesce(1)
+    ev.filter(col("us") <= cutUs).drop("us").coalesce(1)
       .write.parquet(s"$dir/half1")
-    ev.filter(expr(s"ts div 1000 > ${cutUs}L")).coalesce(1)
+    ev.filter(col("us") > cutUs).drop("us").coalesce(1)
       .write.parquet(s"$dir/half2")
     val files = Seq("half1", "half2").map { h =>
       new java.io.File(s"$dir/$h").listFiles()
@@ -95,11 +96,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       dst.setLastModified(1000000000000L + i * 600000L)
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(EventsStreaming.eventSchema)
+    // declare whatever physical ts type the written halves carry
+    val halfSchema = spark.read.parquet(s"$dir/part0.parquet").schema
+    val stream = EventTime.withUs(spark.readStream
+      .schema(halfSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/part*.parquet")
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(s"$dir/part*.parquet"))
+      .withColumn("ts_ts", timestamp_micros(col("us")))
     val out = EventsStreaming.runToMemory(
       spark, EventsStreaming.closedSessions(spark, stream), "closed_sess_2b",
       org.apache.spark.sql.streaming.OutputMode.Append())
@@ -108,11 +111,58 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(out.exceptAll(twin).count() == 0,
       "a session split across microbatches was emitted fragmented or duplicated")
     assert(out.count() == out.distinct().count())
-    val maxUs = Tables.events(spark, sf)
-      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val maxUs = EventTime.withUs(Tables.events(spark, sf))
+      .agg(max("us")).collect()(0).getLong(0)
     val mustClose = twin.filter(col("end_us") < maxUs - 3L * 3600L * 1000000L)
     assert(mustClose.exceptAll(out).count() == 0,
       "a closed-horizon session was lost across the batch boundary")
+  }
+
+  test("closed-session stream at sf0.1: exact batch sessions against the real events table") {
+    // VERDICT r8 item 4: the r8 closed-session additions were exercised
+    // only at fixture scale — this runs the soak path against the real
+    // sf0.1 events table (~10x the gate's volume, the bench's sf).
+    val dir01 = "/root/testdata/sf0.1"
+    val stream = EventsStreaming.readEvents(spark, dir01)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.closedSessions(spark, stream), "closed_sess_sf01",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchEvents = Tables.events(spark, dir01)
+    val twin = EventsStreaming.sessionsBatch(batchEvents)
+    assert(out.count() > 0)
+    assert(out.exceptAll(twin).count() == 0,
+      "stream emitted a session the batch twin doesn't have")
+    assert(out.count() == out.distinct().count(), "a session was emitted twice")
+    val maxUs = EventTime.withUs(batchEvents).agg(max("us")).collect()(0).getLong(0)
+    val mustClose = twin.filter(col("end_us") < maxUs - 3L * 3600L * 1000000L)
+    assert(mustClose.exceptAll(out).count() == 0,
+      "a session past the watermark+gap horizon was never closed at sf0.1")
+  }
+
+  test("streaming vocabulary NDV at sf0.1 equals the batch sketch across two microbatches") {
+    val dir01 = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("vocab_stream_sf01").toFile
+    val docs = Tables.documents(spark, dir01)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/even")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/odd")
+    Seq("even", "odd").zipWithIndex.foreach { case (h, i) =>
+      val f = new java.io.File(s"$dir/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    val stream = spark.readStream
+      .schema(TextStreaming.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*.parquet")
+    val out = EventsStreaming.runToMemory(
+      spark, TextStreaming.vocabularyNdv(stream), "vocab_ndv_sf01",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val twin = queries.TextQueries.qd20b(spark, dir01)
+    assert(out.count() > 0)
+    assert(out.exceptAll(twin).count() == 0 && twin.exceptAll(out).count() == 0,
+      "incremental HLL accumulation diverged from the batch sketch at sf0.1")
   }
 
   test("streaming vocabulary NDV equals the batch sketch regardless of microbatch slicing") {
@@ -159,8 +209,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val out = EventsStreaming.runToMemory(
       spark, EventsStreaming.attributionJoin(stream), "attr_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
-    val batchEvents = Tables.events(spark, sf)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = EventTime.withUs(Tables.events(spark, sf))
+      .withColumn("ts_ts", timestamp_micros(col("us")))
     val twin = EventsStreaming.attributionJoinBatch(batchEvents)
     assert(twin.count() > 0, "fixture should produce click->purchase attributions")
     assert(out.count() == twin.count(),

@@ -169,8 +169,13 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
             f"doubled this round (then re-run against a fuller baseline or "
             f"accept the reduced coverage explicitly)")
         return fails
+    # a query that ERRORED in the old run has a time-to-failure there,
+    # not a timing — comparing against it reads any real fix as a
+    # regression (r8: q20 "0.08s" was an analysis exception; the r9 fix
+    # then showed as "6x slower")
+    old_errs = set(extract_errors(old_obj))
     for q in sorted(old_q):
-        if q not in new_q:
+        if q not in new_q or q in old_errs:
             continue
         old_t, new_t = old_q[q], new_q[q]
         if old_t < min_sec and new_t < min_sec:
@@ -179,6 +184,23 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
             fails.append(
                 f"{q} regressed {new_t / old_t:.2f}x ({old_t:.2f}s -> {new_t:.2f}s)")
     return fails
+
+
+_REGRESS_RE = re.compile(r"^(q\S+) regressed ")
+
+
+def rerun_cmd(fails, sf_dir="/root/testdata/sf0.1"):
+    """The one-command adjudication recipe for a set of flagged
+    regressions: re-measure ONLY those queries, min-of-2, on an
+    otherwise-idle machine. Three rounds running, the driver's
+    full-suite artifact has shown phantom regression clusters
+    (machine-level contention through the whole min-of-2 window) that
+    this subset re-run dissolves — see BENCH_NOTES.md."""
+    names = [m.group(1) for m in map(_REGRESS_RE.match, fails) if m]
+    if not names:
+        return None
+    return (f"SPARK_GRAFT_ONLY={','.join(sorted(set(names)))} "
+            f"SPARK_GRAFT_SF_DIR={sf_dir} sbt \"runMain graft.Bench\"")
 
 
 def selftest():
@@ -253,6 +275,20 @@ def selftest():
                    "qgone_c": 1.0}}
     assert any("baseline queries are comparable" in f
                for f in diff(ok, old_bigger)), diff(ok, old_bigger)
+    # an OLD-side errored query's time-to-failure is NOT a baseline: the
+    # fixed query's real timing must not read as a regression (r8 q20)
+    old_err = {"rc": 0, "queries": {"q1": 1.0, "q2": 0.1, "q3": 0.08},
+               "errors": ["q3"]}
+    fixed = {"rc": 0, "queries": {"q1": 1.0, "q2": 0.1, "q3": 0.55}}
+    assert diff(fixed, old_err) == [], diff(fixed, old_err)
+    # ...but the new side reporting errors still trips regardless
+    assert any("failed queries" in f for f in diff(old_err, ok))
+    # regression failures yield the exact subset re-run command
+    cmd = rerun_cmd(diff(bad, ok))
+    assert cmd is not None and "SPARK_GRAFT_ONLY=q1 " in cmd, cmd
+    assert rerun_cmd(diff(jit, ok)) is None
+    # non-regression failures (rc/errors/truncation) get no re-run cmd
+    assert rerun_cmd(diff({"rc": 1, "queries": {"q1": 1.0}}, ok)) is None
     print("selftest OK")
 
 
@@ -281,6 +317,9 @@ def main():
               f"({tot_new / tot_old:.2f}x) over {len(both)} queries")
     for f_ in fails:
         print(f"FAIL {f_}")
+    cmd = rerun_cmd(fails)
+    if cmd:
+        print(f"adjudicate flagged regressions (re-measure subset, idle machine):\n  {cmd}")
     if not fails:
         print("bench gate PASS")
     sys.exit(1 if fails else 0)
