@@ -729,7 +729,11 @@ object TextQueries {
     * ONE hash shuffle on the fingerprint key; the per-doc rollup is one
     * more on doc_id. Never all-pairs, no suffix array to build.
     */
-  def qd18(s: SparkSession, dir: String): DataFrame = {
+  /** The winnowed-fingerprint posting list (doc_id, fp), distinct
+    * within doc — qd18's map-only selection stage, exposed for the
+    * window-vs-groupBy formulation measurement (tools.Qd18Probe).
+    */
+  def qd18Fingerprints(s: SparkSession, dir: String): DataFrame = {
     val w = 4
     // The gram array MUST be bound once per row: naming it as a column
     // and referencing it from inside the window lambdas lets the
@@ -749,8 +753,12 @@ object TextQueries {
           .otherwise(transform(
             sequence(lit(1), size(g) - lit(w - 1)),
             j => array_min(slice(g, j, lit(w)))))))))
-    val fps = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(winnowed)).as("fp"))
+  }
+
+  def qd18(s: SparkSession, dir: String): DataFrame = {
+    val fps = qd18Fingerprints(s, dir)
     // fps are distinct within a doc, so the per-fp row count IS the
     // number of docs containing that span fingerprint
     val perFp = Window.partitionBy("fp")
@@ -1166,6 +1174,13 @@ object TextQueries {
     }
   }
 
+  /** The probe path's band-collision candidate pairs straight off the
+    * persisted index — exposed for the recall measurement (RECALL.json
+    * needs probe-path evidence, not just the fused qd6's).
+    */
+  def qd6bCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandCollisionPairs(minhashIndex(s, dir))
+
   def qd6b(s: SparkSession, dir: String): DataFrame = {
     val idx = minhashIndex(s, dir)
     val cand = bandCollisionPairs(idx)
@@ -1263,6 +1278,83 @@ object TextQueries {
       .select("doc_id", "simhash", "n_near")
   }
 
+  // --------------------------------------------------------------- qd22
+  /** Near-duplicate document CLUSTERS with canonical selection — the
+    * keep/drop verdict that closes the text-dedup loop. qd6/qd8 only
+    * COUNT or SCORE near-dups per doc; a training-data pipeline needs
+    * the survivor set itself (which docs form a dup group, which single
+    * doc represents it — cf. qe8/qe10 for embeddings). Edges are exact
+    * word-3-gram Jaccard ≥ 0.5 pairs produced by a GLOBAL inverted-index
+    * join: any pair with J > 0 shares at least one gram, so candidate
+    * recall is structural (no banding to miss an edge — this is what
+    * makes the operator oracle-checkable, unlike hash-banded qd6).
+    * Clusters are connected components over those edges; the canonical
+    * survivor is the min doc_id of each cluster (`is_canonical`), so
+    * `filter(is_canonical)` IS the deduplicated corpus and
+    * `cluster_size` the audit trail.
+    *
+    * Scale shape: the posting join is one hash shuffle on the gram key
+    * (Zipfian hot grams are bounded by the PPJoin length filter and,
+    * at 100 TB, by the standard stopword-gram cap); the per-pair
+    * aggregation is map-side combinable; ConnectedComponents
+    * auto-dispatches driver union-find (edges < 2^18) vs alternating-
+    * star O(log n) distributed rounds. Never all-pairs.
+    */
+  def qd22(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val g = docs(s, dir)
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+    val inv = g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+    val edges = inv.as("a").join(inv.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      // J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb): lossless size pruning before
+      // the shuffle-heavy pair aggregation (PPJoin length filter)
+      .filter(least(col("a.ng"), col("b.ng")) >=
+        lit(t) * greatest(col("a.ng"), col("b.ng")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(dround(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")), 6) >= t)
+      .select("doc_a", "doc_b")
+    graft.operators.ConnectedComponents
+      .clusters(edges, docs(s, dir).select(col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  private val qd22Sql =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      |edges AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.doc_id AS u, b.doc_id AS v, a.ng AS na, b.ng AS nb,
+      |           count(*) AS shared
+      |    FROM inv a JOIN inv b
+      |      ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |    GROUP BY 1, 2, 3, 4)
+      |  WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5),
+      |reach(u, v) AS (
+      |  SELECT doc_id, doc_id FROM g
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+      |  doc_id = cluster_id AS is_canonical
+      |FROM cl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1289,6 +1381,7 @@ object TextQueries {
     "qd20b_ndv_hll" -> (qd20b _),
     "qd21_heavy_hitters" -> (qd21 _),
     "qd21b_cms_probe" -> (qd21b _),
+    "qd22_dup_doc_clusters" -> (qd22 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1311,6 +1404,7 @@ object TextQueries {
     "qd19_domain_cap" -> qd19Sql,
     "qd20_token_ndv" -> qd20Sql,
     "qd21_heavy_hitters" -> qd21Sql,
+    "qd22_dup_doc_clusters" -> qd22Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

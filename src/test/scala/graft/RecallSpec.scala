@@ -40,7 +40,13 @@ class RecallSpec extends AnyFunSuite {
     ("qe7_truncated_rerank", "sf0.01") -> 0.55, ("qe7_truncated_rerank", "sf0.1") -> 0.65,
     // a Bloom filter cannot false-negative: 1.0 is a structural
     // guarantee, so any miss is a bug, not an unlucky corpus
-    ("qd13b_bloom_decontam", "sf0.01") -> 1.0, ("qd13b_bloom_decontam", "sf0.1") -> 1.0)
+    ("qd13b_bloom_decontam", "sf0.01") -> 1.0, ("qd13b_bloom_decontam", "sf0.1") -> 1.0,
+    // persisted-index PROBE variants (VERDICT r8 item 7): equivalence
+    // to the fused twins is spec-pinned elsewhere, but the artifact
+    // must carry probe-path evidence of its own — same floors as the
+    // fused operators they share machinery with
+    ("qd6b_minhash_probe", "sf0.01") -> 0.90, ("qd6b_minhash_probe", "sf0.1") -> 0.90,
+    ("qe5b_ann_ivf_probe", "sf0.01") -> 0.40, ("qe5b_ann_ivf_probe", "sf0.1") -> 0.40)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -137,6 +143,32 @@ class RecallSpec extends AnyFunSuite {
       // regression (at build fpp 1e-2 this assertion fails hard)
       val prec = hit.toDouble / bloom.count()
       assert(prec >= 0.9, f"qd13b precision $prec%.3f below 0.9 — fpp drifted")
+    }
+
+    test(s"qd6b persisted-index probe candidate recall vs exact Jaccard >= 0.5 pairs [${sf.label}]") {
+      val g = Tables.documents(spark, sf.dir)
+        .withColumn("grams", array_distinct(functions.TextFunctions.wordGrams(
+          functions.TextFunctions.tokens(col("text")), 3)))
+        .filter(size(col("grams")) > 0)
+        .select("doc_id", "grams")
+      val exact = g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
+        .filter(col("jac") >= 0.5)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val n = exact.count()
+      val hit = exact.join(queries.TextQueries.qd6bCandidatePairs(spark, sf.dir),
+        Seq("doc_a", "doc_b"), "left_semi").count()
+      record("qd6b_minhash_probe", sf, hit.toDouble / n,
+        "exact all-pairs Jaccard >= 0.5, persisted-index probe path")
+    }
+
+    test(s"qe5b persisted-IVF probe recall@5 vs exact cosine top-k [${sf.label}]") {
+      val exact = queries.VectorQueries.qe1(spark, sf.dir).select("query_id", "neighbor_id")
+      val probe = queries.VectorQueries.qe5b(spark, sf.dir).select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hit = exact.join(probe, Seq("query_id", "neighbor_id"), "left_semi").count()
+      record("qe5b_ann_ivf_probe", sf, hit.toDouble / n,
+        "qe1 exact top-5, persisted-quantizer probe path")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {

@@ -164,6 +164,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(perQ.count() == 0)
   }
 
+  test("qd22 dup clusters: canonical-per-cluster invariants and planted near-dups merge") {
+    val out = queries.TextQueries.qd22(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.count() == docs, "one verdict row per document")
+    // cluster_id is the min member: no doc points above itself, and
+    // each cluster has EXACTLY one canonical — filter(is_canonical)
+    // is a well-defined survivor set
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    assert(out.filter(col("is_canonical")).count() ==
+      out.select("cluster_id").distinct().count())
+    assert(out.filter(col("is_canonical") && col("cluster_id") =!= col("doc_id"))
+      .count() == 0)
+    // the fixture plants near-dup pairs: at least one non-trivial cluster
+    assert(out.filter(col("cluster_size") > 1).count() > 0,
+      "planted near-dups should form at least one multi-doc cluster")
+    // cluster_size is consistent with membership
+    val sizes = out.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val bad = out.join(sizes, Seq("cluster_id"))
+      .filter(col("cluster_size") =!= col("n"))
+    assert(bad.count() == 0, "cluster_size column disagrees with membership")
+    // survivors + their cluster mates partition the corpus: dropping
+    // non-canonicals removes exactly (docs - #clusters) rows
+    val kept = out.filter(col("is_canonical")).count()
+    assert(kept + out.filter(!col("is_canonical")).count() == docs)
+    out.unpersist()
+  }
+
   test("qd8 length filter prunes size-mismatched candidates and loses no surviving pair") {
     import spark.implicits._
     // skewed fixture: one hot gram shared by every doc, sizes 2..40 —
