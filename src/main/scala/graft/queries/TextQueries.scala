@@ -1300,13 +1300,18 @@ object TextQueries {
     * auto-dispatches driver union-find (edges < 2^18) vs alternating-
     * star O(log n) distributed rounds. Never all-pairs.
     */
-  def qd22(s: SparkSession, dir: String): DataFrame = {
+  /** qd22's exact-Jaccard edge list (doc_a < doc_b) — exposed so the
+    * plan spec can pin the posting-join shape (the CC auto-dispatch
+    * consumes the edges before the operator's final plan, so the join
+    * isn't visible through qd22's own executedPlan).
+    */
+  private[graft] def qd22Edges(s: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     val g = docs(s, dir)
       .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
     val inv = g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
-    val edges = inv.as("a").join(inv.as("b"),
+    inv.as("a").join(inv.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       // J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb): lossless size pruning before
       // the shuffle-heavy pair aggregation (PPJoin length filter)
@@ -1319,8 +1324,11 @@ object TextQueries {
       .filter(dround(col("shared").cast("double")
         / (col("na") + col("nb") - col("shared")), 6) >= t)
       .select("doc_a", "doc_b")
+  }
+
+  def qd22(s: SparkSession, dir: String): DataFrame = {
     graft.operators.ConnectedComponents
-      .clusters(edges, docs(s, dir).select(col("doc_id")))
+      .clusters(qd22Edges(s, dir), docs(s, dir).select(col("doc_id")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -1355,6 +1363,116 @@ object TextQueries {
       |  doc_id = cluster_id AS is_canonical
       |FROM cl""".stripMargin
 
+  // --------------------------------------------------------------- qd23
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * doc by how target-like its hashed-n-gram distribution is, where
+    * the target is the high-quality slice (qd4 quality ≥ 0.75 — in
+    * production this is your curated domain: Wikipedia, books). Tokens
+    * hash into B=1024 buckets (the paper's hashed feature trick — fixed
+    * feature space regardless of vocabulary); each bucket carries the
+    * add-one-smoothed log-likelihood ratio log p̂_target(b) −
+    * log p̂_raw(b); a doc's score is its mean per-token log-ratio and
+    * `selected` marks docs that look more target than raw — the
+    * importance-resampling pool.
+    *
+    * Determinism contract: the per-bucket log-ratio is quantized to
+    * integer micro-nats (the dround floor construction — DuckDB round
+    * semantics), per-doc sums are exact longs, so FP association order
+    * can't flip a 6dp score; bucket ids are the md5 idiom the oracle
+    * reproduces verbatim (qd11).
+    *
+    * Scale shape: ONE scan builds the (doc, bucket, is_target) token
+    * stream; bucket stats are a B-row aggregation (map-side
+    * combinable, B fixed at any corpus size) broadcast back; the only
+    * per-corpus shuffle is the final partial-agged groupBy(doc_id).
+    * The B-row ratio table is exactly what a 100 TB run would persist
+    * and reuse across selection sweeps.
+    */
+  /** Frame-parameterized DSIR core (tests plant separable vocabularies):
+    * `d` carries (doc_id, text). Smoothing is a Dirichlet prior that
+    * shrinks the target estimate TOWARD THE RAW distribution —
+    * p̂r(b) = (cr+1)/(nr+B), p̂t(b) = (ct + B·p̂r(b))/(nt + B) — not
+    * add-one on both sides: with a small target slice (nt ≪ nr),
+    * symmetric add-one makes every UNSEEN token look target-like
+    * (log(1/(nt+B)) − log(1/(nr+B)) > 0), which inverts the selection
+    * into a rare-junk magnet (observed on the sf0.001 corpus before the
+    * fix). Under the raw-centered prior an unseen bucket scores
+    * log(B/(nt+B)) < 0, and a target slice that IS the raw
+    * distribution scores exactly 0 — unbiased.
+    */
+  private[graft] def dsirFrom(d: DataFrame, qualityThreshold: Double): DataFrame = {
+    val B = 1024
+    val base = withQuality(d)
+      .select(col("doc_id"), (col("quality_score") >= qualityThreshold).as("is_target"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", graft.operators.Sampling.hashBucket(col("tok"), B))
+      .select("doc_id", "is_target", "b")
+    val counts = base.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val tot = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val pr = (col("cr") + lit(1.0)) / (col("nr") + lit(B.toDouble))
+    val pt = (col("ct") + lit(B.toDouble) * pr) / (col("nt") + lit(B.toDouble))
+    // micro-nat quantization with DuckDB round-half-away semantics
+    // (Rounding.dround's floor construction, to integer)
+    val x = (log(pt) - log(pr)) * lit(1e6)
+    val cents = when(x >= 0, floor(x + lit(0.5)))
+      .otherwise(-floor(-x + lit(0.5))).cast("long")
+    val lr = counts.crossJoin(broadcast(tot)).select(col("b"), cents.as("cents"))
+    val score = dround(col("sc") / lit(1e6) / col("n_tokens"), 6)
+    base.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cents").as("sc"))
+      .select(col("doc_id"), col("n_tokens"),
+        score.as("dsir_score"), (score > 0).as("selected"))
+  }
+
+  def qd23(s: SparkSession, dir: String): DataFrame =
+    dsirFrom(docs(s, dir), 0.75)
+
+  private val qd23Sql =
+    """WITH tb AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(alpha_ratio * 0.5 + (1.0 - digit_ratio) * 0.2
+      |          + len_norm * 0.3, 6) AS quality_score
+      |  FROM (
+      |    SELECT doc_id,
+      |      round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |            / length(text), 6) AS alpha_ratio,
+      |      round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |            / length(text), 6) AS digit_ratio,
+      |      round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) AS len_norm
+      |    FROM documents)),
+      |marked AS (
+      |  SELECT tb.doc_id, tb.b, (q.quality_score >= 0.75) AS is_target
+      |  FROM tb JOIN q ON tb.doc_id = q.doc_id),
+      |counts AS (
+      |  SELECT b, count(*) AS cr,
+      |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM marked GROUP BY b),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+      |               CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+      |lr AS (
+      |  SELECT b,
+      |    CAST(round((ln((ct + 1024.0 * pr) / (nt + 1024.0))
+      |               - ln(pr)) * 1000000.0) AS BIGINT) AS cents
+      |  FROM (SELECT b, ct, nt,
+      |          (cr + 1.0) / (nr + 1024.0) AS pr
+      |        FROM counts, tot)),
+      |scored AS (
+      |  SELECT m.doc_id, count(*) AS n_tokens, CAST(sum(l.cents) AS BIGINT) AS sc
+      |  FROM marked m JOIN lr l ON m.b = l.b
+      |  GROUP BY m.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(sc / 1000000.0 / n_tokens, 6) AS dsir_score,
+      |  round(sc / 1000000.0 / n_tokens, 6) > 0 AS selected
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1381,7 +1499,8 @@ object TextQueries {
     "qd20b_ndv_hll" -> (qd20b _),
     "qd21_heavy_hitters" -> (qd21 _),
     "qd21b_cms_probe" -> (qd21b _),
-    "qd22_dup_doc_clusters" -> (qd22 _),
+    "qd22_dup_clusters" -> (qd22 _),
+    "qd23_dsir" -> (qd23 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1404,7 +1523,8 @@ object TextQueries {
     "qd19_domain_cap" -> qd19Sql,
     "qd20_token_ndv" -> qd20Sql,
     "qd21_heavy_hitters" -> qd21Sql,
-    "qd22_dup_doc_clusters" -> qd22Sql,
+    "qd22_dup_clusters" -> qd22Sql,
+    "qd23_dsir" -> qd23Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -66,6 +66,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "supplier dim join must broadcast")
   }
 
+  test("qd23 ratio table broadcasts: the token stream never shuffle-joins") {
+    val p = finalPlan(queries.TextQueries.qd23(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-row log-ratio table must broadcast onto the token stream")
+    assert(!p.contains("SortMergeJoin"),
+      "token stream must not shuffle for the ratio lookup")
+  }
+
+  test("qd22 edges come from an equi-join posting list, never a nested loop") {
+    // the CC auto-dispatch consumes the edges before qd22's own final
+    // plan, so the posting join is pinned through the edge frame
+    val p = finalPlan(queries.TextQueries.qd22Edges(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "gram posting join degenerated to a non-equi join")
+    assert(p.contains("greatest") && p.contains("least"),
+      "PPJoin length-ratio bound missing from qd22's physical plan")
+  }
+
   test("qd8 applies the length filter before the candidate aggregation") {
     val p = finalPlan(queries.TextQueries.qd8(spark, sf))
     assert(p.contains("greatest") && p.contains("least"),

@@ -191,6 +191,42 @@ class TextVectorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd23 DSIR covers every doc with finite scores and a consistent selection flag") {
+    // The synthetic corpus's token CONTENT barely varies with its
+    // quality score (char-class ratios drive quality, not vocabulary),
+    // so enrichment DIRECTION on it is noise — the planted test below
+    // pins direction on a corpus whose vocabularies actually separate.
+    val out = queries.TextQueries.qd23(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count(),
+      "one importance verdict per document")
+    assert(out.filter(col("selected") =!= (col("dsir_score") > 0)).count() == 0)
+    assert(out.filter(col("dsir_score").isNull || isnan(col("dsir_score"))).count() == 0)
+    out.unpersist()
+  }
+
+  test("qd23 DSIR planted: target-vocabulary docs score positive, junk negative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocabA = Seq("signal", "corpus", "quality", "filter", "sample",
+      "token", "model", "train", "data", "clean")
+    // target docs: long, lowercase-alpha, vocab A → quality well above
+    // 0.75 AND a distinctive token distribution
+    val good = (1L to 40L).map { i =>
+      (i, Seq.fill(120)(vocabA(rnd.nextInt(vocabA.size))).mkString(" "))
+    }
+    // junk docs: short digit soup → quality near zero, disjoint vocab
+    val junk = (41L to 60L).map { i =>
+      (i, Seq.fill(20)((1000 + rnd.nextInt(9000)).toString).mkString(" "))
+    }
+    val d = (good ++ junk).toDF("doc_id", "text")
+    val out = queries.TextQueries.dsirFrom(d, 0.75)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((1L to 40L).forall(out(_)),
+      "a target-vocabulary doc was not selected")
+    assert((41L to 60L).forall(!out(_)),
+      "a junk doc slipped into the selected pool")
+  }
+
   test("qd8 length filter prunes size-mismatched candidates and loses no surviving pair") {
     import spark.implicits._
     // skewed fixture: one hot gram shared by every doc, sizes 2..40 —
