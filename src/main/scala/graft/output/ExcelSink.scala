@@ -6,11 +6,13 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.NumericType
 
-/** Minimal xlsx workbook sink (SURVEY §2.1 S7; VERDICT r1 item 9):
-  * sheet-per-view, bold header row, #,##0.00 number format on numeric
-  * cells — the engine-scoped slice of the reference's styled workbook
-  * output (/root/reference/main.py:367-416; full styling stays
-  * presentation, out of engine scope per SURVEY §2.1).
+/** Xlsx workbook sink (SURVEY §2.1 S7): sheet-per-view with the
+  * reference's semantic styling re-expressed over hand-rolled OOXML
+  * (/root/reference/main.py:99-127,205-359 — header fills, per-column
+  * semantic fills for charge/payment/balance/overdue money columns,
+  * alternating row bands, ABC-classification and zero-balance row
+  * overrides, TOTAL-row emphasis, and the money/integer/percent number
+  * formats keyed by the same column-name sets).
   *
   * Hand-rolled OOXML (zip + XML via the JDK): the build is offline with
   * a pinned dependency set, so no POI/spark-excel. Strings are written
@@ -23,11 +25,78 @@ import org.apache.spark.sql.types.NumericType
   */
 object ExcelSink {
 
+  // ------------------------------------------------------------ semantics
+  // Column-name sets mirrored from the reference's style constants
+  // (main.py:68-101); names are matched uppercase.
+  private val MoneyCols = Set(
+    "CARGOS", "ABONOS", "IMPORTE", "IMPUESTO",
+    "SALDO_FACTURA", "SALDO_CLIENTE",
+    "IMPORTE_TOTAL", "IMPORTE_PROMEDIO", "IMPORTE_MAX",
+    "TOTAL_CARGOS", "TOTAL_ABONOS", "SALDO",
+    "MONTO_CARGO", "MONTO_ABONOS", "DISPONIBLE",
+    "SALDO_TOTAL", "SALDO_VIGENTE", "SALDO_VENCIDO",
+    "LIMITE_CREDITO", "SALDO_PENDIENTE", "FACTURAS_PAGADAS",
+    "FACTURAS_VIGENTES", "IMPUESTO_TOTAL", "MONTO_TOTAL",
+    "IMPORTE_AJUSTE", "VENDIDO", "PAGADO",
+    "TOTAL_CARGOS_CANCELADOS", "TOTAL_ABONOS_CANCELADOS")
+  private val MoneyPrefixes = Seq("FACTURAS_VENCIDAS", "VIGENTE:", "VENCIDO:")
+  private val IntCols = Set(
+    "NUM_DOCUMENTOS", "NUM_REGISTROS", "NUM_CARGOS", "NUM_ABONOS",
+    "NUM_FACTURAS", "NUM_VENCIDAS", "DIAS_VENCIDO_MAX",
+    "NUM_FACTURAS_PENDIENTES", "NUM_FACTURAS_TOTALES",
+    "NUM_FACTURAS_VIGENTES", "NUM_FACTURAS_VENCIDAS")
+  private val PctCols = Set(
+    "PCT_DEL_TOTAL", "UTILIZACION_PCT", "PCT_ACUMULADO", "PCT_VENCIDO", "VALOR")
+  private val FillAzulCols = Set("TOTAL_CARGOS", "TOTAL_CARGOS_CANCELADOS", "LIMITE_CREDITO")
+  private val FillVerdeCols = Set(
+    "TOTAL_ABONOS", "TOTAL_ABONOS_CANCELADOS", "SALDO_VIGENTE", "DISPONIBLE",
+    "FACTURAS_PAGADAS")
+  private val FillAmarilloCols = Set("SALDO_PENDIENTE", "SALDO_TOTAL", "SALDO", "IMPORTE_AJUSTE")
+  private val FillRojoCols = Set("SALDO_VENCIDO", "DIAS_VENCIDO_MAX", "PCT_VENCIDO")
+  private val ZeroBalanceCols = Seq("SALDO_PENDIENTE", "SALDO_TOTAL", "SALDO", "IMPORTE_AJUSTE")
+
+  // font ids (styles.xml order)
+  private val FontNormal = 0
+  private val FontHeader = 1 // bold white
+  private val FontMuted = 2  // gray, zero-balance rows
+  private val FontTotal = 3  // bold, TOTAL row
+  // fill ids
+  private val FillNone = 0
+  // fill 1 is the gray125 pattern Excel requires at index 1
+  private val FillHeader = 2     // 4472C4
+  private val FillCalcHeader = 3 // 548235
+  private val FillBand = 4       // F2F2F2
+  private val FillAzul = 5       // D9E1F2
+  private val FillVerde = 6      // E2EFDA
+  private val FillAmarillo = 7   // FFF2CC
+  private val FillRojo = 8       // FCE4D6
+  private val FillZero = 9       // D9D9D9
+  private val FillTotal = 10     // A6A6A6
+  // number format ids
+  private val FmtGeneral = 0
+  private val FmtMoney = 164 // #,##0.00
+  private val FmtInt = 165   // #,##0
+  private val FmtPct = 166   // 0.00%
+
+  private val fonts = 4
+  private val fills = 11
+  private val fmts = Seq(FmtGeneral, FmtMoney, FmtInt, FmtPct)
+
+  /** Deterministic xf index for (font, fill, fmt): the full cross
+    * product is emitted in styles.xml, so every combination the row
+    * styler can produce exists. Index 0 is (normal, none, general) —
+    * the OOXML default — by construction.
+    */
+  private def xf(fontId: Int, fillId: Int, fmtId: Int): Int = {
+    val fi = fmts.indexOf(fmtId)
+    (fontId * fills + fillId) * fmts.length + fi
+  }
+
   def write(views: Seq[(String, DataFrame)], path: String,
-      maxRows: Int = 200000): Unit = {
+      maxRows: Int = 200000, calcCols: Set[String] = Set.empty): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
     var ok = false
-    try { writeEntries(zos, views, maxRows); ok = true }
+    try { writeEntries(zos, views, maxRows, calcCols); ok = true }
     finally {
       zos.close()
       // never leave a truncated, unreadable workbook behind
@@ -36,7 +105,8 @@ object ExcelSink {
   }
 
   private def writeEntries(zos: ZipOutputStream,
-      views: Seq[(String, DataFrame)], maxRows: Int): Unit = {
+      views: Seq[(String, DataFrame)], maxRows: Int,
+      calcCols: Set[String]): Unit = {
     def entry(name: String, body: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(body.getBytes("UTF-8"))
@@ -73,31 +143,79 @@ object ExcelSink {
         .mkString +
       s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
       "</Relationships>")
-    // s=1: bold header; s=2: #,##0.00 numbers (fills>=2 is an Excel quirk)
-    entry("xl/styles.xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
-      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
-      """<numFmts count="1"><numFmt numFmtId="164" formatCode="#,##0.00"/></numFmts>""" +
-      """<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>""" +
-      """<font><b/><sz val="11"/><name val="Calibri"/></font></fonts>""" +
-      """<fills count="2"><fill><patternFill patternType="none"/></fill>""" +
-      """<fill><patternFill patternType="gray125"/></fill></fills>""" +
-      """<borders count="1"><border/></borders>""" +
-      """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
-      """<cellXfs count="3"><xf numFmtId="0" fontId="0"/>""" +
-      """<xf numFmtId="0" fontId="1" applyFont="1"/>""" +
-      """<xf numFmtId="164" fontId="0" applyNumberFormat="1"/></cellXfs>""" +
-      "</styleSheet>")
+    entry("xl/styles.xml", stylesXml)
     views.zipWithIndex.foreach { case ((_, df), i) =>
-      entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, maxRows))
+      entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, maxRows, calcCols))
     }
   }
 
   def write(views: Map[String, DataFrame], path: String): Unit =
     write(views.toSeq.sortBy(_._1), path)
 
-  private def sheetXml(df: DataFrame, maxRows: Int): String = {
+  private def stylesXml: String = {
+    def solid(rgb: String) =
+      s"""<fill><patternFill patternType="solid"><fgColor rgb="FF$rgb"/><bgColor indexed="64"/></patternFill></fill>"""
+    val fillXml = Seq(
+      """<fill><patternFill patternType="none"/></fill>""",
+      """<fill><patternFill patternType="gray125"/></fill>""",
+      solid("4472C4"), solid("548235"), solid("F2F2F2"), solid("D9E1F2"),
+      solid("E2EFDA"), solid("FFF2CC"), solid("FCE4D6"), solid("D9D9D9"),
+      solid("A6A6A6"))
+    val fontXml = Seq(
+      """<font><sz val="11"/><name val="Calibri"/></font>""",
+      """<font><b/><sz val="11"/><color rgb="FFFFFFFF"/><name val="Calibri"/></font>""",
+      """<font><sz val="11"/><color rgb="FF808080"/><name val="Calibri"/></font>""",
+      """<font><b/><sz val="11"/><name val="Calibri"/></font>""")
+    val xfs = for {
+      fontId <- 0 until fonts
+      fillId <- 0 until fills
+      fmtId <- fmts
+    } yield {
+      val attrs = new StringBuilder(s"""numFmtId="$fmtId" fontId="$fontId" fillId="$fillId"""")
+      if (fmtId != 0) attrs ++= """ applyNumberFormat="1""""
+      if (fontId != 0) attrs ++= """ applyFont="1""""
+      if (fillId != 0) attrs ++= """ applyFill="1""""
+      s"<xf $attrs/>"
+    }
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      s"""<numFmts count="3"><numFmt numFmtId="$FmtMoney" formatCode="#,##0.00"/>""" +
+      s"""<numFmt numFmtId="$FmtInt" formatCode="#,##0"/>""" +
+      s"""<numFmt numFmtId="$FmtPct" formatCode="0.00%"/></numFmts>""" +
+      s"""<fonts count="$fonts">${fontXml.mkString}</fonts>""" +
+      s"""<fills count="$fills">${fillXml.mkString}</fills>""" +
+      """<borders count="1"><border/></borders>""" +
+      """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+      s"""<cellXfs count="${xfs.length}">${xfs.mkString}</cellXfs>""" +
+      "</styleSheet>"
+  }
+
+  private def sheetXml(df: DataFrame, maxRows: Int,
+      calcCols: Set[String]): String = {
+    val cols = df.columns
+    val upper = cols.map(_.toUpperCase)
     val numeric = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
+    // per-column number format (reference main.py:222-247); money wins
+    // over the generic numeric default, explicit sets over everything
+    val colFmt = upper.zipWithIndex.map { case (u, j) =>
+      if (MoneyCols.contains(u) || MoneyPrefixes.exists(u.startsWith)) FmtMoney
+      else if (IntCols.contains(u)) FmtInt
+      else if (PctCols.contains(u)) FmtPct
+      else if (numeric(j)) FmtMoney // pre-styling default, kept
+      else FmtGeneral
+    }
+    // per-column semantic fill (main.py:284-296); None = banded
+    val colFill: Array[Option[Int]] = upper.map { u =>
+      if (FillAzulCols.contains(u)) Some(FillAzul)
+      else if (FillVerdeCols.contains(u)) Some(FillVerde)
+      else if (FillAmarilloCols.contains(u)) Some(FillAmarillo)
+      else if (FillRojoCols.contains(u)) Some(FillRojo)
+      else None
+    }
+    val clasifIdx = upper.indexOf("CLASIFICACION")
+    val unidadIdx = upper.indexOf("UNIDAD")
+    val valorIdx = upper.indexOf("VALOR")
+    val zeroIdxs = ZeroBalanceCols.map(c => upper.indexOf(c)).filter(_ >= 0)
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"ExcelSink is a report-sized presentation sink (> $maxRows rows); use the parquet/csv sinks")
@@ -105,26 +223,57 @@ object ExcelSink {
     sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
     sb ++= "<row r=\"1\">"
-    df.columns.zipWithIndex.foreach { case (c, j) =>
-      sb ++= s"""<c r="${ref(j, 1)}" s="1" t="inlineStr"><is><t>${esc(c)}</t></is></c>"""
+    cols.zipWithIndex.foreach { case (c, j) =>
+      val fill = if (calcCols.exists(_.equalsIgnoreCase(c))) FillCalcHeader else FillHeader
+      sb ++= s"""<c r="${ref(j, 1)}" s="${xf(FontHeader, fill, FmtGeneral)}" t="inlineStr"><is><t>${esc(c)}</t></is></c>"""
     }
     sb ++= "</row>"
     rows.zipWithIndex.foreach { case (row, ri) =>
       val r = ri + 2
+      // row-level state (main.py:266-280): TOTAL row, zero balance, ABC
+      val isTotal = !row.isNullAt(0) &&
+        String.valueOf(row.get(0)).trim.equalsIgnoreCase("TOTAL")
+      val isZero = zeroIdxs.exists { j =>
+        !row.isNullAt(j) && (row.get(j) match {
+          case x: java.lang.Number => x.doubleValue() == 0.0
+          case _ => false
+        })
+      }
+      val clasif =
+        if (clasifIdx >= 0 && !row.isNullAt(clasifIdx))
+          String.valueOf(row.get(clasifIdx))
+        else ""
       sb ++= s"""<row r="$r">"""
       var j = 0
       while (j < numeric.length) {
         if (!row.isNullAt(j)) {
+          // style resolution, in the reference's override order:
+          // column fill (or band) < ABC class < zero-muted < TOTAL
+          var fill = colFill(j).getOrElse(if (r % 2 == 0) FillBand else FillNone)
+          var font = FontNormal
+          if (clasif == "A") fill = FillVerde
+          else if (clasif == "B") fill = FillAmarillo
+          else if (clasif == "C") fill = FillRojo
+          if (isZero) { fill = FillZero; font = FontMuted }
+          if (isTotal) { fill = FillTotal; font = FontTotal }
+          // VALOR is percent only when the row's UNIDAD is "%"; other
+          // units stay unformatted (the KPI sheet mixes units in one
+          // column — main.py:239-246)
+          val fmt =
+            if (j == valorIdx && unidadIdx >= 0 &&
+                (row.isNullAt(unidadIdx) ||
+                  String.valueOf(row.get(unidadIdx)).trim != "%")) FmtGeneral
+            else colFmt(j)
           // NaN/Infinity are not valid <v> numbers — fall through to inline string
           val finite = numeric(j) && (row.get(j) match {
             case d: java.lang.Double => !d.isNaN && !d.isInfinite
             case f: java.lang.Float  => !f.isNaN && !f.isInfinite
             case _                   => true
           })
-          if (finite)
-            sb ++= s"""<c r="${ref(j, r)}" s="2"><v>${row.get(j)}</v></c>"""
+          if (finite && numeric(j))
+            sb ++= s"""<c r="${ref(j, r)}" s="${xf(font, fill, fmt)}"><v>${row.get(j)}</v></c>"""
           else
-            sb ++= s"""<c r="${ref(j, r)}" t="inlineStr"><is><t>${esc(String.valueOf(row.get(j)))}</t></is></c>"""
+            sb ++= s"""<c r="${ref(j, r)}" s="${xf(font, fill, FmtGeneral)}" t="inlineStr"><is><t>${esc(String.valueOf(row.get(j)))}</t></is></c>"""
         }
         j += 1
       }

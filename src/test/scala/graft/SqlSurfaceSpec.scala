@@ -141,6 +141,108 @@ class SqlSurfaceSpec extends AnyFunSuite {
     mixed.unpersist()
   }
 
+  test("xlsx sink styling: semantic fills, bands, ABC/zero/TOTAL row overrides") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_style").toString
+    val path = s"$dir/styled.xlsx"
+    // fixture exercising every override class: semantic money columns,
+    // an ABC classification column, a zero-balance muted row, a TOTAL
+    // row, and a plain banded text column
+    val df = Seq(
+      ("cliente_a", 100.0, 40.0, 60.0, "A", 3L),
+      ("cliente_b", 200.0, 200.0, 0.0, "B", 1L),   // zero balance → muted
+      ("cliente_c", 50.0, 10.0, 40.0, "C", 2L),
+      ("TOTAL", 350.0, 250.0, 100.0, "", 6L))
+      .toDF("CLIENTE", "TOTAL_CARGOS", "TOTAL_ABONOS", "SALDO_PENDIENTE",
+        "CLASIFICACION", "NUM_FACTURAS")
+    output.ExcelSink.write(Seq("resumen" -> df), path, calcCols = Set("SALDO_PENDIENTE"))
+    val zf = new java.util.zip.ZipFile(path)
+    def parse(entry: String) =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry(entry)))
+    // styles.xml declares the reference palette and the format set
+    val stylesRaw = new String(
+      zf.getInputStream(zf.getEntry("xl/styles.xml")).readAllBytes, "UTF-8")
+    for (rgb <- Seq("4472C4", "548235", "F2F2F2", "D9E1F2", "E2EFDA",
+        "FFF2CC", "FCE4D6", "D9D9D9", "A6A6A6"))
+      assert(stylesRaw.contains(s"FF$rgb"), s"palette fill $rgb missing")
+    assert(stylesRaw.contains("#,##0.00") && stylesRaw.contains("""formatCode="#,##0""""))
+    val styles = parse("xl/styles.xml")
+    val xfNodes = styles.getElementsByTagName("cellXfs").item(0)
+      .asInstanceOf[org.w3c.dom.Element].getElementsByTagName("xf")
+    def xfAttr(id: Int, a: String): String = {
+      val at = xfNodes.item(id).getAttributes.getNamedItem(a)
+      if (at == null) "0" else at.getNodeValue
+    }
+    // sheet cells: collect (ref -> styleId)
+    val sheet = parse("xl/worksheets/sheet1.xml")
+    val cells = sheet.getElementsByTagName("c")
+    val styleOf = (0 until cells.getLength).map { i =>
+      val at = cells.item(i).getAttributes
+      val s = at.getNamedItem("s")
+      at.getNamedItem("r").getNodeValue -> (if (s == null) 0 else s.getNodeValue.toInt)
+    }.toMap
+    val fillNodes = styles.getElementsByTagName("fills").item(0)
+      .asInstanceOf[org.w3c.dom.Element].getElementsByTagName("fill")
+    def fillRgb(fillId: Int): String = {
+      val fg = fillNodes.item(fillId).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("fgColor")
+      if (fg.getLength == 0) "" else
+        fg.item(0).getAttributes.getNamedItem("rgb").getNodeValue
+    }
+    def cellFill(r: String) = fillRgb(xfAttr(styleOf(r), "fillId").toInt)
+    def cellFont(r: String) = xfAttr(styleOf(r), "fontId").toInt
+    // headers: header fill, calc column gets the calc fill, bold font
+    assert(cellFill("A1") == "FF4472C4" && cellFill("D1") == "FF548235")
+    // row 2 (clasif A): whole row green — override beats the column fills
+    assert(cellFill("B2") == "FFE2EFDA" && cellFill("A2") == "FFE2EFDA")
+    // row 3: zero balance mutes the row (gray fill + muted font)
+    assert(cellFill("D3") == "FFD9D9D9" && cellFont("D3") == 2)
+    // row 4 (clasif C): red
+    assert(cellFill("C4") == "FFFCE4D6")
+    // row 5: TOTAL overrides everything (gray + bold)
+    assert(cellFill("A5") == "FFA6A6A6" && cellFont("A5") == 3)
+    // number formats: money on TOTAL_CARGOS, #,##0 on NUM_FACTURAS
+    val fmtOfB2 = xfAttr(styleOf("B2"), "numFmtId")
+    val fmtOfF2 = xfAttr(styleOf("F2"), "numFmtId")
+    assert(fmtOfB2 == "164" && fmtOfF2 == "165",
+      s"expected money/int formats, got $fmtOfB2/$fmtOfF2")
+    zf.close()
+  }
+
+  test("xlsx sink styling: plain columns band on alternating rows") {
+    import SparkSpecBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_band").toString
+    val path = s"$dir/banded.xlsx"
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("name", "v")
+    output.ExcelSink.write(Seq("t" -> df), path)
+    val zf = new java.util.zip.ZipFile(path)
+    val styles = new String(
+      zf.getInputStream(zf.getEntry("xl/styles.xml")).readAllBytes, "UTF-8")
+    val sheet = new String(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+    val cells = doc.getElementsByTagName("c")
+    val styleOf = (0 until cells.getLength).map { i =>
+      val at = cells.item(i).getAttributes
+      at.getNamedItem("r").getNodeValue -> at.getNamedItem("s").getNodeValue.toInt
+    }.toMap
+    val stylesDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(zf.getInputStream(zf.getEntry("xl/styles.xml")))
+    val xfNodes = stylesDoc.getElementsByTagName("cellXfs").item(0)
+      .asInstanceOf[org.w3c.dom.Element].getElementsByTagName("xf")
+    def fillIdOf(r: String): String = {
+      val at = xfNodes.item(styleOf(r)).getAttributes.getNamedItem("fillId")
+      if (at == null) "0" else at.getNodeValue
+    }
+    // even sheet rows banded (fill 4 = F2F2F2), odd rows unfilled
+    assert(fillIdOf("A2") == "4" && fillIdOf("A4") == "4")
+    assert(fillIdOf("A3") == "0")
+    assert(styles.contains("FFF2F2F2"))
+    zf.close()
+  }
+
   test("xlsx sink escapes XML metacharacters and illegal sheet names") {
     import SparkSpecBase.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_esc").toString
