@@ -52,38 +52,55 @@ object Bench {
     * would corrupt the JSON). Full-double rendering cost ~6 bytes/query
     * and the line has a hard budget — see renderLine. Per-query values
     * carry centiseconds (10 ms resolution on seconds-scale timings —
-    * run-to-run noise is larger than that); the single total keeps
-    * milliseconds.
+    * run-to-run noise is larger than that) with trailing zeros
+    * stripped ("0.60" → "0.6", "1.00" → "1" — still valid JSON
+    * numbers); the single total keeps milliseconds.
     */
   private def s3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private def s2(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def sN(v: Double, prec: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+  }
+
+  /** The line must fit the driver's tail capture WITH the sbt suffix:
+    * tail = "[info] " (7) + line + "\n" + "[success] Total time: …,
+    * completed <date>" (72 measured on the r8 artifact; +12 headroom
+    * for the longest month/duration renderings) + "\n" ≤ 2000
+    * ⇒ line ≤ ~1907. Target 1900 below for margin.
+    */
+  private[graft] val LineBudget = 1900
 
   /** The driver-contract JSON line (one line, stdout).
     *
     * LENGTH BUDGET: the driver wrapper keeps only the LAST 2000 chars
-    * of stdout, and sbt appends a ~75-char "[success] Total time…"
-    * line after ours — everything past ~1900 chars is truncated from
-    * the FRONT, which is why BENCH_r01–r07 all have "parsed": null and
-    * benchdiff needs its salvage extractors. Per-query values are
-    * rendered at centisecond precision and sf as the bare scale factor when the
-    * dir is a standard sfN path; BenchSpec pins the rendered length of
-    * the real suite under the budget so growth that would re-truncate
-    * the line fails a test, not the next round's artifact.
+    * of stdout, and sbt appends its "[success] Total time…" line after
+    * ours — everything past [[LineBudget]] risks truncation from the
+    * FRONT, which is why BENCH_r01–r07 all have "parsed": null and
+    * benchdiff needs its salvage extractors. Rendering degrades
+    * deterministically as the suite grows: centisecond values with
+    * trailing zeros stripped; if the line still exceeds the budget,
+    * per-query values drop to deciseconds (the gate's jitter floor is
+    * 0.4 s and its absolute slack 0.3 s, so 0.1 s resolution cannot
+    * flip a verdict). BenchSpec pins both regimes.
     */
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
       sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + s2(v) }
-      .mkString("{", ",", "}")
-    val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // "/…/sf0.1" → 0.1 (numeric, saves ~20 chars); anything else stays
-    // the quoted path
-    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
-    s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
+    def mk(prec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + sN(v, prec) }
+        .mkString("{", ",", "}")
+      val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      // "/…/sf0.1" → 0.1 (numeric, saves ~20 chars); anything else stays
+      // the quoted path
+      val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
+    }
+    val two = mk(2)
+    if (two.length <= LineBudget) two else mk(1)
   }
 
   def main(args: Array[String]): Unit = {

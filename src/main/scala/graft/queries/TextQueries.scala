@@ -1473,6 +1473,96 @@ object TextQueries {
       |  round(sc / 1000000.0 / n_tokens, 6) > 0 AS selected
       |FROM scored""".stripMargin
 
+  // --------------------------------------------------------------- qd24
+  /** Zipf power-law fit over the token frequency spectrum — the
+    * one-row corpus-health diagnostic run before tokenizer/mixture
+    * decisions: natural text follows freq ∝ rank^s with s ≈ −1
+    * (Zipf's law); a slope far from −1 flags synthetic/templated or
+    * over-deduplicated data, and the intercept tracks vocabulary
+    * concentration. Fit is OLS on (ln rank, ln freq) over the top-1000
+    * ranks (the head is where the law holds; the tail is
+    * finite-sample noise).
+    *
+    * Determinism contract: ln values are quantized to integer
+    * micro-units FIRST, so all five OLS sums are exact longs —
+    * distributed vs sequential summation order cannot move the fitted
+    * slope; the closing arithmetic is double with the identical
+    * operation order on both engines (cast-to-double before the
+    * k·Σxy-scale products, which overflow longs).
+    *
+    * Scale shape: one partial-agged shuffle for token counts,
+    * rankBy's auto-dispatched global rank for the top-1000, then a
+    * 1000-row aggregation — nothing grows with corpus size past the
+    * distinct-token count.
+    */
+  def qd24(s: SparkSession, dir: String): DataFrame = {
+    val topN = 1000
+    val counts = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    val top = graft.operators.Pareto.rankBy(
+        counts, Seq(col("n").desc, col("tok").asc), "rnk")
+      .filter(col("rnk") <= topN)
+    def micro(c: Column): Column = {
+      val x = log(c) * lit(1e6)
+      when(x >= 0, floor(x + lit(0.5))).otherwise(-floor(-x + lit(0.5))).cast("long")
+    }
+    val sums = top
+      .select(micro(col("rnk").cast("double")).as("x"),
+        micro(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val tot = counts.agg(count(lit(1)).as("n_distinct"), sum("n").as("n_total"))
+    val num = col("k").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = col("k").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = when(den === 0, 0.0).otherwise(num / den)
+    val intercept = when(den === 0, 0.0).otherwise(
+      (col("sy").cast("double") - (num / den) * col("sx").cast("double"))
+        / col("k").cast("double") / lit(1e6))
+    sums.crossJoin(broadcast(tot)).select(
+      col("n_distinct"), col("n_total"),
+      dround(slope, 6).as("zipf_slope"),
+      dround(intercept, 6).as("zipf_intercept"))
+  }
+
+  private val qd24Sql =
+    """WITH counts AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      |  FROM (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rnk
+      |        FROM counts)
+      |  WHERE rnk <= 1000),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM pts),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+      |               CAST(sum(n) AS BIGINT) AS n_total FROM counts)
+      |SELECT n_distinct, n_total,
+      |  round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS zipf_slope,
+      |  round(CASE WHEN den = 0 THEN 0.0 ELSE
+      |    (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+      |      / CAST(k AS DOUBLE) / 1000000.0 END, 6) AS zipf_intercept
+      |FROM (
+      |  SELECT *,
+      |    CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+      |  FROM sums), tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1501,6 +1591,7 @@ object TextQueries {
     "qd21b_cms_probe" -> (qd21b _),
     "qd22_dup_clusters" -> (qd22 _),
     "qd23_dsir" -> (qd23 _),
+    "qd24_zipf_fit" -> (qd24 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1525,6 +1616,7 @@ object TextQueries {
     "qd21_heavy_hitters" -> qd21Sql,
     "qd22_dup_clusters" -> qd22Sql,
     "qd23_dsir" -> qd23Sql,
+    "qd24_zipf_fit" -> qd24Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

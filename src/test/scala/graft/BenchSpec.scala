@@ -43,7 +43,7 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderLine(
       Seq("q1" -> 1.5, "q2" -> 0.25), Seq("q2"), "/root/testdata/sf0.1")
     assert(line.startsWith("""{"metric":"total","value":1.750,"""))
-    assert(line.contains(""""queries":{"q1":1.50,"q2":0.25}"""))
+    assert(line.contains(""""queries":{"q1":1.5,"q2":0.25}"""))
     assert(line.contains(""""errors":["q2"]"""))
     // standard sfN dir → bare scale factor (the ~20 chars matter, see
     // the renderLine length budget)
@@ -56,12 +56,31 @@ class BenchSpec extends AnyFunSuite {
     assert(empty.endsWith(""""sf":"/x"}"""))
   }
 
-  test("full-precision doubles are rendered at fixed precision (2dp query, 3dp total)") {
+  test("full-precision doubles are rendered at fixed precision, zeros stripped") {
     val line = Bench.renderLine(
-      Seq("q1" -> 0.552002599, "q2" -> 12.0000001), Seq.empty, "/x")
+      Seq("q1" -> 0.552002599, "q2" -> 12.0000001, "q3" -> 0.6), Seq.empty, "/x")
     assert(line.contains(""""q1":0.55"""))
-    assert(line.contains(""""q2":12.00"""))
-    assert(line.contains(""""value":12.552"""))
+    // trailing zeros stripped: "12.00" -> "12", "0.60" -> "0.6" — still
+    // valid JSON numbers, and the chars fund suite growth
+    assert(line.contains(""""q2":12,"""))
+    assert(line.contains(""""q3":0.6}"""))
+    assert(line.contains(""""value":13.152"""))
+  }
+
+  test("an oversized suite degrades to decisecond values instead of truncating") {
+    // 85 queries with typical 15-char names, every one at the 9.99 s
+    // worst case: 2dp exceeds the tail budget, 1dp ("10") fits — the
+    // renderer must degrade, not truncate. (Names dominate the line;
+    // rendering buys roughly a dozen queries of headroom, so a suite
+    // far past this needs shorter names — the real-suite test below
+    // fails first.)
+    val names = (1 to 85).map(i => f"qx${i}%02d_abcdefghij")
+    val line = Bench.renderLine(names.map(_ -> 9.99), Seq.empty, "/x")
+    assert(line.length <= Bench.LineBudget,
+      s"degraded line still ${line.length} chars")
+    assert(line.contains(""":10,"""), "1dp fallback not applied")
+    // and the JSON stays parseable with every query present
+    assert(names.forall(n => line.contains("\"" + n + "\":")))
   }
 
   test("the real suite's rendered line fits the driver's 2000-char tail capture") {
@@ -74,14 +93,12 @@ class BenchSpec extends AnyFunSuite {
     // already a catastrophically failed round). Even if some query does
     // blow past 10 s, only the line's HEAD (metric/value) is cut, which
     // benchdiff's salvage extractors parse.
-    // Envelope, measured from the r8 driver artifact: tail = "[info] "
-    // (7) + line + "\n" + "[success] Total time: … completed <date>"
-    // (72 on the r8 run; +9 for the longest month/duration renderings)
-    // + "\n" ≤ 2000 ⇒ line ≤ ~1908. 1890 keeps an 18-char margin.
+    // Envelope derivation lives at Bench.LineBudget; renderLine
+    // auto-degrades precision, so this asserts the DEGRADED bound too
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.renderLine(
       names.map(_ -> 9.99), Seq.empty, "/root/testdata/sf0.1")
-    assert(line.length <= 1890,
+    assert(line.length <= Bench.LineBudget,
       s"bench line is ${line.length} chars — the driver tail capture will " +
         "truncate it again; shorten new query names or the rendering")
   }
