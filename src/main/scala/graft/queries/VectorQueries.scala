@@ -853,6 +853,132 @@ object VectorQueries {
        |      % 100 AS b
        |  FROM cl)""".stripMargin
 
+  // --------------------------------------------------------------- qe12
+  /** MMR — maximal-marginal-relevance diversified top-k retrieval
+    * (Carbonell & Goldstein 1998), the de-duplicating retrieval shape
+    * RAG pipelines run so the k context passages aren't five copies of
+    * the same paragraph: greedily pick argmax of
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) over a bounded relevance
+    * pool (top-[[MmrPool]] by cosine — at corpus scale the pool comes
+    * from the ANN stage, so MMR's cost is pool-sized, not corpus-sized).
+    *
+    * Greedy selection is inherently sequential, but k is small and
+    * fixed: each round is one broadcast join + per-query argmax over
+    * the pool frame (localCheckpoint per round keeps the k-round
+    * lineage flat). Every cosine and every MMR score is 6dp-rounded
+    * with id tiebreaks BEFORE each argmax — the qe9 determinism
+    * discipline — which lets the whole greedy recursion hash-match a
+    * DuckDB oracle built by unrolling the k rounds into generated CTE
+    * stages.
+    */
+  private val MmrPool = 50
+  private val MmrK = 5
+  private val MmrMu = 0.3 // (1−λ) as an exact literal: 1−0.7 in IEEE is not 0.3
+
+  private[graft] def mmrSelect(s: SparkSession, dir: String,
+      lambda: Double, mu: Double): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    var cands = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= MmrPool)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("vec"), col("nrm"), col("rel"))
+      // null, NOT 0.0: cosines go negative, and greatest(0.0, cos)
+      // would clamp a diversity BONUS (an anti-similar candidate) to
+      // zero — Spark's greatest skips nulls, so the first real
+      // similarity lands intact; round 1 coalesces to 0 like the oracle
+      .withColumn("max_sim", lit(null).cast("double"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (round <- 1 to MmrK) {
+      val mmr = dround(lit(lambda) * col("rel")
+        - lit(mu) * coalesce(col("max_sim"), lit(0.0)), 6)
+      val picked = cands.withColumn("mmr_score", mmr)
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("mmr_score").desc, col("cand_id").asc)))
+        .filter(col("pr") === 1)
+        .withColumn("pick_rank", lit(round))
+        .select("query_id", "cand_id", "vec", "nrm", "rel", "mmr_score", "pick_rank")
+        .localCheckpoint()
+      out = if (out == null) picked else out.unionByName(picked)
+      val sel = broadcast(picked.select(col("query_id"),
+        col("cand_id").as("sel_id"), col("vec").as("svec"), col("nrm").as("snrm")))
+      cands = cands.join(sel, Seq("query_id"))
+        .filter(col("cand_id") =!= col("sel_id"))
+        .withColumn("max_sim", greatest(col("max_sim"),
+          dround(cosine(col("vec"), col("svec"), col("nrm"), col("snrm")), 6)))
+        .drop("sel_id", "svec", "snrm")
+        .localCheckpoint()
+    }
+    out.select(col("query_id"), col("pick_rank"),
+      col("cand_id").as("neighbor_id"), col("rel"), col("mmr_score"))
+  }
+
+  def qe12(s: SparkSession, dir: String): DataFrame =
+    mmrSelect(s, dir, 0.7, MmrMu)
+
+  /** The greedy recursion unrolled: stage j's candidates are the pool
+    * minus seen(j−1), each carrying max cosine to the selected set,
+    * argmax per query — identical 6dp-round-then-tiebreak arithmetic
+    * to the Spark rounds.
+    */
+  private val qe12Sql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a.vec, $b.vec) / ($a.nrm * $b.nrm), 6)"
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+         |pool AS (
+         |  SELECT query_id, cand_id, vec, nrm, rel FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rnk
+         |    FROM (SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+         |                 d.vec AS vec, d.nrm AS nrm, ${cos("q", "d")} AS rel
+         |          FROM n q, n d
+         |          WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id))
+         |  WHERE rnk <= $MmrPool),
+         |sel1 AS (
+         |  SELECT query_id, cand_id, vec, nrm, rel,
+         |         round(0.7 * rel - $MmrMu * 0.0, 6) AS mmr_score,
+         |         CAST(1 AS INT) AS pick_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY round(0.7 * rel - $MmrMu * 0.0, 6) DESC, cand_id) AS pr
+         |        FROM pool)
+         |  WHERE pr = 1),
+         |seen1 AS (SELECT query_id, cand_id, vec, nrm FROM sel1)""".stripMargin
+    val stages = (2 to MmrK).map { j =>
+      val prev = j - 1
+      s""",
+         |ms$j AS (
+         |  SELECT p.query_id, p.cand_id, p.vec, p.nrm, p.rel,
+         |         max(${cos("p", "s")}) AS max_sim
+         |  FROM pool p JOIN seen$prev s ON p.query_id = s.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen$prev x
+         |                    WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id)
+         |  GROUP BY p.query_id, p.cand_id, p.vec, p.nrm, p.rel),
+         |sel$j AS (
+         |  SELECT query_id, cand_id, vec, nrm, rel,
+         |         round(0.7 * rel - $MmrMu * max_sim, 6) AS mmr_score,
+         |         CAST($j AS INT) AS pick_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY round(0.7 * rel - $MmrMu * max_sim, 6) DESC, cand_id) AS pr
+         |        FROM ms$j)
+         |  WHERE pr = 1),
+         |seen$j AS (SELECT query_id, cand_id, vec, nrm FROM seen$prev
+         |           UNION ALL SELECT query_id, cand_id, vec, nrm FROM sel$j)""".stripMargin
+    }.mkString
+    val unions = (1 to MmrK).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")
+    s"""$head$stages
+       |SELECT query_id, pick_rank, cand_id AS neighbor_id, rel, mmr_score
+       |FROM ($unions)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -868,6 +994,7 @@ object VectorQueries {
     "qe9_kmeans_assign" -> (qe9 _),
     "qe10_semantic_dedup" -> (qe10 _),
     "qe11_leakage_split" -> (qe11 _),
+    "qe12_mmr_topk" -> (qe12 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -888,6 +1015,7 @@ object VectorQueries {
     "qe9_kmeans_assign" -> qe9Sql,
     "qe10_semantic_dedup" -> qe10Sql,
     "qe11_leakage_split" -> qe11Sql,
+    "qe12_mmr_topk" -> qe12Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

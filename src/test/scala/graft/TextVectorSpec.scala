@@ -227,6 +227,34 @@ class TextVectorSpec extends AnyFunSuite {
       "a junk doc slipped into the selected pool")
   }
 
+  test("qe12 MMR: lambda=1 degenerates to exact relevance top-k; 0.7 diversifies") {
+    // the greedy recursion with the diversity term OFF must reproduce
+    // qe1's top-5 exactly (same rounding, same tiebreaks) — pins that
+    // the sequential machinery itself adds nothing
+    val pure = queries.VectorQueries.mmrSelect(spark, sf, 1.0, 0.0)
+      .select(col("query_id"), col("pick_rank").as("rnk"), col("neighbor_id"))
+    val top = queries.VectorQueries.qe1(spark, sf)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+    assert(pure.exceptAll(top).count() == 0 && top.exceptAll(pure).count() == 0,
+      "lambda=1 MMR must equal relevance ranking")
+    val mmr = queries.VectorQueries.qe12(spark, sf).cache()
+    // structure: 5 distinct picks per query, first pick = relevance argmax
+    val perQ = mmr.groupBy("query_id").agg(
+      count(lit(1)).as("n"), countDistinct("neighbor_id").as("nd"))
+    assert(perQ.filter(col("n") =!= 5 || col("nd") =!= 5).count() == 0)
+    val first = mmr.filter(col("pick_rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val relTop = top.filter(col("rnk") === 1).select(col("query_id"), col("neighbor_id"))
+    assert(first.exceptAll(relTop).count() == 0,
+      "MMR's first pick must be the pure-relevance argmax")
+    // and at lambda=0.7 the diversity term must actually change some
+    // later pick on this corpus (otherwise the operator is vacuous here)
+    assert(mmr.select("query_id", "pick_rank", "neighbor_id")
+      .exceptAll(pure.select(col("query_id"), col("rnk").as("pick_rank"),
+        col("neighbor_id"))).count() > 0)
+    mmr.unpersist()
+  }
+
   test("qd8 length filter prunes size-mismatched candidates and loses no surviving pair") {
     import spark.implicits._
     // skewed fixture: one hot gram shared by every doc, sizes 2..40 —
