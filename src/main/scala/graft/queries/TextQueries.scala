@@ -1563,6 +1563,43 @@ object TextQueries {
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
       |  FROM sums), tot""".stripMargin
 
+  // --------------------------------------------------------------- qd25
+  /** Deterministic dataset mixture as a graded query surface —
+    * operators.Sampling.mixture (the wiki×2.5 + web×0.3 corpus-mixing
+    * recipe training runs consume) applied to the documents table:
+    * English replays at 2.3 epochs (2 full + a 0.3 hash-sampled
+    * partial, salted by epoch so the partial is independent of the
+    * full replays), everything else at 0.4. Membership is a pure
+    * function of (doc_id, epoch) via the md5-bucket idiom, so the mix
+    * is identical on any partitioning/engine — which is exactly what
+    * lets DuckDB reproduce it row-for-row. Plans as a union of
+    * map-side-filtered scans: no shuffle, no RNG state.
+    */
+  def qd25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val mixed = graft.operators.Sampling.mixture(
+      Seq(
+        ("en_docs", d.filter(col("lang") === "en"), 2.3),
+        ("other_docs", d.filter(col("lang") =!= "en"), 0.4)),
+      "doc_id")
+    mixed.select(col("doc_id"), col("lang"), col("_source"), col("_epoch"))
+  }
+
+  private val qd25Sql =
+    """WITH en AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
+      |oth AS (SELECT doc_id, lang FROM documents WHERE lang <> 'en')
+      |SELECT doc_id, lang, 'en_docs' AS _source, CAST(0 AS INT) AS _epoch FROM en
+      |UNION ALL
+      |SELECT doc_id, lang, 'en_docs', CAST(1 AS INT) FROM en
+      |UNION ALL
+      |SELECT doc_id, lang, 'en_docs', CAST(2 AS INT) FROM en
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#2'), 1, 8)) AS BIGINT)
+      |        % 1000000 < 300000
+      |UNION ALL
+      |SELECT doc_id, lang, 'other_docs', CAST(0 AS INT) FROM oth
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 8)) AS BIGINT)
+      |        % 1000000 < 400000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1592,6 +1629,7 @@ object TextQueries {
     "qd22_dup_clusters" -> (qd22 _),
     "qd23_dsir" -> (qd23 _),
     "qd24_zipf_fit" -> (qd24 _),
+    "qd25_mixture" -> (qd25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1617,6 +1655,7 @@ object TextQueries {
     "qd22_dup_clusters" -> qd22Sql,
     "qd23_dsir" -> qd23Sql,
     "qd24_zipf_fit" -> qd24Sql,
+    "qd25_mixture" -> qd25Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
