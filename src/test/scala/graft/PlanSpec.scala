@@ -84,6 +84,13 @@ class PlanSpec extends AnyFunSuite {
       "PPJoin length-ratio bound missing from qd22's physical plan")
   }
 
+  test("qd25 mixture plans as a union of map-side-filtered scans: no exchange") {
+    val p = finalPlan(queries.TextQueries.qd25(spark, sf))
+    assert(!p.contains("Exchange"),
+      "the weighted-epoch mixture must stay shuffle-free (hash membership is map-side)")
+    assert(p.contains("Union"), "expected the epochs to plan as a Union")
+  }
+
   test("qd8 applies the length filter before the candidate aggregation") {
     val p = finalPlan(queries.TextQueries.qd8(spark, sf))
     assert(p.contains("greatest") && p.contains("least"),
