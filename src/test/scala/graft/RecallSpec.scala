@@ -51,6 +51,25 @@ class RecallSpec extends AnyFunSuite {
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
 
+  // The exact all-pairs gram-Jaccard ground truth is the spec's most
+  // expensive computation (minutes at sf0.1) and TWO tests per sf need
+  // it (qd6 fused, qd6b probe) — compute once per sf and persist.
+  private val exactJacCache =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+  private def exactJaccardPairs(dir: String): org.apache.spark.sql.DataFrame =
+    exactJacCache.getOrElseUpdate(dir, {
+      val g = Tables.documents(spark, dir)
+        .withColumn("grams", array_distinct(functions.TextFunctions.wordGrams(
+          functions.TextFunctions.tokens(col("text")), 3)))
+        .filter(size(col("grams")) > 0)
+        .select("doc_id", "grams")
+      g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
+        .filter(col("jac") >= 0.5)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .persist()
+    })
+
   private def record(name: String, sf: Sf, recall: Double, vs: String): Unit = {
     val floor = floors(name -> sf.label)
     results(name -> sf.label) = (recall, floor, vs)
@@ -94,15 +113,7 @@ class RecallSpec extends AnyFunSuite {
     }
 
     test(s"qd6 MinHash-LSH candidate recall vs exact Jaccard >= 0.5 pairs [${sf.label}]") {
-      val g = Tables.documents(spark, sf.dir)
-        .withColumn("grams", array_distinct(functions.TextFunctions.wordGrams(
-          functions.TextFunctions.tokens(col("text")), 3)))
-        .filter(size(col("grams")) > 0)
-        .select("doc_id", "grams")
-      val exact = g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
-        .filter(col("jac") >= 0.5)
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val exact = exactJaccardPairs(sf.dir)
       val n = exact.count()
       val hit = exact.join(queries.TextQueries.qd6CandidatePairs(spark, sf.dir),
         Seq("doc_a", "doc_b"), "left_semi").count()
@@ -146,15 +157,7 @@ class RecallSpec extends AnyFunSuite {
     }
 
     test(s"qd6b persisted-index probe candidate recall vs exact Jaccard >= 0.5 pairs [${sf.label}]") {
-      val g = Tables.documents(spark, sf.dir)
-        .withColumn("grams", array_distinct(functions.TextFunctions.wordGrams(
-          functions.TextFunctions.tokens(col("text")), 3)))
-        .filter(size(col("grams")) > 0)
-        .select("doc_id", "grams")
-      val exact = g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
-        .filter(col("jac") >= 0.5)
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val exact = exactJaccardPairs(sf.dir)
       val n = exact.count()
       val hit = exact.join(queries.TextQueries.qd6bCandidatePairs(spark, sf.dir),
         Seq("doc_a", "doc_b"), "left_semi").count()
