@@ -1600,6 +1600,237 @@ object TextQueries {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 8)) AS BIGINT)
       |        % 1000000 < 400000""".stripMargin
 
+  // --------------------------------------------------------------- qd26
+  /** Sliding token-window chunking: split every document into
+    * fixed-size overlapping chunks ([[ChunkSize]] tokens, stride
+    * [[ChunkStride]]) — the passage-extraction step before embedding /
+    * retrieval indexing and the context-window split before tokenized
+    * training. Chunk starts are 0, S, 2S, … with the last start the
+    * smallest multiple of S covering the tail, so every token lands in
+    * ≥1 chunk and a short document yields exactly one chunk.
+    *
+    * Shape: map-only — one scan, a per-row `sequence`+`explode` (fan-out
+    * ≤ n_tokens/S per row), no shuffle, no state. At 100 TB this runs
+    * embarrassingly parallel and the output partitioning inherits the
+    * input's; exactly what a chunker must be.
+    */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  def qd26(s: SparkSession, dir: String): DataFrame = {
+    val (cs, st) = (ChunkSize, ChunkStride)
+    docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      // extra chunks past the first: ceil(max(n-C,0)/S) in int arithmetic
+      .withColumn("n_extra",
+        ((greatest(col("n_tokens") - cs, lit(0)) + (st - 1)) / st).cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_extra"))))
+      .withColumn("start_token", (col("chunk_idx") * st).cast("bigint"))
+      .withColumn("chunk", slice(col("toks"), col("chunk_idx") * st + 1, lit(cs)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        concat(col("doc_id"), lit("#"), col("chunk_idx")).as("chunk_id"),
+        col("start_token"),
+        size(col("chunk")).as("chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  private val qd26Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+       |c AS (SELECT doc_id, toks, n_tokens,
+       |             (greatest(n_tokens - $ChunkSize, 0) + ${ChunkStride - 1})
+       |               // $ChunkStride AS n_extra
+       |      FROM n),
+       |x AS (SELECT doc_id, toks, n_tokens,
+       |             unnest(range(0, n_extra + 1)) AS i FROM c)
+       |SELECT doc_id,
+       |  CAST(i AS INT) AS chunk_idx,
+       |  doc_id || '#' || i AS chunk_id,
+       |  CAST(i * $ChunkStride AS BIGINT) AS start_token,
+       |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
+       |                      i * $ChunkStride + $ChunkSize)) AS INT) AS chunk_tokens,
+       |  array_to_string(list_slice(toks, i * $ChunkStride + 1,
+       |                             i * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+       |FROM x""".stripMargin
+
+  // --------------------------------------------------------------- qd27
+  /** Corpus-LM perplexity scoring + CCNet-style quality buckets: fit an
+    * add-k-smoothed bigram language model on the corpus itself, score
+    * every document's per-token cross-entropy under it, and split the
+    * corpus into head/middle/tail terciles by perplexity — the CCNet
+    * (Wenzek et al., 2020) quality-bucketing step that decides which
+    * slice of a crawl is worth training on (head = most natural under
+    * the LM). Self-trained here; in production the LM is fit on a clean
+    * target corpus (Wikipedia) and only the scoring join changes inputs.
+    *
+    * Determinism contract (the qd24 discipline): each bigram's ln P is
+    * quantized to integer micro-nats BEFORE the per-doc sum, so document
+    * scores are exact longs and summation order cannot move a bucket
+    * boundary; the closing ce/ppl arithmetic runs the identical
+    * operation order on both engines, and the tercile rank orders by the
+    * exact rational (micro-sum, n_bigrams) pair before the formula
+    * `floor((rnk-1)·3/n)` (= SQL NTILE's distribution).
+    *
+    * Scale shape: model = one (u,v) partial-agged shuffle + a
+    * vocab-sized prefix rollup; scoring = doc-bigram counts shuffled
+    * once on (u,v) into the model join; the tercile split uses
+    * Pareto.rankBy's auto-dispatched two-phase global rank — no
+    * single-partition window at corpus scale (production would swap the
+    * exact tercile for approxQuantile cutoffs; the bucket column is the
+    * contract, not the sort).
+    */
+  private val LmK = 0.5 // add-k smoothing mass
+
+  def qd27(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // (doc_id, u, v, cnt): per-doc bigram multiplicities
+    val docBigrams = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "u")))
+      .withColumn("v", lead("u", 1).over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .filter(col("v").isNotNull)
+      .groupBy("doc_id", "u", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val model = docBigrams.groupBy("u", "v").agg(sum("cnt").as("cuv"))
+    val prefix = model.groupBy("u").agg(sum("cuv").as("cu"))
+    val vocab = toks
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("vsz"))
+    // micro-nats of ln P(v|u), rounded half-away-from-zero (qd24 idiom)
+    def micro(c: Column): Column =
+      when(c >= 0, floor(c * 1e6 + lit(0.5)))
+        .otherwise(-floor(-(c * 1e6) + lit(0.5))).cast("long")
+    val scored = docBigrams
+      .join(model, Seq("u", "v"))
+      .join(prefix, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("mll", micro(log(
+        (col("cuv") + LmK) / (col("cu") + lit(LmK) * col("vsz")))))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("mll")).as("msum"), sum("cnt").as("n_bigrams"))
+    val ndocs = scored.agg(count(lit(1)).as("nd"))
+    val ranked = graft.operators.Pareto.rankBy(
+        scored,
+        Seq((col("msum").cast("double") / col("n_bigrams")).desc,
+          col("doc_id").asc),
+        "rnk")
+      .crossJoin(broadcast(ndocs))
+    val ce = (-col("msum").cast("double") / 1e6) / col("n_bigrams")
+    ranked.select(
+      col("doc_id"), col("n_bigrams"),
+      dround(ce, 6).as("ce_nats"),
+      dround(exp(dround(ce, 6)), 6).as("perplexity"),
+      when(expr("(rnk - 1) * 3 div nd") === 0, "head")
+        .when(expr("(rnk - 1) * 3 div nd") === 1, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  private val qd27Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |tx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+       |db AS (
+       |  SELECT doc_id, u, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, toks[i] AS u, toks[i + 1] AS v FROM tx)
+       |  GROUP BY doc_id, u, v),
+       |model AS (SELECT u, v, CAST(sum(cnt) AS BIGINT) AS cuv FROM db GROUP BY u, v),
+       |prefix AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM model GROUP BY u),
+       |vocab AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+       |  FROM (SELECT unnest(toks) AS tok FROM t)),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(sum(cnt * CAST(round(ln((cuv + $LmK) / (cu + $LmK * vsz))
+       |                                   * 1000000.0) AS BIGINT)) AS BIGINT) AS msum,
+       |         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+       |  FROM db JOIN model USING (u, v) JOIN prefix USING (u), vocab
+       |  GROUP BY doc_id),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM scored),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |      ORDER BY CAST(msum AS DOUBLE) / n_bigrams DESC, doc_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, n_bigrams,
+       |  round((-CAST(msum AS DOUBLE) / 1000000.0) / n_bigrams, 6) AS ce_nats,
+       |  round(exp(round((-CAST(msum AS DOUBLE) / 1000000.0) / n_bigrams, 6)), 6)
+       |    AS perplexity,
+       |  CASE (rnk - 1) * 3 // nd
+       |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM ranked, nd""".stripMargin
+
+  // --------------------------------------------------------------- qd28
+  /** Temperature-scaled source sampling (the multilingual mixing rule of
+    * mT5/XLM-R: sample source i with p_i ∝ n_i^α, α < 1): token counts
+    * per source are raised to [[TempAlpha]], normalized, and a token
+    * budget of [[TempBudget]]·total is allotted — small sources are
+    * up-weighted relative to their size, huge sources down-weighted.
+    * The per-source keep-fraction f_i = min(1, budget_i / n_i) then
+    * drives the deterministic md5-bucket membership (Sampling idiom:
+    * pure function of doc_id — reproducible on any partitioning).
+    *
+    * Determinism contract: n_i^α is micro-quantized to a long BEFORE the
+    * weight normalization (the qd24 discipline — summation order over
+    * sources cannot move a fraction), the closing fraction arithmetic
+    * runs one fixed operation order on both engines, and membership
+    * compares an integer hash bucket against the micro-rounded integer
+    * threshold.
+    *
+    * Scale shape: one partial-agged shuffle for source token counts
+    * (sources are a tiny dimension), the fraction table broadcast back,
+    * membership map-only — the corpus never shuffles.
+    */
+  private val TempAlpha = 0.7
+  private val TempBudget = 0.3
+
+  def qd28(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+    def microPos(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long")
+    val bySrc = d.groupBy("source").agg(sum("n_tokens").as("n"))
+      .withColumn("wmicro", microPos(pow(col("n").cast("double"), TempAlpha)))
+    val tot = bySrc.agg(sum("n").as("ntot"), sum("wmicro").as("wsum"))
+    val fm = bySrc.crossJoin(broadcast(tot))
+      .withColumn("frac", least(lit(1.0),
+        lit(TempBudget) * col("ntot") * col("wmicro").cast("double")
+          / col("wsum") / col("n")))
+      .select(col("source"), microPos(col("frac")).as("fmicro"))
+    d.join(broadcast(fm), Seq("source"))
+      .filter(graft.operators.Sampling.hashBucket(
+        concat(col("doc_id").cast("string"), lit("#t")), 1000000) < col("fmicro"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        dround(col("fmicro").cast("double") / 1e6, 6).as("sample_frac"))
+  }
+
+  private val qd28Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n FROM d GROUP BY source),
+       |w AS (SELECT source, n,
+       |             CAST(round(pow(CAST(n AS DOUBLE), $TempAlpha) * 1000000.0)
+       |                  AS BIGINT) AS wmicro
+       |      FROM s),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+       |             CAST(sum(wmicro) AS BIGINT) AS wsum FROM w),
+       |fm AS (
+       |  SELECT source,
+       |         CAST(round(least(1.0,
+       |             CAST($TempBudget AS DOUBLE) * ntot * CAST(wmicro AS DOUBLE)
+       |               / wsum / n) * 1000000.0) AS BIGINT) AS fmicro
+       |  FROM w, t)
+       |SELECT doc_id, d.source, n_tokens,
+       |       round(CAST(fmicro AS DOUBLE) / 1000000.0, 6) AS sample_frac
+       |FROM d JOIN fm ON d.source = fm.source
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#t'), 1, 8))
+       |             AS BIGINT) % 1000000 < fmicro""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1630,6 +1861,9 @@ object TextQueries {
     "qd23_dsir" -> (qd23 _),
     "qd24_zipf_fit" -> (qd24 _),
     "qd25_mixture" -> (qd25 _),
+    "qd26_chunking" -> (qd26 _),
+    "qd27_lm_perplexity" -> (qd27 _),
+    "qd28_temperature_mixture" -> (qd28 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1656,6 +1890,9 @@ object TextQueries {
     "qd23_dsir" -> qd23Sql,
     "qd24_zipf_fit" -> qd24Sql,
     "qd25_mixture" -> qd25Sql,
+    "qd26_chunking" -> qd26Sql,
+    "qd27_lm_perplexity" -> qd27Sql,
+    "qd28_temperature_mixture" -> qd28Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

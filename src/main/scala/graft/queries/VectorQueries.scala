@@ -979,6 +979,230 @@ object VectorQueries {
        |FROM ($unions)""".stripMargin
   }
 
+  // --------------------------------------------------------------- qe13
+  /** Contrastive hard-negative mining: for each anchor vector, the K
+    * nearest corpus vectors carrying a DIFFERENT label — the "hard"
+    * negatives a contrastive/embedding trainer pairs with each anchor
+    * (high similarity, wrong class; cf. dense-retrieval trainers like
+    * DPR, which mine exactly this set from an index).
+    *
+    * Shape: anchors are a ~1% slice (`vec_id % 100 == 0`) broadcast
+    * against one corpus scan; ranking is a per-anchor window — the qe1
+    * discipline (6dp-rounded cosine BEFORE the rank, vec_id tiebreak)
+    * makes the top-K a total order on both engines, so this is
+    * exact-oracle-checked. At 100 TB the candidate pool per anchor comes
+    * from the ANN stage (qe2/qe5) filtered to `label <> anchor_label`
+    * instead of the full scan; the mining window itself is unchanged.
+    */
+  private val HardNegK = 5
+
+  def qe13(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val a = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("vec").as("avec"), col("nrm").as("anrm"))
+    e.join(broadcast(a), col("label") =!= col("anchor_label"))
+      .withColumn("cosine", dround(cosine(col("avec"), col("vec"), col("anrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= HardNegK)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("negative_id"), col("label").as("negative_label"),
+        col("cosine"), col("rnk"))
+  }
+
+  private val qe13Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, vec,
+       |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+       |         d.vec_id AS negative_id, d.label AS negative_label,
+       |         round(list_dot_product(a.vec, d.vec) / (a.nrm * d.nrm), 6) AS cosine
+       |  FROM n a, n d
+       |  WHERE a.vec_id % 100 = 0 AND d.label <> a.label)
+       |SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, rnk
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS INT) AS rnk
+       |  FROM p)
+       |WHERE rnk <= $HardNegK""".stripMargin
+
+  // --------------------------------------------------------------- qe14
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): vectors are
+    * L2-normalized, split into [[PqM]] subvectors, and each subspace gets
+    * its own [[PqKs]]-centroid k-means codebook — a vector compresses to
+    * M 4-bit codes (32 bits total vs 64 float32 dims = 256× smaller).
+    * Query scoring is asymmetric distance computation (ADC): one
+    * M×K' lookup table of ⟨q_sub, centroid⟩ dot products per query, and
+    * each corpus vector's approximate cosine is M table lookups summed —
+    * the full corpus scan touches only 32-bit codes. The top-[[PqShort]]
+    * ADC candidates then get a full-precision cosine rerank (the IVF-PQ
+    * refine step): float vectors are read for PqShort rows per query,
+    * not the corpus.
+    *
+    * Shape at 100 TB: the codebooks fit on a sample and are driver-tiny
+    * (M·K'·subdim doubles); codes are the persisted index (the qe5b
+    * lifecycle); the per-query LUT is broadcast and the scoring scan is
+    * MAP-ONLY over the codes table — the window top-k is the only
+    * exchange, same as qe1. Encoding here uses an explode + per-(vec,sub)
+    * argmin window; production encoders do the argmin row-locally (the
+    * codebook is a constant), making the index build map-only too.
+    *
+    * No SQL oracle (k-means + codes are engine-side): recall@K vs the
+    * exact qe1 twin is floored in RecallSpec → RECALL.json.
+    */
+  private val PqM = 8
+  private val PqKs = 16
+  private val PqSubDim = 8 // 64 / PqM
+  private val PqShort = 50 // ADC shortlist size fed to the exact rerank
+
+  private val PqIters = 4
+
+  def qe14(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
+    val subs = e.select(col("vec_id"), posexplode(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        i => slice(col("uvec"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "subv")))
+      .localCheckpoint() // reused every Lloyd round + encode + LUT
+    // All M codebooks train TOGETHER in one Lloyd recursion over the
+    // exploded (sub, subvector) frame — one assignment pass per round
+    // regardless of M (8 separate ML fits pay 8× the job overhead and
+    // scan the corpus 8×). Init is deterministic: the first K' vectors
+    // seed every subspace.
+    var cents = subs.filter(col("vec_id") < PqKs)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("subv").as("cent"))
+      .localCheckpoint()
+    def assignTo(cb: DataFrame): DataFrame = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", aggregate(zip_with(col("subv"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("code").asc)))
+      .filter(col("pr") === 1)
+    for (_ <- 1 to PqIters) {
+      val means = assignTo(cents)
+        .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim").agg(avg("x").as("m"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("newCent"))
+      // empty cluster → keep its old centroid
+      cents = cents.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("newCent"), col("cent")).as("cent"))
+        .localCheckpoint()
+    }
+    val codebook = cents
+    // encode: nearest centroid per (vec, sub) → 8-code array per vector
+    val codes = assignTo(codebook)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    // per-query ADC lookup table: lut[sub][code] = ⟨q_sub, centroid⟩
+    val lutQ = subs.filter(col("vec_id") < NQUERIES)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("dp", dot(col("subv"), col("cent")))
+      .withColumn("k", col("sub") * PqKs + col("code"))
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("dp")))).as("m"))
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), sNum =>
+          transform(sequence(lit(0), lit(PqKs - 1)), cNum =>
+            element_at(col("m"), sNum * PqKs + cNum))).as("lut"))
+    val shortlist = codes.join(broadcast(lutQ), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cosine", dround(
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, i) => acc + element_at(element_at(col("lut"), i + 1),
+            element_at(col("codes"), i + 1) + 1)), 6))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("vec_id").asc)))
+      .filter(col("arnk") <= PqShort)
+      .select("query_id", "vec_id")
+    // full-precision rerank of the ADC shortlist (the IVF-PQ refine
+    // step): only PqShort float vectors per query are touched
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    shortlist
+      .join(e.select("vec_id", "vec", "nrm"), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  // --------------------------------------------------------------- qe15
+  /** k-NN density outlier scoring: each vector's score is its cosine
+    * DISTANCE to its [[DensityK]]-th nearest neighbor (large = isolated
+    * = out-of-distribution), and the top-2% by score are flagged `ood` —
+    * the embedding-space outlier-pruning pass a training pipeline runs
+    * to drop mislabeled/garbage points before contrastive training
+    * (kNN-distance is the classic non-parametric density estimate).
+    *
+    * This is the exact all-pairs formulation — the oracle anchor, same
+    * role as qe4's exact twin. At 100 TB the k-th-NN distance comes from
+    * the ANN candidate stage (qe2 bands / qe5 lists / qe14 codes) with
+    * exact refinement on candidates only: a monotone upper bound on the
+    * true distance, never all-pairs. The 6dp-round-then-tiebreak
+    * discipline makes the k-th-neighbor pick and the global top-2% rank
+    * a total order on both engines → full hash-match oracle.
+    */
+  private val DensityK = 5
+
+  def qe15(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    // cosine is symmetric: evaluate each unordered pair once (half the
+    // dot products), checkpoint the slim (ida, idb, dist) frame, and
+    // mirror it for the per-vector neighbor ranking
+    val half = a.join(b, col("ida") < col("idb"))
+      .withColumn("dist", dround(lit(1.0) -
+        cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select("ida", "idb", "dist")
+      .localCheckpoint()
+    val kth = half
+      .unionByName(half.select(
+        col("idb").as("ida"), col("ida").as("idb"), col("dist")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
+      .filter(col("rnk") === DensityK)
+      .select(col("ida").as("vec_id"), col("dist").as("knn_dist"))
+    val n = kth.agg(count(lit(1)).as("n_all"))
+    graft.operators.Pareto.rankBy(
+        kth, Seq(col("knn_dist").desc, col("vec_id").asc), "grnk")
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"), col("knn_dist"),
+        (expr("(grnk - 1) * 50 div n_all") === 0).as("ood"))
+  }
+
+  private val qe15Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |kth AS (
+       |  SELECT vec_id, dist AS knn_dist FROM (
+       |    SELECT a.vec_id,
+       |           round(1.0 - list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+       |             AS dist,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             round(1.0 - list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6),
+       |             b.vec_id) AS rnk
+       |    FROM n a, n b WHERE a.vec_id <> b.vec_id)
+       |  WHERE rnk = $DensityK),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM kth)
+       |SELECT vec_id, knn_dist,
+       |       (grnk - 1) * 50 // n_all = 0 AS ood
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        ORDER BY knn_dist DESC, vec_id) AS INT) AS grnk FROM kth), t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -995,6 +1219,9 @@ object VectorQueries {
     "qe10_semantic_dedup" -> (qe10 _),
     "qe11_leakage_split" -> (qe11 _),
     "qe12_mmr_topk" -> (qe12 _),
+    "qe13_hard_negatives" -> (qe13 _),
+    "qe14_pq_ann" -> (qe14 _),
+    "qe15_knn_density" -> (qe15 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1016,6 +1243,10 @@ object VectorQueries {
     "qe10_semantic_dedup" -> qe10Sql,
     "qe11_leakage_split" -> qe11Sql,
     "qe12_mmr_topk" -> qe12Sql,
+    "qe13_hard_negatives" -> qe13Sql,
+    // qe14 omitted: PQ codebooks/codes are engine-side k-means state —
+    // recall@K is floored against the exact qe1 twin in RecallSpec.
+    "qe15_knn_density" -> qe15Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
   )
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Invariant coverage for the round-9 corpus operators (qd26 chunking,
+  * qd27 LM perplexity, qe13 hard negatives). Each also carries a full
+  * DuckDB oracle (qd26/qd27/qe13) — these tests pin the structural
+  * contracts a hash-compare can't name when it fails.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkSpecBase.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("qd26 chunking: full coverage, stride layout, and faithful chunk text") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val chunks = queries.TextQueries.qd26(spark, dir)
+    val joined = chunks.join(docs, Seq("doc_id"))
+      .withColumn("max_idx", max("chunk_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+    // chunk_idx is dense from 0 and starts follow the stride
+    assert(joined.filter(col("start_token") =!= col("chunk_idx") * 24).count() == 0)
+    assert(joined.filter(col("chunk_idx") === 0 && col("start_token") =!= 0).count() == 0)
+    // the LAST chunk ends exactly at the document's last token (full
+    // coverage with no phantom tail chunk), and every other chunk is full
+    assert(joined.filter(col("chunk_idx") === col("max_idx"))
+      .filter(col("start_token") + col("chunk_tokens") =!= col("n_tokens"))
+      .count() == 0, "last chunk must end at n_tokens")
+    assert(joined.filter(col("chunk_idx") < col("max_idx"))
+      .filter(col("chunk_tokens") =!= 32).count() == 0,
+      "non-final chunks must be exactly ChunkSize tokens")
+    // a short doc yields exactly one chunk
+    assert(joined.filter(col("n_tokens") <= 32 && col("max_idx") =!= 0).count() == 0)
+    // chunk_text really is the chunk: token count round-trips
+    assert(chunks.filter(size(tokens(col("chunk_text"))) =!= col("chunk_tokens"))
+      .count() == 0)
+    // every document appears
+    assert(chunks.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("qd27 LM perplexity: every doc scored once, terciles balanced and ordered") {
+    val out = queries.TextQueries.qd27(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.count() == nDocs)
+    assert(out.select("doc_id").distinct().count() == nDocs)
+
+    val sizes = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"tercile sizes must differ by <= 1: $sizes")
+
+    // the buckets order by cross-entropy: head's worst <= middle's best,
+    // middle's worst <= tail's best (ce ties can straddle only by the
+    // doc_id tiebreak, which the <= keeps honest)
+    val b = out.groupBy("bucket")
+      .agg(min("ce_nats").as("lo"), max("ce_nats").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(b("head")._2 <= b("middle")._1 + 1e-9)
+    assert(b("middle")._2 <= b("tail")._1 + 1e-9)
+
+    // perplexity = exp(ce) and both positive
+    assert(out.filter(col("perplexity") <= 0 || col("ce_nats") <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("qd28 temperature mixture: fractions valid and inverse to source size") {
+    val out = queries.TextQueries.qd28(spark, dir).cache()
+    val fr = out.select("source", "sample_frac").distinct().cache()
+    // one fraction per source, all in (0, 1]
+    assert(fr.count() == fr.select("source").distinct().count())
+    assert(fr.filter(col("sample_frac") <= 0 || col("sample_frac") > 1).count() == 0)
+    // α = 0.7 < 1 up-weights SMALL sources: keep-fraction must be
+    // non-increasing in source token mass (f ∝ n^(α−1))
+    val sizes = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n"))
+    val rows = fr.join(sizes, Seq("source"))
+      .orderBy(col("n").asc).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("sample_frac") >= b.getAs[Double]("sample_frac") - 1e-9,
+          s"smaller source ${a.getString(0)} got a lower fraction than ${b.getString(0)}")
+      case _ =>
+    }
+    out.unpersist(); fr.unpersist()
+  }
+
+  test("qe15 kNN density: one score per vector, top-2% flagged, flag is a distance cut") {
+    val out = queries.VectorQueries.qe15(spark, dir).cache()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(out.count() == n)
+    // cosine distance lives in [0, 2]
+    assert(out.filter(col("knn_dist") < 0 || col("knn_dist") > 2).count() == 0)
+    // exactly ceil(n/50) vectors flagged (the 2% cut, div-formula exact)
+    assert(out.filter(col("ood")).count() == (n + 49) / 50)
+    // the flag is a clean threshold on the score
+    val loOod = out.filter(col("ood")).agg(min("knn_dist")).head.getDouble(0)
+    val hiIn = out.filter(!col("ood")).agg(max("knn_dist")).head.getDouble(0)
+    assert(loOod >= hiIn - 1e-9, s"ood min $loOod below inlier max $hiIn")
+    out.unpersist()
+  }
+
+  test("qe13 hard negatives: labels differ, ranks dense, cosines ordered") {
+    val out = queries.VectorQueries.qe13(spark, dir).cache()
+    assert(out.filter(col("negative_label") === col("anchor_label")).count() == 0,
+      "a hard negative must carry a different label than its anchor")
+    // 5 negatives per anchor, ranks 1..5
+    val anchors = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(out.count() == anchors * 5)
+    assert(out.groupBy("anchor_id").agg(
+        count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+      .count() == 0)
+    // cosine non-increasing in rank within each anchor
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy("rnk")
+    assert(out.withColumn("prev", lag("cosine", 1).over(w))
+      .filter(col("prev").isNotNull && col("cosine") > col("prev"))
+      .count() == 0)
+    out.unpersist()
+  }
+}

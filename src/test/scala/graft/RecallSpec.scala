@@ -46,7 +46,13 @@ class RecallSpec extends AnyFunSuite {
     // must carry probe-path evidence of its own — same floors as the
     // fused operators they share machinery with
     ("qd6b_minhash_probe", "sf0.01") -> 0.90, ("qd6b_minhash_probe", "sf0.1") -> 0.90,
-    ("qe5b_ann_ivf_probe", "sf0.01") -> 0.40, ("qe5b_ann_ivf_probe", "sf0.1") -> 0.40)
+    ("qe5b_ann_ivf_probe", "sf0.01") -> 0.40, ("qe5b_ann_ivf_probe", "sf0.1") -> 0.40,
+    // r9: PQ-ADC 8×16 codebooks + exact rerank of the 50-deep ADC
+    // shortlist. Unstructured random vectors are PQ's worst case
+    // (measured 0.24/0.30 WITHOUT the rerank stage); the refine step
+    // lifts it to 0.74/0.62 — floors sit under that with
+    // one-unlucky-corpus margin
+    ("qe14_pq_ann", "sf0.01") -> 0.40, ("qe14_pq_ann", "sf0.1") -> 0.40)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -172,6 +178,15 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(probe, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe5b_ann_ivf_probe", sf, hit.toDouble / n,
         "qe1 exact top-5, persisted-quantizer probe path")
+    }
+
+    test(s"qe14 PQ-ADC ANN recall@5 vs exact cosine top-k [${sf.label}]") {
+      val exact = queries.VectorQueries.qe1(spark, sf.dir).select("query_id", "neighbor_id")
+      val pq = queries.VectorQueries.qe14(spark, sf.dir).select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hit = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+      record("qe14_pq_ann", sf, hit.toDouble / n,
+        "qe1 exact top-5, 8x16 PQ codebooks, ADC shortlist 50 + exact rerank")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {
