@@ -52,6 +52,14 @@ object VectorFunctions {
         exprs(1).eval().asInstanceOf[Array[Byte]]),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => graft.functions.expr.PqEncode(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_cms_estimate",
       exprs => graft.functions.expr.CmsEstimate(exprs(0),
         exprs(1).eval().asInstanceOf[Array[Byte]]),
@@ -64,6 +72,13 @@ object VectorFunctions {
     * `aggregate(zip_with(...))` evaluates interpreted per row.
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** PQ nearest-centroid codes via the native loop expression
+    * (graft.functions.expr.PqEncode) — `codebook` is flat
+    * `[sub][code][dim]`.
+    */
+  def pqEncode(v: Column, codebook: Array[Double], m: Int, ks: Int): Column =
+    call_function("graft_pq_encode", v, typedLit(codebook.toSeq), lit(m), lit(ks))
 
   /** Built-in-only fallback (interpreted HOF) — kept for parity tests. */
   def dotHof(a: Column, b: Column): Column =

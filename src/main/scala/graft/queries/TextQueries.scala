@@ -1831,6 +1831,86 @@ object TextQueries {
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#t'), 1, 8))
        |             AS BIGINT) % 1000000 < fmicro""".stripMargin
 
+  // --------------------------------------------------------------- qd29
+  /** Composite Gopher-rules document filter (Rae et al. 2021, §A1.1):
+    * the standard pre-training keep/drop gate combining the signals the
+    * individual operators expose (qd2 token stats, qd4 quality ratios,
+    * qd16 repetition) into one verdict per document, with the FIRST
+    * failed rule named in `reason` — pipelines keep the reason column so
+    * filter-rate dashboards can attribute drops. Rules (document-level):
+    * token count in [[GopherMinTokens]]..[[GopherMaxTokens]], mean word
+    * length 3..10, ≥2 distinct stopwords from an 8-word list, ≥80% of
+    * words containing an alphabetic character, and a symbol-to-word
+    * ratio (`#`/`...`) ≤ 0.1.
+    *
+    * Shape: map-only — every rule is a per-row expression over the
+    * token array; one scan, no shuffle, no state. Full DuckDB oracle
+    * (ASCII-only regex classes for Java/RE2 agreement).
+    */
+  private val GopherMinTokens = 20
+  private val GopherMaxTokens = 100000
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  def qd29(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("sum_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
+      .withColumn("avg_len",
+        dround(col("sum_len").cast("double") / col("n_tokens"), 6))
+      .withColumn("n_stop", size(array_intersect(col("toks"),
+        typedLit(GopherStops))))
+      .withColumn("alpha_frac", dround(
+        size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))).cast("double")
+          / col("n_tokens"), 6))
+      .withColumn("n_sym",
+        ((length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+          + (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+          .cast("int"))
+      .withColumn("reason",
+        when(col("n_tokens") < GopherMinTokens || col("n_tokens") > GopherMaxTokens,
+          "n_tokens")
+          .when(col("avg_len") < 3 || col("avg_len") > 10, "word_length")
+          .when(col("n_stop") < 2, "stopwords")
+          .when(col("alpha_frac") < 0.8, "alpha_ratio")
+          .when(col("n_sym").cast("double") / col("n_tokens") > 0.1, "symbol_ratio")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("n_tokens"), col("avg_len"), col("n_stop"),
+        col("alpha_frac"), col("reason").isNull.as("keep"), col("reason"))
+  }
+
+  private val qd29Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |            / len(toks), 6) AS avg_len,
+       |    CAST(len(list_intersect(toks,
+       |      [${GopherStops.map(w => s"'$w'").mkString(", ")}])) AS INT) AS n_stop,
+       |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+       |            AS DOUBLE) / len(toks), 6) AS alpha_frac,
+       |    CAST((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS INT) AS n_sym
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN n_tokens < $GopherMinTokens OR n_tokens > $GopherMaxTokens
+       |        THEN 'n_tokens'
+       |      WHEN avg_len < 3 OR avg_len > 10 THEN 'word_length'
+       |      WHEN n_stop < 2 THEN 'stopwords'
+       |      WHEN alpha_frac < 0.8 THEN 'alpha_ratio'
+       |      WHEN CAST(n_sym AS DOUBLE) / n_tokens > 0.1 THEN 'symbol_ratio'
+       |      ELSE NULL END AS reason
+       |  FROM m)
+       |SELECT doc_id, n_tokens, avg_len, n_stop, alpha_frac,
+       |       reason IS NULL AS keep, reason
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1864,6 +1944,7 @@ object TextQueries {
     "qd26_chunking" -> (qd26 _),
     "qd27_lm_perplexity" -> (qd27 _),
     "qd28_temperature_mixture" -> (qd28 _),
+    "qd29_gopher_filter" -> (qd29 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1893,6 +1974,7 @@ object TextQueries {
     "qd26_chunking" -> qd26Sql,
     "qd27_lm_perplexity" -> qd27Sql,
     "qd28_temperature_mixture" -> qd28Sql,
+    "qd29_gopher_filter" -> qd29Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1063,58 +1063,68 @@ object VectorQueries {
   private val PqIters = 4
 
   def qe14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = embs(s, dir)
       .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
-    val subs = e.select(col("vec_id"), posexplode(
-      transform(sequence(lit(0), lit(PqM - 1)),
-        i => slice(col("uvec"), i * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "subv")))
-      .localCheckpoint() // reused every Lloyd round + encode + LUT
-    // All M codebooks train TOGETHER in one Lloyd recursion over the
-    // exploded (sub, subvector) frame — one assignment pass per round
-    // regardless of M (8 separate ML fits pay 8× the job overhead and
-    // scan the corpus 8×). Init is deterministic: the first K' vectors
-    // seed every subspace.
-    var cents = subs.filter(col("vec_id") < PqKs)
-      .select(col("sub"), col("vec_id").cast("int").as("code"),
-        col("subv").as("cent"))
-      .localCheckpoint()
-    def assignTo(cb: DataFrame): DataFrame = subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", aggregate(zip_with(col("subv"), col("cent"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("code").asc)))
-      .filter(col("pr") === 1)
+      .localCheckpoint() // reused: Lloyd rounds, encode, rerank
+    // The codebook lives on the DRIVER (M·K'·subdim = 1024 doubles —
+    // the qe9 scalar-frame class) and rides into the plan as the
+    // referenced constant of the native `PqEncode` loop expression: the
+    // per-row assignment of all M codes is ONE map-only codegen'd
+    // projection, so each Lloyd round is that pass + a
+    // (sub, code, dim)-cell aggregation whose reduced size is
+    // M·K'·subdim regardless of corpus size. No join, no window, no
+    // shuffle of subvectors — the 100 TB fit shape (on a sample) and
+    // the exact encode shape. (First cut unrolled the argmin into
+    // M·K' literal structs: janino's 64 KB method limit broke codegen
+    // and the interpreted fallback was slower than the join form —
+    // see PqEncode's scaladoc.)
+    def flat(codebook: Array[Array[Seq[Double]]]): Array[Double] =
+      codebook.flatMap(_.flatMap(_.toArray))
+    def enc(codebook: Array[Array[Seq[Double]]]): Column =
+      pqEncode(col("uvec"), flat(codebook), PqM, PqKs)
+    // deterministic init: the first K' vectors seed every subspace
+    var cb: Array[Array[Seq[Double]]] = {
+      val seeds = e.filter(col("vec_id") < PqKs)
+        .select(col("vec_id").cast("int"), col("uvec")).collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1))
+      Array.tabulate(PqM)(sub =>
+        seeds.map(v => v.slice(sub * PqSubDim, sub * PqSubDim + PqSubDim)))
+    }
     for (_ <- 1 to PqIters) {
-      val means = assignTo(cents)
-        .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("dim", "x")))
+      val means = e.withColumn("codes", enc(cb))
+        .select(col("uvec"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"), posexplode(
+          slice(col("uvec"), col("sub") * PqSubDim + 1, lit(PqSubDim)))
+          .as(Seq("dim", "x")))
         .groupBy("sub", "code", "dim").agg(avg("x").as("m"))
         .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          p => p.getField("m")).as("newCent"))
-      // empty cluster → keep its old centroid
-      cents = cents.join(means, Seq("sub", "code"), "left")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
         .select(col("sub"), col("code"),
-          coalesce(col("newCent"), col("cent")).as("cent"))
-        .localCheckpoint()
+          transform(col("ps"), p => p.getField("m")).as("cent"))
+        .collect()
+      val next = cb.map(_.clone) // empty cluster → keeps its old centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+      cb = next
     }
-    val codebook = cents
-    // encode: nearest centroid per (vec, sub) → 8-code array per vector
-    val codes = assignTo(codebook)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
-    // per-query ADC lookup table: lut[sub][code] = ⟨q_sub, centroid⟩
-    val lutQ = subs.filter(col("vec_id") < NQUERIES)
-      .join(broadcast(codebook), Seq("sub"))
-      .withColumn("dp", dot(col("subv"), col("cent")))
-      .withColumn("k", col("sub") * PqKs + col("code"))
-      .groupBy("vec_id")
-      .agg(map_from_entries(collect_list(struct(col("k"), col("dp")))).as("m"))
-      .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(PqM - 1)), sNum =>
-          transform(sequence(lit(0), lit(PqKs - 1)), cNum =>
-            element_at(col("m"), sNum * PqKs + cNum))).as("lut"))
-    val shortlist = codes.join(broadcast(lutQ), col("vec_id") =!= col("query_id"))
+    // encode: all M codes in ONE map-only projection per vector (the
+    // codebook is a constant — production encoders look like this)
+    val codes = e.select(col("vec_id"), enc(cb).as("codes"))
+    // per-query ADC lookup tables, computed driver-side from the
+    // collected query vectors (NQUERIES×dim — scalar-frame class)
+    val lutQ = broadcast(e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id"), col("uvec")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1)
+        val lut: Seq[Seq[Double]] = (0 until PqM).map { sub =>
+          val qs = q.slice(sub * PqSubDim, sub * PqSubDim + PqSubDim)
+          (0 until PqKs).map(c =>
+            qs.zip(cb(sub)(c)).map { case (a, b) => a * b }.sum): Seq[Double]
+        }
+        (r.getLong(0), lut)
+      }.toSeq.toDF("query_id", "lut"))
+    val shortlist = codes.join(lutQ, col("vec_id") =!= col("query_id"))
       .withColumn("approx_cosine", dround(
         aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
           (acc, i) => acc + element_at(element_at(col("lut"), i + 1),

@@ -285,6 +285,28 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("native PQ encoder matches a driver-side argmin replica") = {
+    functions.VectorFunctions.registerNative(spark)
+    val (m, ks) = (4, 3)
+    forAll(Gen.listOfN(16, finiteD), Gen.listOfN(m * ks * 4, finiteD)) { (v, cbFlat) =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val got = df.select(functions.VectorFunctions.pqEncode(
+        col("v"), cbFlat.toArray, m, ks).as("codes"))
+        .collect()(0).getSeq[Int](0)
+      val sd = v.length / m
+      val want = (0 until m).map { sub =>
+        (0 until ks).minBy { c =>
+          val base = (sub * ks + c) * sd
+          // strict < with ascending c = minBy's first-win tie rule
+          (0 until sd).map { j =>
+            val d = v(sub * sd + j) - cbFlat(base + j); d * d
+          }.sum
+        }
+      }
+      got == want
+    }
+  }
+
   property("native dot product equals interpreted HOF dot product bit-for-bit") = {
     functions.VectorFunctions.registerNative(spark)
     forAll(Gen.listOfN(16, finiteD), Gen.listOfN(16, finiteD)) { (a, b) =>

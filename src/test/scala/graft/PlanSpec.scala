@@ -297,4 +297,35 @@ class PlanSpec extends AnyFunSuite {
       "index probe must not re-read or re-shingle the corpus")
     assert(p.contains("signatures"), "probe should scan the persisted signatures")
   }
+
+  test("qd26 chunking is map-only: one scan, explode, no Exchange") {
+    val p = finalPlan(queries.TextQueries.qd26(spark, sf))
+    assert(!p.contains("Exchange"),
+      "a chunker must be embarrassingly parallel — no shuffle, no state")
+    val docScans = "FileScan parquet[^\\n]*documents".r.findAllMatchIn(p).size
+    assert(docScans == 1, s"expected one documents scan (got $docScans)")
+  }
+
+  test("qd28 temperature mixture joins the fraction table by broadcast only") {
+    val p = finalPlan(queries.TextQueries.qd28(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      "the per-source fraction table is dimension-tiny; the corpus must not shuffle into a join")
+    assert(p.contains("BroadcastHashJoin"), "membership join should broadcast the fractions")
+  }
+
+  test("qe13 hard-negative mining broadcasts the anchor slice") {
+    // label <> anchor_label is a non-equi condition: the correct shape
+    // is a BNLJ whose BUILD side is the ~1% anchor slice, never a
+    // cartesian of corpus × corpus
+    val p = finalPlan(queries.VectorQueries.qe13(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("qe14 PQ scoring scan joins codes against broadcast LUTs, no shuffle join") {
+    val p = finalPlan(queries.VectorQueries.qe14(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "ADC scoring must stream the codes scan against broadcast lookup tables")
+  }
 }
