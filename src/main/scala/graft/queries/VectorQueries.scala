@@ -1062,27 +1062,26 @@ object VectorQueries {
 
   private val PqIters = 4
 
-  def qe14(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Lloyd fit + map-only encode; returns (codebook, codes frame).
+    *
+    * The codebook lives on the DRIVER (M·K'·subdim = 1024 doubles —
+    * the qe9 scalar-frame class) and rides into the plan as the
+    * referenced constant of the native `PqEncode` loop expression: the
+    * per-row assignment of all M codes is ONE map-only codegen'd
+    * projection, so each Lloyd round is that pass + a
+    * (sub, code, dim)-cell aggregation whose reduced size is
+    * M·K'·subdim regardless of corpus size. No join, no window, no
+    * shuffle of subvectors — the 100 TB fit shape (on a sample) and
+    * the exact encode shape. (First cut unrolled the argmin into
+    * M·K' literal structs: janino's 64 KB method limit broke codegen
+    * and the interpreted fallback was slower than the join form —
+    * see PqEncode's scaladoc.)
+    */
+  private def pqFit(s: SparkSession, dir: String)
+      : (Array[Array[Seq[Double]]], DataFrame) = {
     val e = embs(s, dir)
       .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
-      .localCheckpoint() // reused: Lloyd rounds, encode, rerank
-    // The codebook lives on the DRIVER (M·K'·subdim = 1024 doubles —
-    // the qe9 scalar-frame class) and rides into the plan as the
-    // referenced constant of the native `PqEncode` loop expression: the
-    // per-row assignment of all M codes is ONE map-only codegen'd
-    // projection, so each Lloyd round is that pass + a
-    // (sub, code, dim)-cell aggregation whose reduced size is
-    // M·K'·subdim regardless of corpus size. No join, no window, no
-    // shuffle of subvectors — the 100 TB fit shape (on a sample) and
-    // the exact encode shape. (First cut unrolled the argmin into
-    // M·K' literal structs: janino's 64 KB method limit broke codegen
-    // and the interpreted fallback was slower than the join form —
-    // see PqEncode's scaladoc.)
-    def flat(codebook: Array[Array[Seq[Double]]]): Array[Double] =
-      codebook.flatMap(_.flatMap(_.toArray))
-    def enc(codebook: Array[Array[Seq[Double]]]): Column =
-      pqEncode(col("uvec"), flat(codebook), PqM, PqKs)
+      .localCheckpoint() // reused: seed collect + every Lloyd round + encode
     // deterministic init: the first K' vectors seed every subspace
     var cb: Array[Array[Seq[Double]]] = {
       val seeds = e.filter(col("vec_id") < PqKs)
@@ -1093,7 +1092,7 @@ object VectorQueries {
         seeds.map(v => v.slice(sub * PqSubDim, sub * PqSubDim + PqSubDim)))
     }
     for (_ <- 1 to PqIters) {
-      val means = e.withColumn("codes", enc(cb))
+      val means = e.withColumn("codes", pqEnc(cb))
         .select(col("uvec"), posexplode(col("codes")).as(Seq("sub", "code")))
         .select(col("sub"), col("code"), posexplode(
           slice(col("uvec"), col("sub") * PqSubDim + 1, lit(PqSubDim)))
@@ -1110,15 +1109,29 @@ object VectorQueries {
     }
     // encode: all M codes in ONE map-only projection per vector (the
     // codebook is a constant — production encoders look like this)
-    val codes = e.select(col("vec_id"), enc(cb).as("codes"))
+    (cb, e.select(col("vec_id"), pqEnc(cb).as("codes")))
+  }
+
+  private def pqEnc(cb: Array[Array[Seq[Double]]]): Column =
+    pqEncode(col("uvec"), cb.flatMap(_.flatMap(_.toArray)), PqM, PqKs)
+
+  /** ADC shortlist + full-precision rerank over a codes frame and a
+    * driver-resident codebook — shared by the fused (qe14) and
+    * persisted-index (qe14b) paths.
+    */
+  private def pqProbe(s: SparkSession, dir: String,
+      cb: Array[Array[Seq[Double]]], codes: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = embs(s, dir)
     // per-query ADC lookup tables, computed driver-side from the
     // collected query vectors (NQUERIES×dim — scalar-frame class)
     val lutQ = broadcast(e.filter(col("vec_id") < NQUERIES)
+      .withColumn("uvec", transform(col("vec"), x => x / col("nrm")))
       .select(col("vec_id"), col("uvec")).collect()
       .map { r =>
-        val q = r.getSeq[Double](1)
+        val qv = r.getSeq[Double](1)
         val lut: Seq[Seq[Double]] = (0 until PqM).map { sub =>
-          val qs = q.slice(sub * PqSubDim, sub * PqSubDim + PqSubDim)
+          val qs = qv.slice(sub * PqSubDim, sub * PqSubDim + PqSubDim)
           (0 until PqKs).map(c =>
             qs.zip(cb(sub)(c)).map { case (a, b) => a * b }.sum): Seq[Double]
         }
@@ -1145,6 +1158,52 @@ object VectorQueries {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  def qe14(s: SparkSession, dir: String): DataFrame = {
+    // same index-freshness dispatch as qe5: re-fitting next to a
+    // current offline artifact is pure waste
+    val path = pqIndexPath(dir)
+    if (!TextQueries.indexStale(s, s"$path/codes", s"$dir/embeddings.parquet"))
+      qe14b(s, dir)
+    else {
+      val (cb, codes) = pqFit(s, dir)
+      pqProbe(s, dir, cb, codes)
+    }
+  }
+
+  // -------------------------------------------------------------- qe14b
+  /** PQ with a PERSISTED index (the qe5b/qd6b lifecycle): at corpus
+    * scale the codebook fit and the encode are offline artifacts —
+    * `pqBuild` writes the codes frame (vec_id + 8 codes: the 256×
+    * compressed searchable corpus) and the 128-row codebook as parquet
+    * once; the probe-only path reads them back, so the per-query cost
+    * is the codes scan against broadcast LUTs + the shortlist rerank —
+    * no Lloyd rounds, no corpus re-encode.
+    */
+  def pqIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def pqBuild(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val (cb, codes) = pqFit(s, dir)
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    (for (sub <- 0 until PqM; c <- 0 until PqKs) yield (sub, c, cb(sub)(c)))
+      .toDF("sub", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def qe14b(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
+    val path = pqIndexPath(dir)
+    if (TextQueries.indexStale(s, s"$path/codes", s"$dir/embeddings.parquet"))
+      pqBuild(s, dir, path)
+    val cb = Array.fill(PqM, PqKs)(Seq.empty[Double])
+    s.read.parquet(s"$path/codebook").collect().foreach { r =>
+      cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getSeq[Double](r.fieldIndex("cent"))
+    }
+    pqProbe(s, dir, cb, s.read.parquet(s"$path/codes"))
   }
 
   // --------------------------------------------------------------- qe15
@@ -1231,6 +1290,7 @@ object VectorQueries {
     "qe12_mmr_topk" -> (qe12 _),
     "qe13_hard_negatives" -> (qe13 _),
     "qe14_pq_ann" -> (qe14 _),
+    "qe14b_pq_probe" -> (qe14b _),
     "qe15_knn_density" -> (qe15 _),
   )
 

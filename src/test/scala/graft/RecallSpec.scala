@@ -52,7 +52,8 @@ class RecallSpec extends AnyFunSuite {
     // (measured 0.24/0.30 WITHOUT the rerank stage); the refine step
     // lifts it to 0.74/0.62 — floors sit under that with
     // one-unlucky-corpus margin
-    ("qe14_pq_ann", "sf0.01") -> 0.40, ("qe14_pq_ann", "sf0.1") -> 0.40)
+    ("qe14_pq_ann", "sf0.01") -> 0.40, ("qe14_pq_ann", "sf0.1") -> 0.40,
+    ("qe14b_pq_probe", "sf0.01") -> 0.40, ("qe14b_pq_probe", "sf0.1") -> 0.40)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -187,6 +188,15 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe14_pq_ann", sf, hit.toDouble / n,
         "qe1 exact top-5, 8x16 PQ codebooks, ADC shortlist 50 + exact rerank")
+    }
+
+    test(s"qe14b persisted-PQ probe recall@5 vs exact cosine top-k [${sf.label}]") {
+      val exact = queries.VectorQueries.qe1(spark, sf.dir).select("query_id", "neighbor_id")
+      val probe = queries.VectorQueries.qe14b(spark, sf.dir).select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hit = exact.join(probe, Seq("query_id", "neighbor_id"), "left_semi").count()
+      record("qe14b_pq_probe", sf, hit.toDouble / n,
+        "qe1 exact top-5, persisted codes+codebook probe path")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {
