@@ -1617,9 +1617,16 @@ object TextQueries {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
-  def qd26(s: SparkSession, dir: String): DataFrame = {
+  def qd26(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(docs(s, dir))
+
+  /** The chunking transform itself, shared verbatim with the streaming
+    * path (graft.streaming.TextStreaming.chunkDocs): stateless, so
+    * batch ≡ stream by construction.
+    */
+  private[graft] def chunkDocs(df: DataFrame): DataFrame = {
     val (cs, st) = (ChunkSize, ChunkStride)
-    docs(s, dir)
+    df
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       // extra chunks past the first: ceil(max(n-C,0)/S) in int arithmetic

@@ -41,6 +41,18 @@ object TextStreaming {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(s"$dir/documents.parque[t]")
 
+  /** Streaming chunking — qd26's sliding token-window transform applied
+    * to a document stream (the continuous-ingest shape of passage
+    * extraction for a retrieval index). The transform is STATELESS
+    * (per-row explode, no aggregation, no history), so it needs no
+    * watermark and no state store, runs in Append mode, and the
+    * end-of-stream output equals the batch operator on the same rows by
+    * construction — one shared definition (TextQueries.chunkDocs), not
+    * a re-implementation that could drift.
+    */
+  def chunkDocs(docsStream: DataFrame): DataFrame =
+    TextQueries.chunkDocs(docsStream)
+
   /** Streaming per-source vocabulary NDV (qd20b's sketch, incremental):
     * the running approximate distinct-token count per source over a
     * document stream. HLL registers merge by max — a commutative
