@@ -1272,6 +1272,44 @@ object VectorQueries {
        |FROM (SELECT *, CAST(row_number() OVER (
        |        ORDER BY knn_dist DESC, vec_id) AS INT) AS grnk FROM kth), t""".stripMargin
 
+  // --------------------------------------------------------------- qe16
+  /** Cluster-balanced diversity sampling: cap each k-means cluster at
+    * [[ClusterCap]] vectors, picked in deterministic salted-hash order —
+    * the topic-rebalancing curation pass (cf. SemDeDup/D4-style
+    * cluster-then-prune): a dominant topic contributes at most cap
+    * examples while small topics survive whole, and the md5-hash pick
+    * order makes the sample a pure function of vec_id (reproducible on
+    * any partitioning — the qd11 sampling discipline, salted so it is
+    * independent of every other sampler).
+    *
+    * Reuses qe9's deterministic, oracle-exact k-means assignment, so
+    * the WHOLE operator hash-matches DuckDB (the kmeansCtes oracle
+    * chain + a per-cluster rank). Shape: assignment is map-only
+    * (broadcast centroids), then one shuffle on cluster id for the
+    * per-cluster rank — the qd19 domain-cap shape on a different key.
+    */
+  private val ClusterCap = 25
+
+  def qe16(s: SparkSession, dir: String): DataFrame = {
+    val a = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+      .withColumn("hk", graft.operators.Sampling.hashBucket(
+        concat(col("vec_id").cast("string"), lit("#q16")), 1000000))
+    a.withColumn("pick_rank", row_number().over(
+        Window.partitionBy("cid").orderBy(col("hk").asc, col("vec_id").asc)))
+      .filter(col("pick_rank") <= ClusterCap)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("pick_rank"))
+  }
+
+  private val qe16Sql =
+    s"""$kmeansCtes
+       |SELECT vec_id, cid AS cluster_id, pick_rank FROM (
+       |  SELECT vec_id, cid, CAST(row_number() OVER (
+       |      PARTITION BY cid ORDER BY
+       |        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#q16'), 1, 8))
+       |          AS BIGINT) % 1000000, vec_id) AS INT) AS pick_rank
+       |  FROM asg)
+       |WHERE pick_rank <= $ClusterCap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1292,6 +1330,7 @@ object VectorQueries {
     "qe14_pq_ann" -> (qe14 _),
     "qe14b_pq_probe" -> (qe14b _),
     "qe15_knn_density" -> (qe15 _),
+    "qe16_cluster_sample" -> (qe16 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1314,9 +1353,10 @@ object VectorQueries {
     "qe11_leakage_split" -> qe11Sql,
     "qe12_mmr_topk" -> qe12Sql,
     "qe13_hard_negatives" -> qe13Sql,
-    // qe14 omitted: PQ codebooks/codes are engine-side k-means state —
-    // recall@K is floored against the exact qe1 twin in RecallSpec.
     "qe15_knn_density" -> qe15Sql,
+    "qe16_cluster_sample" -> qe16Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
+    // qe14/qe14b omitted: PQ codebooks/codes are engine-side k-means
+    // state — recall@K floored against the exact qe1 twin in RecallSpec.
   )
 }
