@@ -84,13 +84,24 @@ object Bench {
     * trailing zeros stripped; if the line still exceeds the budget,
     * per-query values drop to deciseconds (the gate's jitter floor is
     * 0.4 s and its absolute slack 0.3 s, so 0.1 s resolution cannot
-    * flip a verdict). BenchSpec pins both regimes.
+    * flip a verdict); if names themselves overflow the budget, they
+    * drop to their unique id prefixes (see [[idOf]]). BenchSpec pins
+    * all three regimes.
     */
+  /** Unique id prefix of a query name ("qd26_chunking" → "qd26"): every
+    * suite name is "<id>_<slug>" with ids unique by construction, so
+    * the final degradation regime can render ids alone. benchdiff
+    * normalizes BOTH sides of its comparison through the same prefix,
+    * keeping id-rendered lines diffable against full-name artifacts.
+    */
+  private[graft] def idOf(name: String): String = name.takeWhile(_ != '_')
+
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
       sfDir: String): String = {
-    def mk(prec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + jesc(k) + "\":" + sN(v, prec) }
-        .mkString("{", ",", "}")
+    def mk(prec: Int, ids: Boolean = false): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + jesc(if (ids) idOf(k) else k) + "\":" + sN(v, prec)
+      }.mkString("{", ",", "}")
       val errs = errors.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       // "/…/sf0.1" → 0.1 (numeric, saves ~20 chars); anything else stays
@@ -100,7 +111,14 @@ object Bench {
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
     }
     val two = mk(2)
-    if (two.length <= LineBudget) two else mk(1)
+    if (two.length <= LineBudget) two
+    else {
+      val one = mk(1)
+      // suite outgrew even decisecond full names (86 queries crossed
+      // the budget in r9): drop to unique id prefixes — names shrink
+      // ~12 chars each, benchdiff normalizes both sides to ids
+      if (one.length <= LineBudget) one else mk(1, ids = true)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,8 +164,12 @@ object Bench {
     // subset. Unset (the driver's invocation) → full suite. Names are
     // trimmed and validated so a typo fails loudly instead of silently
     // benchmarking nothing.
+    // Accepts full names AND bare id prefixes ("qd26"): benchdiff's
+    // re-run command quotes whatever the artifact carried, and
+    // id-regime artifacts (see renderLine) carry ids.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.map(n => SparkEntry.queries.keys.find(idOf(_) == n).getOrElse(n)))
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in the suite: $unknown")

@@ -101,5 +101,17 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= Bench.LineBudget,
       s"bench line is ${line.length} chars — the driver tail capture will " +
         "truncate it again; shorten new query names or the rendering")
+    // every query must be present under SOME rendering of its name
+    // (full or id prefix — r9 crossed into the id regime at 86 queries)
+    assert(names.forall(n => line.contains("\"" + n + "\":")
+      || line.contains("\"" + Bench.idOf(n) + "\":")))
+  }
+
+  test("query-name id prefixes are unique — the id render regime and benchdiff normalization depend on it") {
+    val names = SparkEntry.queries.keys.toSeq
+    val ids = names.map(Bench.idOf)
+    val dup = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dup.isEmpty, s"duplicate query id prefixes: ${dup.mkString(",")} — " +
+      "id-rendered bench lines and benchdiff's name normalization would collide")
   }
 }

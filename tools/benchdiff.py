@@ -120,10 +120,29 @@ def extract_errors(obj):
     return []
 
 
+def normalize_names(q):
+    """Map full query names to their unique id prefix ("qd26_chunking" ->
+    "qd26"): graft.Bench's final length-degradation regime renders ids
+    only (the suite crossed the tail-capture budget at 86 queries in
+    r9), so both sides of the diff normalize through the same prefix to
+    stay comparable across regimes. If two keys collide post-normalize
+    (a truncation artifact), keep the full names for those — a partial
+    diff beats a corrupted one.
+    """
+    out = {}
+    for k, v in q.items():
+        nid = k.split("_", 1)[0]
+        out[nid] = v if nid not in out else None
+    if any(v is None for v in out.values()):
+        return q
+    return out
+
+
 def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
     """-> list of failure strings (empty = gate passes)."""
     fails = []
     rc, new_q = extract(new_obj)
+    new_q = normalize_names(new_q) if new_q else new_q
     if rc not in (None, 0):
         fails.append(f"new bench rc={rc} (expected 0)")
     errs = extract_errors(new_obj)
@@ -133,6 +152,7 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
         fails.append("new bench has an EMPTY query map (r4 failure mode)")
         return fails
     _, old_q = extract(old_obj)
+    old_q = normalize_names(old_q) if old_q else old_q
     if not old_q:
         # "nothing to diff against" must be loud: a truncated/unreadable
         # baseline means the regression check never ran (r6 failure mode)
@@ -174,6 +194,7 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
     # regression (r8: q20 "0.08s" was an analysis exception; the r9 fix
     # then showed as "6x slower")
     old_errs = set(extract_errors(old_obj))
+    old_errs |= {e.split("_", 1)[0] for e in old_errs}
     for q in sorted(old_q):
         if q not in new_q or q in old_errs:
             continue
@@ -289,6 +310,18 @@ def selftest():
     assert rerun_cmd(diff(jit, ok)) is None
     # non-regression failures (rc/errors/truncation) get no re-run cmd
     assert rerun_cmd(diff({"rc": 1, "queries": {"q1": 1.0}}, ok)) is None
+    # cross-regime: an id-rendered new line (r9 length degradation) must
+    # stay comparable against a full-name baseline — and still flag a
+    # real regression across the rename
+    full_old = {"queries": {"qd26_chunking": 0.5, "qe14_pq_ann": 2.0}}
+    id_new_ok = {"queries": {"qd26": 0.5, "qe14": 2.0}}
+    id_new_bad = {"queries": {"qd26": 3.5, "qe14": 2.0}}
+    assert diff(id_new_ok, full_old) == [], diff(id_new_ok, full_old)
+    assert any("qd26" in f for f in diff(id_new_bad, full_old))
+    # post-normalize collisions (truncation artifacts) fall back to
+    # full names instead of corrupting the map
+    coll = {"qd26_chunking": 1.0, "qd26_chunki": 2.0}
+    assert normalize_names(coll) == coll
     print("selftest OK")
 
 
@@ -308,6 +341,11 @@ def main():
     fails = diff(new_obj, old_obj, threshold, min_sec)
     _, new_q = extract(new_obj)
     _, old_q = extract(old_obj)
+    # the summary must count through the SAME name normalization diff()
+    # uses, or an id-regime line reads as "comparable=0" while the gate
+    # actually compared everything
+    new_q = normalize_names(new_q) if new_q else new_q
+    old_q = normalize_names(old_q) if old_q else old_q
     both = [q for q in old_q if q in new_q]
     print(f"parsed: new={len(new_q)} old={len(old_q)} comparable={len(both)}")
     if both:
