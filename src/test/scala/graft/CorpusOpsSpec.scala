@@ -106,6 +106,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd29 gopher filter: keep iff no reason, and every reason names a rule that actually fails") {
+    val out = queries.TextQueries.qd29(spark, dir).cache()
+    assert(out.count() == Tables.documents(spark, dir).count())
+    assert(out.filter(col("keep") =!= col("reason").isNull).count() == 0)
+    // each named reason must be backed by its own metric on that row
+    assert(out.filter(col("reason") === "n_tokens")
+      .filter(col("n_tokens").between(20, 100000)).count() == 0)
+    assert(out.filter(col("reason") === "word_length")
+      .filter(col("avg_len").between(3, 10)).count() == 0)
+    assert(out.filter(col("reason") === "stopwords")
+      .filter(col("n_stop") >= 2).count() == 0)
+    // kept rows pass EVERY rule
+    assert(out.filter(col("keep"))
+      .filter(!col("n_tokens").between(20, 100000)
+        || !col("avg_len").between(3, 10) || col("n_stop") < 2
+        || col("alpha_frac") < 0.8).count() == 0)
+    out.unpersist()
+  }
+
+  test("qe16 cluster sample: per-cluster cap respected, ranks dense, membership deterministic") {
+    val out = queries.VectorQueries.qe16(spark, dir).cache()
+    val byC = out.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), max("pick_rank").as("mx"), min("pick_rank").as("mn"))
+    assert(byC.filter(col("n") > 25 || col("mx") > 25 || col("mn") =!= 1).count() == 0)
+    assert(byC.filter(col("n") =!= col("mx")).count() == 0, "pick_rank must be dense 1..n")
+    // determinism: a second evaluation picks the identical sample
+    val again = queries.VectorQueries.qe16(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
   test("qe13 hard negatives: labels differ, ranks dense, cosines ordered") {
     val out = queries.VectorQueries.qe13(spark, dir).cache()
     assert(out.filter(col("negative_label") === col("anchor_label")).count() == 0,
