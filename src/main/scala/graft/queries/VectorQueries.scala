@@ -1218,7 +1218,16 @@ object VectorQueries {
     * role as qe4's exact twin. At 100 TB the k-th-NN distance comes from
     * the ANN candidate stage (qe2 bands / qe5 lists / qe14 codes) with
     * exact refinement on candidates only: a monotone upper bound on the
-    * true distance, never all-pairs. The 6dp-round-then-tiebreak
+    * true distance, never all-pairs. A cluster-gated variant (the qe10
+    * Σn_c² gating) was prototyped and MEASURED before shipping: its
+    * top-2% flag set agreed with the exact one at only 0.00/0.05
+    * (sf0.01/sf0.1), because this corpus's 5th-NN distances concentrate
+    * in [0.65, 0.76] (near-random 64-dim vectors) — there are no true
+    * outliers to preserve, so the flag is marginal-rank noise that no
+    * sub-quadratic gate can track. The variant was dropped rather than
+    * floored at a meaningless 0.05: candidate gating for kNN-density is
+    * only sound on clusterable embeddings, where in-cluster upper
+    * bounds leave genuinely isolated points separated. The 6dp-round-then-tiebreak
     * discipline makes the k-th-neighbor pick and the global top-2% rank
     * a total order on both engines → full hash-match oracle.
     */
@@ -1228,10 +1237,16 @@ object VectorQueries {
     val e = embs(s, dir)
     val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
-    // cosine is symmetric: evaluate each unordered pair once (half the
-    // dot products), checkpoint the slim (ida, idb, dist) frame, and
-    // mirror it for the per-vector neighbor ranking
-    val half = a.join(b, col("ida") < col("idb"))
+    densityFrom(a.join(b, col("ida") < col("idb")))
+  }
+
+  /** Shared qe15/qe15b tail: score each unordered candidate pair once
+    * (cosine is symmetric — half the dot products), checkpoint the slim
+    * (ida, idb, dist) frame, mirror it, take the K-th neighbor distance
+    * per vector, flag the global top-2%.
+    */
+  private def densityFrom(pairJoin: DataFrame): DataFrame = {
+    val half = pairJoin
       .withColumn("dist", dround(lit(1.0) -
         cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .select("ida", "idb", "dist")

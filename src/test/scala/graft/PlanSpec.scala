@@ -328,4 +328,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "ADC scoring must stream the codes scan against broadcast lookup tables")
   }
+
+  test("qd29 gopher filter is map-only: one scan, every rule a row expression") {
+    val p = finalPlan(queries.TextQueries.qd29(spark, sf))
+    assert(!p.contains("Exchange"),
+      "a per-document rule gate must not shuffle anything")
+    val docScans = "FileScan parquet[^\\n]*documents".r.findAllMatchIn(p).size
+    assert(docScans == 1, s"expected one documents scan (got $docScans)")
+  }
+
+  test("qe16 cluster sampling shuffles once, on the cluster key") {
+    val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges == 1,
+      s"per-cluster rank needs exactly one shuffle (got $exchanges)")
+    assert(p.contains("hashpartitioning(cid"), "the one shuffle must key on cid")
+  }
 }
