@@ -1918,6 +1918,70 @@ object TextQueries {
        |       reason IS NULL AS keep, reason
        |FROM r""".stripMargin
 
+  // --------------------------------------------------------------- qd30
+  /** Cross-source overlap matrix: for every pair of sources, how many
+    * distinct word-5-grams they share, and the Jaccard of their gram
+    * sets — the corpus diagnostic that surfaces mirror sites, syndicated
+    * boilerplate, and cross-corpus contamination BEFORE mixing decisions
+    * (qd25/qd28) treat the sources as independent. Same gram definition
+    * as decontamination (qd13), so a hot pair here predicts exactly what
+    * that operator will flag.
+    *
+    * Shape: per-source distinct gram sets are one aggregation; shared
+    * counts come from the gram-keyed self-join of the (gram, source)
+    * index — the inverted-index join (never source×source over raw
+    * text), partial-aggregated on the pair key. At 100 TB the stop-gram
+    * cut applies (a gram present in most sources contributes pairs
+    * quadratically but no signal — drop grams above a document-frequency
+    * ceiling, the qd17 stop-list argument); this corpus's vocabulary is
+    * tiny so the exact form is the oracle anchor.
+    */
+  def qd30(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("source"),
+        explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("x").join(grams.as("y"),
+        col("x.gram") === col("y.gram") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_grams").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("na"), col("nb"),
+        dround(col("shared_grams").cast("double")
+          / (col("na") + col("nb") - col("shared_grams")), 6).as("jaccard"))
+  }
+
+  private val qd30Sql =
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, gram
+      |  FROM (SELECT source, unnest(CASE WHEN len(t) >= 5
+      |          THEN list_transform(range(1, len(t) - 3),
+      |                 i -> array_to_string(t[i:i+4], ' '))
+      |          ELSE [] END) AS gram
+      |        FROM toks)),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+      |sh AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |         CAST(count(*) AS BIGINT) AS shared_grams
+      |  FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+      |  GROUP BY x.source, y.source)
+      |SELECT source_a, source_b, shared_grams,
+      |       a.n_grams AS na, b.n_grams AS nb,
+      |       round(CAST(shared_grams AS DOUBLE)
+      |               / (a.n_grams + b.n_grams - shared_grams), 6) AS jaccard
+      |FROM sh
+      |JOIN sz a ON sh.source_a = a.source
+      |JOIN sz b ON sh.source_b = b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -1952,6 +2016,7 @@ object TextQueries {
     "qd27_lm_perplexity" -> (qd27 _),
     "qd28_temperature_mixture" -> (qd28 _),
     "qd29_gopher_filter" -> (qd29 _),
+    "qd30_source_overlap" -> (qd30 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1982,6 +2047,7 @@ object TextQueries {
     "qd27_lm_perplexity" -> qd27Sql,
     "qd28_temperature_mixture" -> qd28Sql,
     "qd29_gopher_filter" -> qd29Sql,
+    "qd30_source_overlap" -> qd30Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
