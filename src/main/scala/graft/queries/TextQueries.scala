@@ -1858,8 +1858,15 @@ object TextQueries {
   private val GopherMaxTokens = 100000
   private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
 
-  def qd29(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
+  def qd29(s: SparkSession, dir: String): DataFrame =
+    gopherGate(docs(s, dir))
+
+  /** The rule gate itself, shared verbatim with the streaming path
+    * (graft.streaming.TextStreaming.gopherFilter) — stateless, so
+    * batch ≡ stream by construction.
+    */
+  private[graft] def gopherGate(df: DataFrame): DataFrame = {
+    df
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("sum_len",

@@ -53,6 +53,14 @@ object TextStreaming {
   def chunkDocs(docsStream: DataFrame): DataFrame =
     TextQueries.chunkDocs(docsStream)
 
+  /** Streaming Gopher-rules gate — qd29's composite keep/drop verdict on
+    * a document stream (the ingest-time quality filter). Stateless like
+    * [[chunkDocs]]: same shared batch definition, Append mode, no
+    * watermark, stream ≡ batch by construction.
+    */
+  def gopherFilter(docsStream: DataFrame): DataFrame =
+    TextQueries.gopherGate(docsStream)
+
   /** Streaming per-source vocabulary NDV (qd20b's sketch, incremental):
     * the running approximate distinct-token count per source over a
     * document stream. HLL registers merge by max — a commutative

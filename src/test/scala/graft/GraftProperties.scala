@@ -285,6 +285,25 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("chunker covers every token exactly with the stride layout, any doc length") = {
+    forAll(Gen.listOfN(8, Gen.chooseNum(1, 90))) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = queries.TextQueries.chunkDocs(docs).collect()
+      lens.zipWithIndex.forall { case (n, i) =>
+        val cs = chunks.filter(_.getAs[Long]("doc_id") == i)
+          .sortBy(_.getAs[Int]("chunk_idx"))
+        cs.length == (1 + (math.max(n - 32, 0) + 23) / 24) &&
+          cs.zipWithIndex.forall { case (c, k) => c.getAs[Int]("chunk_idx") == k } &&
+          cs.forall(c => c.getAs[Long]("start_token") == c.getAs[Int]("chunk_idx") * 24L) &&
+          // full coverage: last chunk ends at n, non-final chunks are full
+          cs.last.getAs[Long]("start_token") + cs.last.getAs[Int]("chunk_tokens") == n &&
+          cs.init.forall(_.getAs[Int]("chunk_tokens") == 32)
+      }
+    }
+  }
+
   property("native PQ encoder matches a driver-side argmin replica") = {
     functions.VectorFunctions.registerNative(spark)
     val (m, ks) = (4, 3)

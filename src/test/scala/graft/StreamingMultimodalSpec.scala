@@ -191,6 +191,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "stateless streaming chunking must equal the batch operator row-for-row")
   }
 
+  test("streaming gopher filter equals the batch gate on the same documents") {
+    val dir01 = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("gopher_stream").toFile
+    val docs = Tables.documents(spark, dir01)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/even")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/odd")
+    Seq("even", "odd").zipWithIndex.foreach { case (h, i) =>
+      val f = new java.io.File(s"$dir/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    val stream = spark.readStream
+      .schema(TextStreaming.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*.parquet")
+    val out = EventsStreaming.runToMemory(
+      spark, TextStreaming.gopherFilter(stream), "gopher_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val twin = queries.TextQueries.qd29(spark, dir01)
+    assert(out.count() > 0)
+    assert(out.exceptAll(twin).count() == 0 && twin.exceptAll(out).count() == 0,
+      "stateless streaming rule gate must equal the batch operator row-for-row")
+  }
+
   test("streaming vocabulary NDV equals the batch sketch regardless of microbatch slicing") {
     // HLL registers are a commutative monoid: two doc_id-parity halves
     // streamed as separate microbatches must land on EXACTLY the batch
