@@ -1325,6 +1325,62 @@ object VectorQueries {
        |  FROM asg)
        |WHERE pick_rank <= $ClusterCap""".stripMargin
 
+  // --------------------------------------------------------------- qe17
+  /** Retrieval-quality metrics over the exact top-k: per-query
+    * precision@5 and reciprocal rank, with label agreement as the
+    * relevance proxy — the embedding-model eval an indexing pipeline
+    * runs after every re-embed (swap qe1's exact neighbors for any ANN
+    * variant's to score THAT index; the metric arithmetic is
+    * unchanged). Rank-reciprocals are exact rationals of rnk ≤ 5
+    * rounded at 6dp, so the whole scorecard hash-matches DuckDB.
+    *
+    * Shape: the top-k stage is qe1's (broadcast queries, one corpus
+    * scan); the metrics are a K-row-per-query aggregation — free.
+    */
+  def qe17(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val ql = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    topkExact(s, dir)
+      .join(broadcast(ql), Seq("query_id"))
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      .groupBy("query_id", "qlabel")
+      .agg(
+        sum("rel").as("n_rel"),
+        dround(sum("rel") / (lit(K) * 1.0), 6).as("precision_at_5"),
+        dround(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rnk"))),
+          lit(0.0)), 6).as("reciprocal_rank"))
+      .select("query_id", "qlabel", "n_rel", "precision_at_5", "reciprocal_rank")
+  }
+
+  private val qe17Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, vec,
+       |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, q.label AS qlabel, d.label,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine,
+       |         d.vec_id AS neighbor_id
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id),
+       |topk AS (
+       |  SELECT query_id, qlabel,
+       |         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rnk
+       |  FROM (SELECT *, CAST(row_number() OVER (
+       |          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |        FROM p)
+       |  WHERE rnk <= $K)
+       |SELECT query_id, qlabel,
+       |  CAST(sum(rel) AS BIGINT) AS n_rel,
+       |  round(CAST(sum(rel) AS BIGINT) / CAST($K AS DOUBLE), 6) AS precision_at_5,
+       |  round(coalesce(max(CASE WHEN rel = 1
+       |                     THEN CAST(1.0 AS DOUBLE) / rnk END),
+       |                 CAST(0.0 AS DOUBLE)), 6) AS reciprocal_rank
+       |FROM topk GROUP BY query_id, qlabel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1346,6 +1402,7 @@ object VectorQueries {
     "qe14b_pq_probe" -> (qe14b _),
     "qe15_knn_density" -> (qe15 _),
     "qe16_cluster_sample" -> (qe16 _),
+    "qe17_retrieval_metrics" -> (qe17 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1370,6 +1427,7 @@ object VectorQueries {
     "qe13_hard_negatives" -> qe13Sql,
     "qe15_knn_density" -> qe15Sql,
     "qe16_cluster_sample" -> qe16Sql,
+    "qe17_retrieval_metrics" -> qe17Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b omitted: PQ codebooks/codes are engine-side k-means
     // state — recall@K floored against the exact qe1 twin in RecallSpec.
