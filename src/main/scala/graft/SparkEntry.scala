@@ -23,7 +23,8 @@ object SparkEntry {
         "qm1_media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
         "qm2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
         "qm3_image_decode" -> ((s, d) => graft.multimodal.Multimodal.imageDecode(s, d)),
-        "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)))
+        "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)),
+        "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -39,5 +40,6 @@ object SparkEntry {
         "qm1_media_stats" -> graft.multimodal.Multimodal.mediaStatsSql,
         "qm2_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
         "qm3_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
-        "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql)
+        "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
+        "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql)
 }

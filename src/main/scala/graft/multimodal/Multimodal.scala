@@ -335,4 +335,68 @@ object Multimodal {
       | md5(text) AS content_hash,
       | source AS meta_source
       |FROM documents""".stripMargin
+
+  /** qm5: shot-boundary detection over the framed stream — per-media,
+    * the dissimilarity between each CONSECUTIVE frame pair (1 − Jaccard
+    * of the frames' distinct token sets), with a boundary flag where
+    * content shifts past the threshold. This is the cut-detection pass
+    * a video pipeline runs before per-shot sampling (qm2 keeps every
+    * k-th frame; shot-aware sampling keeps one per detected cut) —
+    * frame features and pairwise distance are declarative built-ins
+    * over the same 256-char framing qm2 defines, no UDF.
+    *
+    * Shape: frames explode map-side; the consecutive pairing is a lead()
+    * window partitioned BY MEDIA (frame counts per asset are bounded, so
+    * partitions are tiny and uniform — never a global window); one
+    * shuffle on media_id. Full DuckDB oracle.
+    */
+  def shotBoundaries(spark: SparkSession, dir: String,
+      frameChars: Int = 256, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("nf", ceil(length(col("text")) / lit(frameChars.toDouble)).cast("int"))
+      .filter(col("nf") > 1) // single-frame media has no cuts by definition
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .withColumn("words", array_distinct(split(
+        trim(col("text").substr(col("frame_idx") * frameChars + 1, lit(frameChars))),
+        " +")))
+      .select("media_id", "frame_idx", "words")
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("next_words", lead("words", 1).over(w))
+      .filter(col("next_words").isNotNull)
+      .withColumn("dist", graft.operators.Rounding.dround(
+        lit(1.0) - size(array_intersect(col("words"), col("next_words")))
+          / size(array_union(col("words"), col("next_words"))).cast("double"), 6))
+      .select(
+        col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("dist"), (col("dist") > threshold).as("boundary"))
+  }
+
+  val shotBoundariesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(ceil(length(text)/256.0) AS INT) AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id,
+      |         CAST(i AS INT) AS frame_idx,
+      |         list_distinct(regexp_split_to_array(
+      |           trim(substring(text, CAST(i AS INT)*256 + 1, 256)), ' +')) AS words
+      |  FROM (SELECT media_id, text, nf, unnest(range(0, nf)) AS i
+      |        FROM m WHERE nf > 1)),
+      |p AS (
+      |  SELECT media_id, frame_idx, words,
+      |         lead(words) OVER (PARTITION BY media_id ORDER BY frame_idx)
+      |           AS next_words
+      |  FROM f)
+      |SELECT media_id, frame_idx,
+      |  round(1.0 - len(list_intersect(words, next_words))
+      |          / CAST(len(list_distinct(words || next_words)) AS DOUBLE), 6) AS dist,
+      |  round(1.0 - len(list_intersect(words, next_words))
+      |          / CAST(len(list_distinct(words || next_words)) AS DOUBLE), 6) > 0.5
+      |    AS boundary
+      |FROM p WHERE next_words IS NOT NULL""".stripMargin
 }
