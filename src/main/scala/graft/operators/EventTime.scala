@@ -30,7 +30,20 @@ object EventTime {
     *    identity under the project-wide UTC session zone)
     */
   def usExpr(dt: DataType): Column = dt match {
-    case LongType          => expr("ts div 1000")
+    case LongType          =>
+      // the int64 branch is only correct for NANOSECONDS. If a future
+      // regeneration ships int64 millis/micros instead, `div 1000`
+      // would be silently wrong by 10^3–10^6 — so guard on magnitude
+      // (any plausible event era is ≥ 1e17 in ns, ≤ 1e16 in µs) and
+      // fail with a named message instead of producing wrong sessions.
+      // Per-row when-branch: stays codegen'd, no extra job at plan time.
+      when(col("ts") >= 100000000000000000L, expr("ts div 1000"))
+        .otherwise(raise_error(concat(
+          lit("events.ts arrived as int64 but the value "),
+          col("ts").cast("string"),
+          lit(" is too small for nanoseconds — a generator change to " +
+            "millis/micros? Extend EventTime.usExpr rather than " +
+            "trusting div 1000."))))
     case TimestampType     => unix_micros(col("ts"))
     case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
     case other => throw new IllegalArgumentException(

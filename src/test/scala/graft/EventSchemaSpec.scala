@@ -55,4 +55,17 @@ class EventSchemaSpec extends AnyFunSuite {
     val bad = Seq(Tuple1("2024-01-01")).toDF("ts")
     intercept[IllegalArgumentException](EventTime.withUs(bad))
   }
+
+  test("int64 values below the nanosecond era fail loudly, not silently divided") {
+    import spark.implicits._
+    // a generator switch to int64 MILLIS would land ~1.7e12 — div 1000
+    // would silently produce year-52000 microseconds; the magnitude
+    // guard must turn that into a named error instead
+    val asMs = Seq(Tuple1(1709296496789L)).toDF("ts")
+    val e = intercept[Exception] {
+      EventTime.withUs(asMs).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("too small for nanoseconds"),
+      s"expected the magnitude-guard message, got: ${e.getMessage}")
+  }
 }
