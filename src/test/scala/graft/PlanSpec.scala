@@ -337,6 +337,12 @@ class PlanSpec extends AnyFunSuite {
     assert(docScans == 1, s"expected one documents scan (got $docScans)")
   }
 
+  test("qd30 source overlap pairs come from the gram equi-join, never source x source text") {
+    val p = finalPlan(queries.TextQueries.qd30(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the overlap matrix must candidate through the gram inverted index")
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
