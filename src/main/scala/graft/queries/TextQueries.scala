@@ -1989,6 +1989,44 @@ object TextQueries {
       |JOIN sz a ON sh.source_a = a.source
       |JOIN sz b ON sh.source_b = b.source""".stripMargin
 
+  // --------------------------------------------------------------- qd31
+  /** Document-frequency stop-term list: every term's df, its fraction of
+    * the corpus, and the `is_stop` verdict at [[StopDfFrac]] — the
+    * offline artifact qd17's posting-list fan-out cut and qd30's
+    * stop-gram ceiling both reference ("terms carried by most documents
+    * contribute candidate pairs quadratically but ~zero idf signal").
+    * Emitting it as a first-class result makes the cut auditable and
+    * reusable instead of an inlined magic threshold.
+    *
+    * Shape: distinct (doc, term) then a term-keyed count — one
+    * partial-agged shuffle, vocabulary-sized output; the corpus-size
+    * scalar broadcasts.
+    */
+  private val StopDfFrac = 0.5
+
+  def qd31(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ndocs = d.agg(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .select(col("term"), col("df"),
+        dround(col("df").cast("double") / col("n_docs"), 6).as("df_frac"),
+        (col("df").cast("double") / col("n_docs") > StopDfFrac).as("is_stop"))
+  }
+
+  private val qd31Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           regexp_split_to_array(trim(text), '\\s+'))) AS term
+       |  FROM documents),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT term, df,
+       |       round(CAST(df AS DOUBLE) / n_docs, 6) AS df_frac,
+       |       CAST(df AS DOUBLE) / n_docs > $StopDfFrac AS is_stop
+       |FROM df, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2024,6 +2062,7 @@ object TextQueries {
     "qd28_temperature_mixture" -> (qd28 _),
     "qd29_gopher_filter" -> (qd29 _),
     "qd30_source_overlap" -> (qd30 _),
+    "qd31_stop_terms" -> (qd31 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2055,6 +2094,7 @@ object TextQueries {
     "qd28_temperature_mixture" -> qd28Sql,
     "qd29_gopher_filter" -> qd29Sql,
     "qd30_source_overlap" -> qd30Sql,
+    "qd31_stop_terms" -> qd31Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
