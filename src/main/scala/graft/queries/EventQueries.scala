@@ -151,11 +151,188 @@ object EventQueries {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** Ordered funnel analysis (view → click → purchase): for every user,
+    * the earliest view, the earliest click at-or-after that view, and the
+    * earliest purchase at-or-after that click — the stage-k timestamp is
+    * conditioned on stage k−1, so an out-of-order purchase (before the
+    * user ever clicked) does NOT convert. `stage` is how deep the user
+    * got (0–3).
+    *
+    * Scale shape: three hash-aggregations and two joins, ALL keyed on
+    * user_id — after the first shuffle every stage reuses the same
+    * partitioning (no re-exchange between the agg and the join on the
+    * same key), and each aggregation is partial (map-side min). No
+    * windows, no per-user sort: at 100 TB this is the formulation that
+    * survives — the per-user event-sequence window form funnels every
+    * user's full history through one sort.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    funnelFrom(ev(s, dir).select("user_id", "event_type", "us"))
+
+  /** Frame-parameterized twin (tests plant out-of-order sequences):
+    * `e` carries (user_id, event_type, us).
+    */
+  private[graft] def funnelFrom(e: DataFrame): DataFrame = {
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") >= col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+        when(col("p_us").isNotNull, 3)
+          .when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1)
+          .otherwise(0).as("stage"))
+  }
+
+  private val q30Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM x
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT x.user_id, min(us) AS c_us FROM x JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us >= v_us GROUP BY 1),
+      |p AS (SELECT x.user_id, min(us) AS p_us FROM x JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us >= c_us GROUP BY 1)
+      |SELECT u.user_id, v_us, c_us, p_us,
+      |  CASE WHEN p_us IS NOT NULL THEN 3
+      |       WHEN c_us IS NOT NULL THEN 2
+      |       WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM (SELECT DISTINCT user_id FROM x) u
+      |LEFT JOIN v USING (user_id)
+      |LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Signup-cohort retention matrix: users are cohorted by the UTC day of
+    * their first `signup` event; every later active day contributes one
+    * distinct user to (cohort_day, day_offset). Day arithmetic is pure
+    * integer floor-division of epoch-micros — timezone-free and identical
+    * on both engines.
+    *
+    * Scale shape: cohort table = one user_id aggregation; activity =
+    * events joined to it on user_id (same partitioning as q30), then a
+    * (cohort_day, day_offset) count-distinct — partial-aggregable after
+    * the per-(cohort, offset, user) distinct. Output is cohorts × offsets
+    * rows: tiny at any corpus scale.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select("user_id", "event_type", "us")
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(expr("min(us) div 86400000000").as("c_day"))
+    e.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", expr("us div 86400000000") - col("c_day"))
+      .filter(col("day_offset") >= 0)
+      .groupBy("c_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")), col("c_day").cast("int")),
+          "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+
+  private val q31Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(us) // 86400000000 AS c_day FROM x
+      |  WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT strftime(DATE '1970-01-01' + CAST(c_day AS INT), '%Y-%m-%d')
+      |         AS cohort_day,
+      |       day_offset, count(*) AS n_users
+      |FROM (
+      |  SELECT DISTINCT x.user_id, c_day, (us // 86400000000) - c_day AS day_offset
+      |  FROM x JOIN cohort USING (user_id)
+      |  WHERE (us // 86400000000) >= c_day)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Exact value percentiles per event type (p50/p90/p99), by the
+    * discrete rank formula: the p-quantile is the element at 1-based
+    * position ceil(p·n) of the sorted group — pure integer arithmetic
+    * (`(k·n + k) div m` = ceil(k·n/m)) over exact cent values, so both
+    * engines select the identical element; no interpolation FP to
+    * disagree over. This is the oracle ANCHOR of the pair: the scale
+    * path is q32b's mergeable sketch, and this window form (per-group
+    * sort) is what the sketch replaces at 100 TB — the same
+    * exact-twin/sketch-twin discipline as qd20/qd20b and qd21/qd21b.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("cents").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_events"),
+        (max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))) / 100.0).as("p50"),
+        (max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))) / 100.0).as("p90"),
+        (max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))) / 100.0).as("p99"))
+  }
+
+  private val q32Sql =
+    """WITH b AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM b)
+      |SELECT event_type,
+      |  CAST(max(n) AS BIGINT) AS n_events,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) / 100.0 AS p50,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) / 100.0 AS p90,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) / 100.0 AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q32b
+  /** Sketch percentiles — the 100 TB path: `percentile_approx`
+    * (Greenwald–Khanna summaries) folds map-side into fixed-size state
+    * and merges associatively, so the shuffle carries one summary per
+    * group×task instead of the sorted value stream q32's window needs.
+    * Rank error is bounded by n/accuracy; SketchSpec pins |approx −
+    * exact| against that bound at both sfs (no DuckDB oracle — the
+    * sketch state is engine-side, the qd20b/qd21b discipline).
+    */
+  private val PctAccuracy = 10000
+
+  def q32b(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        percentile_approx(col("cents"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(PctAccuracy)).as("qs"))
+      .select(col("event_type"), col("n_events"),
+        (col("qs").getItem(0) / 100.0).as("p50"),
+        (col("qs").getItem(1) / 100.0).as("p90"),
+        (col("qs").getItem(2) / 100.0).as("p99"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
     "q20_hourly_window" -> (q20 _),
     "q21_json_extract" -> (q21 _),
+    "q30_funnel" -> (q30 _),
+    "q31_retention" -> (q31 _),
+    "q32_value_percentiles" -> (q32 _),
+    "q32b_percentiles_sketch" -> (q32b _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,5 +340,10 @@ object EventQueries {
     "q19_sessionize" -> q19Sql,
     "q20_hourly_window" -> q20Sql,
     "q21_json_extract" -> q21Sql,
+    "q30_funnel" -> q30Sql,
+    "q31_retention" -> q31Sql,
+    "q32_value_percentiles" -> q32Sql,
+    // q32b omitted: GK-sketch state is engine-side; error bound pinned
+    // against the exact q32 twin in SketchSpec.
   )
 }

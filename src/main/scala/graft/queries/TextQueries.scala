@@ -2027,6 +2027,80 @@ object TextQueries {
        |       CAST(df AS DOUBLE) / n_docs > $StopDfFrac AS is_stop
        |FROM df, n""".stripMargin
 
+  // --------------------------------------------------------------- qd32
+  /** Per-document unigram entropy — the information-density quality
+    * signal of the CCNet/Gopher family (a compression-ratio proxy
+    * without a codec): H = ln n − (Σ c·ln c)/n over the within-doc token
+    * multiplicities, plus the vocabulary-normalized H/ln(ndv) and a
+    * low-entropy verdict at [[EntropyNormFloor]] (low normalized entropy
+    * = a few tokens DOMINATE the distribution — keyword-stuffing/spam
+    * where massive repeats hide amid filler, which qd16's
+    * adjacent-3-gram test misses when the repeats are shuffled rather
+    * than contiguous; outright vocabulary narrowness shows in the raw
+    * `entropy`/`ndv` columns).
+    *
+    * Determinism contract (qd24/qd27 discipline): ln of each small-int
+    * multiplicity is quantized to integer micro-nats BEFORE the per-doc
+    * sum, so the numerator n·qln(n) − Σ c·qln(c) is an exact long on any
+    * partitioning and both engines divide the same integers in one fixed
+    * order. Shape: one (doc, token) partial-agged shuffle, then a
+    * doc-keyed rollup — the qd2 class, output one row per doc.
+    */
+  private val EntropyNormFloor = 0.5
+
+  def qd32(s: SparkSession, dir: String): DataFrame =
+    entropyFrom(docs(s, dir))
+
+  /** Frame-parameterized twin (tests plant skewed-distribution docs):
+    * `d` carries (doc_id, text).
+    */
+  private[graft] def entropyFrom(d: DataFrame): DataFrame = {
+    def micro(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long") // ln(int>=1) >= 0
+    val cnt = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("ndv"),
+      sum(col("c") * micro(log(col("c")))).as("slc"))
+    val ent = (col("n_tokens") * micro(log(col("n_tokens"))) - col("slc"))
+      .cast("double") / (col("n_tokens") * 1e6)
+    agg.select(
+      col("doc_id"), col("n_tokens"), col("ndv"),
+      dround(ent, 6).as("entropy"),
+      when(col("ndv") > 1, dround(ent / (micro(log(col("ndv"))) / 1e6), 6))
+        .as("norm_entropy"),
+      coalesce(
+        when(col("ndv") > 1, ent / (micro(log(col("ndv"))) / 1e6) < EntropyNormFloor),
+        lit(true)).as("is_low_entropy"))
+  }
+
+  private val qd32Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |        FROM toks GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS ndv,
+       |         CAST(sum(c * CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT))
+       |              AS BIGINT) AS slc
+       |  FROM cnt GROUP BY doc_id),
+       |ent AS (
+       |  SELECT doc_id, n_tokens, ndv,
+       |         CAST(n_tokens * CAST(floor(ln(n_tokens) * 1000000.0 + 0.5) AS BIGINT)
+       |              - slc AS DOUBLE) / (n_tokens * 1000000.0) AS e,
+       |         CAST(floor(ln(ndv) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS lndv
+       |  FROM agg)
+       |SELECT doc_id, n_tokens, ndv,
+       |       round(e, 6) AS entropy,
+       |       CASE WHEN ndv > 1 THEN round(e / lndv, 6) END AS norm_entropy,
+       |       coalesce(CASE WHEN ndv > 1 THEN e / lndv < $EntropyNormFloor END,
+       |                true) AS is_low_entropy
+       |FROM ent""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2063,6 +2137,7 @@ object TextQueries {
     "qd29_gopher_filter" -> (qd29 _),
     "qd30_source_overlap" -> (qd30 _),
     "qd31_stop_terms" -> (qd31 _),
+    "qd32_token_entropy" -> (qd32 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2095,6 +2170,7 @@ object TextQueries {
     "qd29_gopher_filter" -> qd29Sql,
     "qd30_source_overlap" -> qd30Sql,
     "qd31_stop_terms" -> qd31Sql,
+    "qd32_token_entropy" -> qd32Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -1381,6 +1381,149 @@ object VectorQueries {
        |                 CAST(0.0 AS DOUBLE)), 6) AS reciprocal_rank
        |FROM topk GROUP BY query_id, qlabel""".stripMargin
 
+  // --------------------------------------------------------------- qe18
+  /** Prototypicality pruning (SSL prototypes, Sorscher et al. 2022,
+    * arXiv 2206.14486 — "Beyond neural scaling laws"): score every
+    * vector by cosine to its OWN cluster centroid (the mean of the final
+    * qe9 cluster members), rank most-prototypical-first within the
+    * cluster, and drop the top 20% — in the data-abundant regime the
+    * easy/prototypical examples are the ones worth pruning, the
+    * documented complement of qe15's outlier cut (which trims the OTHER
+    * tail). The keep rule is integer arithmetic (5·rank > size), so no
+    * fraction can disagree between engines.
+    *
+    * Reuses qe9's deterministic k-means, so the whole operator
+    * hash-matches DuckDB. Shape: centroids are a K×dim-cell partial
+    * aggregation collected to a K-row broadcast; scoring is map-only;
+    * the per-cluster rank is one shuffle on cluster id. K here is 8; a
+    * production run carries 10⁴–10⁵ clusters (SemDeDup scale), so
+    * per-cluster windows stay balanced — the skew guard is raising K,
+    * never a global window.
+    */
+  def qe18(s: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(s, dir)
+    val cent = asg.select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos").agg(dround(avg("col"), 6).as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    asg.join(broadcast(cent), Seq("cid"))
+      .withColumn("proto_cos",
+        dround(cosine(col("vec"), col("cvec"), col("nrm"), col("cnrm")), 6))
+      .withColumn("proto_rank", row_number().over(
+        Window.partitionBy("cid").orderBy(col("proto_cos").desc, col("vec_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cid")))
+      .select(
+        col("vec_id"), col("cid").as("cluster_id"), col("proto_cos"),
+        col("proto_rank"),
+        (col("proto_rank") * 5 > col("cluster_size")).as("keep"))
+  }
+
+  private val qe18Sql =
+    s"""$kmeansCtes,
+       |cent2 AS (
+       |  SELECT cid, list(m ORDER BY i) AS cvec
+       |  FROM (SELECT cid, i, round(avg(x), 6) AS m
+       |        FROM (SELECT cid, unnest(range(1, len(vec) + 1)) AS i,
+       |                     unnest(vec) AS x FROM asg)
+       |        GROUP BY cid, i)
+       |  GROUP BY cid),
+       |sc AS (
+       |  SELECT a.vec_id, a.cid,
+       |         round(list_dot_product(a.vec, c.cvec)
+       |               / (sqrt(list_dot_product(a.vec, a.vec))
+       |                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS proto_cos
+       |  FROM asg a JOIN cent2 c USING (cid)),
+       |r AS (
+       |  SELECT *,
+       |         CAST(row_number() OVER (
+       |             PARTITION BY cid ORDER BY proto_cos DESC, vec_id) AS INT)
+       |           AS proto_rank,
+       |         count(*) OVER (PARTITION BY cid) AS csz
+       |  FROM sc)
+       |SELECT vec_id, cid AS cluster_id, proto_cos, proto_rank,
+       |       proto_rank * 5 > csz AS keep
+       |FROM r""".stripMargin
+
+  // --------------------------------------------------------------- qe19
+  /** Binary (1-bit) sign quantization ANN: pack the 64 dimension signs
+    * into ONE int64 word (32× smaller than fp32), shortlist by Hamming
+    * distance (popcount of XOR — the cheapest similarity hardware can
+    * compute), then rerank the 50-deep shortlist with exact full-precision
+    * cosine. This is the binary-quantization retrieval mode of
+    * faiss/modern vector stores; for sign bits, P(bit disagrees) =
+    * angle/π, so Hamming order approximates angular order and the exact
+    * rerank repairs the quantization noise on the short candidate list.
+    *
+    * Fully deterministic (integer Hamming + id tiebreaks, 6dp-rounded
+    * rerank), so unlike the LSH/IVF/PQ family the WHOLE operator
+    * hash-matches DuckDB; shortlist quality vs the exact qe1 twin is
+    * additionally floored in RecallSpec. Shape: bit-packing is map-only
+    * (and persists offline at 8 bytes/vector — a 100 TB fp32 corpus
+    * becomes a 3 TB bit index); the scan carries only (vec_id, bits)
+    * against broadcast query words; only the 50·|Q| shortlist rows ever
+    * touch full vectors again.
+    */
+  private val HammingShortlist = 50
+
+  def qe19(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val bits = (0 until 64).map(i =>
+        when(element_at(col("vec"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val eb = e.withColumn("bits", bits).select("vec_id", "bits")
+    val qb = eb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+    val short = eb.join(broadcast(qb), col("vec_id") =!= col("query_id"))
+      .withColumn("ham", expr("bit_count(bits ^ qbits)"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("srnk") <= HammingShortlist)
+      .select("query_id", "vec_id", "ham")
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    short.join(e.select("vec_id", "vec", "nrm"), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("ham"), col("cosine"), col("rnk"))
+  }
+
+  private val qe19Sql =
+    s"""WITH sg AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x >= 0) AS sg
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |         CAST(len(list_filter(range(1, 65),
+       |                              i -> q.sg[i] <> c.sg[i])) AS INT) AS ham
+       |  FROM sg q, sg c
+       |  WHERE q.vec_id < $NQUERIES AND c.vec_id <> q.vec_id),
+       |s AS (
+       |  SELECT query_id, vec_id, ham FROM (
+       |    SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY ham, vec_id) AS srnk
+       |    FROM p)
+       |  WHERE srnk <= $HammingShortlist),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |r AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id, s.ham,
+       |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM s JOIN n q ON q.vec_id = s.query_id
+       |         JOIN n c ON c.vec_id = s.vec_id)
+       |SELECT query_id, neighbor_id, ham, cosine, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM r)
+       |WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1403,6 +1546,8 @@ object VectorQueries {
     "qe15_knn_density" -> (qe15 _),
     "qe16_cluster_sample" -> (qe16 _),
     "qe17_retrieval_metrics" -> (qe17 _),
+    "qe18_prototypes" -> (qe18 _),
+    "qe19_binary_ann" -> (qe19 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1428,6 +1573,8 @@ object VectorQueries {
     "qe15_knn_density" -> qe15Sql,
     "qe16_cluster_sample" -> qe16Sql,
     "qe17_retrieval_metrics" -> qe17Sql,
+    "qe18_prototypes" -> qe18Sql,
+    "qe19_binary_ann" -> qe19Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b omitted: PQ codebooks/codes are engine-side k-means
     // state — recall@K floored against the exact qe1 twin in RecallSpec.

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 
-/** Invariant coverage for the round-9 corpus operators (qd26 chunking,
-  * qd27 LM perplexity, qe13 hard negatives). Each also carries a full
-  * DuckDB oracle (qd26/qd27/qe13) — these tests pin the structural
+/** Invariant coverage for the round-9/10 corpus operators (qd26
+  * chunking, qd27 LM perplexity, qe13 hard negatives, q30 funnel, q31
+  * retention, qe18 prototypes, qe19 binary ANN, qd32 entropy). Each
+  * also carries a full DuckDB oracle — these tests pin the structural
   * contracts a hash-compare can't name when it fails.
   */
 class CorpusOpsSpec extends AnyFunSuite {
@@ -156,5 +157,106 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("cosine") > col("prev"))
       .count() == 0)
     out.unpersist()
+  }
+
+  test("q30 funnel: stages are sequential — out-of-order purchases do not convert") {
+    import SparkSpecBase.spark.implicits._
+    val planted = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full convert
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L), // bought BEFORE clicking
+      (3L, "click", 10L), // never viewed
+      (4L, "view", 10L), (4L, "purchase", 20L), // never clicked
+      (5L, "view", 30L), (5L, "click", 30L), (5L, "purchase", 30L) // ties: >= is inclusive
+    ).toDF("user_id", "event_type", "us")
+    val m = queries.EventQueries.funnelFrom(planted).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(m == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 3))
+
+    val real = queries.EventQueries.q30(spark, dir).cache()
+    assert(real.count() ==
+      Tables.events(spark, dir).select("user_id").distinct().count())
+    // stage-k timestamp exists iff stage >= k, and stages are time-ordered
+    assert(real.filter((col("stage") >= 1) =!= col("v_us").isNotNull).count() == 0)
+    assert(real.filter((col("stage") >= 2) =!= col("c_us").isNotNull).count() == 0)
+    assert(real.filter((col("stage") === 3) =!= col("p_us").isNotNull).count() == 0)
+    assert(real.filter(col("stage") >= 2 && col("c_us") < col("v_us")).count() == 0)
+    assert(real.filter(col("stage") === 3 && col("p_us") < col("c_us")).count() == 0)
+    real.unpersist()
+  }
+
+  test("q31 retention: day-0 cell counts the whole cohort, no cell exceeds it") {
+    val out = queries.EventQueries.q31(spark, dir).cache()
+    assert(out.filter(col("day_offset") < 0).count() == 0)
+    val ev = graft.operators.EventTime.withUs(Tables.events(spark, dir))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(expr("min(us) div 86400000000").as("c_day"))
+      .groupBy("c_day").agg(countDistinct("user_id").as("n"))
+      .select(date_format(date_add(to_date(lit("1970-01-01")),
+        col("c_day").cast("int")), "yyyy-MM-dd").as("cohort_day"), col("n"))
+      .cache()
+    // the signup event itself is day-0 activity: the offset-0 cell is
+    // exactly the cohort census
+    val z = out.filter(col("day_offset") === 0).join(cohorts, Seq("cohort_day"))
+    assert(z.count() == cohorts.count())
+    assert(z.filter(col("n_users") =!= col("n")).count() == 0)
+    assert(out.join(cohorts, Seq("cohort_day"))
+      .filter(col("n_users") > col("n")).count() == 0)
+    out.unpersist(); cohorts.unpersist()
+  }
+
+  test("qe18 prototypes: exactly floor(n/5) most-prototypical dropped per cluster") {
+    val out = queries.VectorQueries.qe18(spark, dir).cache()
+    assert(out.count() == Tables.embeddings(spark, dir).count())
+    assert(out.filter(col("proto_cos") < -1.000001 || col("proto_cos") > 1.000001)
+      .count() == 0)
+    val byC = out.groupBy("cluster_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("keep"), 1).otherwise(0)).as("dropped"),
+      max(when(!col("keep"), col("proto_rank"))).as("maxDropRank"),
+      min(when(col("keep"), col("proto_rank"))).as("minKeepRank"))
+    assert(byC.filter(col("dropped") =!= expr("n div 5")).count() == 0,
+      "per-cluster drop count must be floor(n/5)")
+    // the verdict is a clean prefix of the prototypicality ranking
+    assert(byC.filter(col("maxDropRank").isNotNull
+      && col("maxDropRank") >= col("minKeepRank")).count() == 0)
+    out.unpersist()
+  }
+
+  test("qe19 binary ANN: valid hamming, dense ranks, shortlist recall above floor") {
+    val out = queries.VectorQueries.qe19(spark, dir).cache()
+    assert(out.filter(col("ham") < 0 || col("ham") > 64).count() == 0)
+    assert(out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).count() == 0)
+    // the 50-deep hamming shortlist + exact rerank recovers most of the
+    // exact top-5 (the artifact row lives in RECALL.json via RecallSpec)
+    val exact = queries.VectorQueries.qe1(spark, dir)
+      .select("query_id", "neighbor_id")
+    val hits = out.select("query_id", "neighbor_id").intersect(exact).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.4, s"qe19 recall@5 $recall below floor 0.4")
+    out.unpersist()
+  }
+
+  test("qd32 entropy: uniform docs score norm 1, skew-dominated docs flagged") {
+    import SparkSpecBase.spark.implicits._
+    val planted = Seq(
+      (1L, "a b c d e f"), // all distinct: norm exactly 1
+      (2L, "x x x x x x x x x y"), // 9:1 skew: dominated -> flagged
+      (3L, "z z z z"), // single token: entropy 0, norm undefined -> flagged
+      (4L, "a b a b a b") // even 2-token mix: norm exactly 1, NOT flagged
+    ).toDF("doc_id", "text")
+    val rows = queries.TextQueries.entropyFrom(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Double]("norm_entropy") == 1.0
+      && !rows(1L).getAs[Boolean]("is_low_entropy"))
+    assert(rows(2L).getAs[Boolean]("is_low_entropy"))
+    assert(rows(3L).getAs[Double]("entropy") == 0.0
+      && rows(3L).isNullAt(rows(3L).fieldIndex("norm_entropy"))
+      && rows(3L).getAs[Boolean]("is_low_entropy"))
+    assert(rows(4L).getAs[Double]("norm_entropy") == 1.0
+      && !rows(4L).getAs[Boolean]("is_low_entropy"))
+    assert(queries.TextQueries.qd32(spark, dir).count() ==
+      Tables.documents(spark, dir).count())
   }
 }

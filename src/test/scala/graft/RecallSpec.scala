@@ -53,7 +53,13 @@ class RecallSpec extends AnyFunSuite {
     // lifts it to 0.74/0.62 — floors sit under that with
     // one-unlucky-corpus margin
     ("qe14_pq_ann", "sf0.01") -> 0.40, ("qe14_pq_ann", "sf0.1") -> 0.40,
-    ("qe14b_pq_probe", "sf0.01") -> 0.40, ("qe14b_pq_probe", "sf0.1") -> 0.40)
+    ("qe14b_pq_probe", "sf0.01") -> 0.40, ("qe14b_pq_probe", "sf0.1") -> 0.40,
+    // r10: 1-bit sign quantization + Hamming shortlist 50 + exact
+    // rerank. The operator itself is deterministic and oracle-checked;
+    // this row measures how much of the exact top-5 the 50-deep
+    // Hamming shortlist retains (random vectors again the worst case —
+    // sign bits carry angle/π of the signal)
+    ("qe19_binary_ann", "sf0.01") -> 0.40, ("qe19_binary_ann", "sf0.1") -> 0.40)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -197,6 +203,15 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(probe, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe14b_pq_probe", sf, hit.toDouble / n,
         "qe1 exact top-5, persisted codes+codebook probe path")
+    }
+
+    test(s"qe19 binary-sign Hamming shortlist recall@5 vs exact cosine top-k [${sf.label}]") {
+      val exact = queries.VectorQueries.qe1(spark, sf.dir).select("query_id", "neighbor_id")
+      val bin = queries.VectorQueries.qe19(spark, sf.dir).select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hit = exact.join(bin, Seq("query_id", "neighbor_id"), "left_semi").count()
+      record("qe19_binary_ann", sf, hit.toDouble / n,
+        "qe1 exact top-5, 64-bit sign words, Hamming shortlist 50 + exact rerank")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {

@@ -60,6 +60,39 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q32b GK percentile sketch stays within its rank-error bound of the exact twin") {
+    // percentile_approx(accuracy=A) guarantees the returned element's
+    // RANK is within n/A of the target rank. Translate that into a
+    // value bound by checking the approx value falls between the exact
+    // cents at ranks ceil(p·n) ± ceil(n/A) (+1 slack rank on each side
+    // for the ceil convention) — a value-space epsilon would be wrong
+    // for skewed distributions.
+    val exact = queries.EventQueries.q32(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val approx = queries.EventQueries.q32b(spark, sf).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    val ev = graft.operators.EventTime.withUs(Tables.events(spark, sf))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .cache()
+    approx.foreach { a =>
+      val et = a.getAs[String]("event_type")
+      val n = a.getAs[Long]("n_events")
+      assert(n == exact(et).getAs[Long]("n_events"))
+      val sorted = ev.filter(col("event_type") === et)
+        .orderBy("cents").collect().map(_.getLong(1))
+      val slackRanks = n / 10000 + 1
+      for ((pname, p) <- Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))) {
+        val cents = math.round(a.getAs[Double](pname) * 100)
+        val target = math.ceil(p * n).toLong
+        val lo = sorted(math.max(0, target - slackRanks - 1).toInt)
+        val hi = sorted(math.min(n - 1, target + slackRanks - 1).toInt)
+        assert(cents >= lo && cents <= hi,
+          s"$et $pname: approx $cents outside rank-bound [$lo, $hi]")
+      }
+    }
+    ev.unpersist()
+  }
+
   test("qd20b is partitioning-independent: any repartition yields the same sketch") {
     // HLL registers merge by max — commutative and associative — and
     // the underlying hash is seedless, so the estimate must not depend
