@@ -212,6 +212,63 @@ object EventsStreaming {
       .select("user_id", "start_us", "end_us", "n_events", "sum_value")
   }
 
+  /** Per-user funnel state: earliest view, earliest qualifying click,
+    * earliest qualifying purchase (micros; None = stage not reached).
+    */
+  case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long])
+  case class UserFunnel(user_id: Long, v_us: Option[Long], c_us: Option[Long],
+      p_us: Option[Long], stage: Int)
+
+  /** Streaming twin of EventQueries.q30: per-user ordered funnel
+    * (view → click → purchase), maintained incrementally via
+    * mapGroupsWithState and emitted as a running update-mode row per
+    * user. Each microbatch slice is sorted by event time before the
+    * fold, so for an in-order stream the end-of-stream table equals the
+    * batch q30 exactly (parity pinned in spec). A late cross-batch
+    * event can only deepen the funnel or lower `v_us` — decided stages
+    * never retract, the same observed-prefix concession `sessionize`
+    * makes. State is three optional longs per user; production expires
+    * dormant users with an event-time timeout (the closedSessions
+    * idiom) — not needed for a bounded local replay.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          // arrival order is not time order: sort the microbatch slice;
+          // at EQUAL timestamps the enabling stage must fold first
+          // (batch q30's >= is inclusive), so view < click < purchase
+          val stageOrd = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          val sorted = rows.map(r => (r._3, r._2)).toArray
+            .sortBy { case (us, et) => (us, stageOrd.getOrElse(et, 3)) }
+          val end = sorted.foldLeft(
+            state.getOption.getOrElse(FunnelState(None, None, None))) {
+            case (st, (us, et)) => et match {
+              case "view" =>
+                st.copy(v = Some(st.v.fold(us)(math.min(_, us))))
+              case "click" if st.c.isEmpty &&
+                  st.v.exists(us >= _) =>
+                st.copy(c = Some(us))
+              case "purchase" if st.p.isEmpty &&
+                  st.c.exists(us >= _) =>
+                st.copy(p = Some(us))
+              case _ => st
+            }
+          }
+          state.update(end)
+          val stage =
+            if (end.p.isDefined) 3 else if (end.c.isDefined) 2
+            else if (end.v.isDefined) 1 else 0
+          UserFunnel(uid, end.v, end.c, end.p, stage)
+      }
+      .toDF()
+  }
+
   /** Sliding-window variant (1 h window, 30 min slide): each event lands
     * in two windows; same watermark bound on state.
     */

@@ -72,6 +72,67 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "a session past the watermark+gap horizon was never closed")
   }
 
+  test("streaming funnel matches batch q30 exactly on an in-order stream") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.funnelStages(spark, stream), "funnel_test")
+    // update-mode end state per user: stage only deepens, v_us only
+    // decreases, c_us/p_us are write-once — so max/min aggregates ARE
+    // the final row even if several batches emitted updates
+    val last = out.groupBy("user_id").agg(
+      min("v_us").as("v_us"), min("c_us").as("c_us"), min("p_us").as("p_us"),
+      max("stage").as("stage"))
+    val batch = queries.EventQueries.q30(spark, sf)
+      .select("user_id", "v_us", "c_us", "p_us", "stage")
+    assert(last.count() == batch.count())
+    assert(last.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(last).count() == 0,
+      "stream/batch funnel states diverge")
+  }
+
+  test("streaming funnel carries stage state across microbatches") {
+    // two time-halves as ordered microbatches: a funnel whose view lands
+    // in batch 1 and whose click/purchase land in batch 2 must convert
+    // from carried state, and the end table must still equal batch q30
+    val dir = java.nio.file.Files.createTempDirectory("funnel_two_batches").toFile
+    val ev = EventTime.withUs(Tables.events(spark, sf))
+    val cutUs = ev.agg(expr("percentile_approx(us, 0.5)")).collect()(0).getLong(0)
+    ev.filter(col("us") <= cutUs).drop("us").coalesce(1)
+      .write.parquet(s"$dir/half1")
+    ev.filter(col("us") > cutUs).drop("us").coalesce(1)
+      .write.parquet(s"$dir/half2")
+    val files = Seq("half1", "half2").map { h =>
+      new java.io.File(s"$dir/$h").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+    }
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val halfSchema = spark.read.parquet(s"$dir/part0.parquet").schema
+    val stream = EventTime.withUs(spark.readStream
+        .schema(halfSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/part*.parquet"))
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.funnelStages(spark, stream), "funnel_2b")
+    val last = out.groupBy("user_id").agg(
+      min("v_us").as("v_us"), min("c_us").as("c_us"), min("p_us").as("p_us"),
+      max("stage").as("stage"))
+    val batch = queries.EventQueries.q30(spark, sf)
+      .select("user_id", "v_us", "c_us", "p_us", "stage")
+    assert(last.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(last).count() == 0,
+      "a funnel split across microbatches lost or forged a stage")
+    // the cross-batch path was actually exercised: some user must have
+    // deepened its stage between the two batches (two distinct rows)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() > 0,
+      "no user was updated in both microbatches — the split is vacuous")
+  }
+
   test("closed sessions survive multi-batch streams: state carries across microbatches") {
     // split the events table into two time-halves, streamed as two
     // microbatches (maxFilesPerTrigger=1, modTimes force the order) —
