@@ -24,7 +24,8 @@ object SparkEntry {
         "qm2_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
         "qm3_image_decode" -> ((s, d) => graft.multimodal.Multimodal.imageDecode(s, d)),
         "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)),
-        "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)))
+        "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)),
+        "qm6_audio_energy" -> ((s, d) => graft.multimodal.Multimodal.audioEnergy(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -41,5 +42,6 @@ object SparkEntry {
         "qm2_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
         "qm3_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
         "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
-        "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql)
+        "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
+        "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql)
 }

@@ -375,6 +375,66 @@ object Multimodal {
         col("dist"), (col("dist") > threshold).as("boundary"))
   }
 
+  /** qm6: windowed audio energy + silence detection — the VAD-style
+    * pre-filter an audio curation pipeline runs before transcription
+    * (drop silent/near-silent spans, keep speech-dense ones): decode the
+    * WAV through `AudioSystem` (the real codec path, same as qm4), cut
+    * the sample stream into fixed 128-sample windows, and score each
+    * window's mean amplitude against a quiet threshold. Because the
+    * fixture sawtooth is the permutation (id+i) mod 256, every window
+    * sum has a closed form in (id + 128k) mod 256 — so the whole
+    * decode → window → flag pipeline is hash-checked end to end, not
+    * just plumbing-tested.
+    *
+    * Shape: decode is a per-partition batch transform (one codec
+    * instance per partition); windows flat-map out map-side, bounded
+    * per asset — no shuffle at all until a downstream consumer groups.
+    */
+  def audioEnergy(spark: SparkSession, dir: String, winSamples: Int = 128,
+      quietMean: Double = 96.0): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(wavPayload(id)))
+          val bytes = try ais.readAllBytes() finally ais.close()
+          val nw = bytes.length / winSamples
+          (0 until nw).map { k =>
+            var sum = 0L
+            var i = k * winSamples
+            val end = i + winSamples
+            while (i < end) { sum += (bytes(i) & 0xff); i += 1 }
+            // /128 = /2^7: exact in double, no rounding discipline needed
+            (id, k, sum, sum.toDouble / winSamples)
+          }
+        }
+      }.toDF("media_id", "win_idx", "win_sum", "mean_amp")
+      .withColumn("is_quiet", col("mean_amp") < quietMean)
+  }
+
+  /** Closed form for qm6's window sums: the 128 samples starting at
+    * offset 128k of the (id+i) mod 256 sawtooth begin at s =
+    * (id + 128k) mod 256; without wraparound (s <= 128) the run sums to
+    * 128s + 8128, with wraparound it splits at 255/0.
+    */
+  val audioEnergySql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(k AS INT) AS win_idx,
+      |         (doc_id + 128 * k) % 256 AS s
+      |  FROM documents, UNNEST(range(0, 2 * (2 + doc_id % 3))) AS t(k)),
+      |e AS (
+      |  SELECT media_id, win_idx,
+      |         CAST(CASE WHEN s <= 128 THEN 128 * s + 8128
+      |              ELSE 32640 - s * (s - 1) // 2
+      |                   + (s - 128) * (s - 129) // 2 END AS BIGINT) AS win_sum
+      |  FROM w)
+      |SELECT media_id, win_idx, win_sum,
+      |       win_sum / 128.0 AS mean_amp,
+      |       win_sum / 128.0 < 96.0 AS is_quiet
+      |FROM e""".stripMargin
+
   val shotBoundariesSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id, text,

@@ -1116,11 +1116,15 @@ object VectorQueries {
     pqEncode(col("uvec"), cb.flatMap(_.flatMap(_.toArray)), PqM, PqKs)
 
   /** ADC shortlist + full-precision rerank over a codes frame and a
-    * driver-resident codebook — shared by the fused (qe14) and
-    * persisted-index (qe14b) paths.
+    * driver-resident codebook — shared by the fused (qe14),
+    * persisted-index (qe14b), and IVF-gated (qe20) paths. With `gate`
+    * set to the (query_id, cent_id) probe table, `codes` must carry a
+    * `list_id` column (the merged IVF-PQ layout) and only codes whose
+    * inverted list a query probes are ADC-scored for that query.
     */
   private def pqProbe(s: SparkSession, dir: String,
-      cb: Array[Array[Seq[Double]]], codes: DataFrame): DataFrame = {
+      cb: Array[Array[Seq[Double]]], codes: DataFrame,
+      gate: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val e = embs(s, dir)
     // per-query ADC lookup tables, computed driver-side from the
@@ -1137,7 +1141,17 @@ object VectorQueries {
         }
         (r.getLong(0), lut)
       }.toSeq.toDF("query_id", "lut"))
-    val shortlist = codes.join(lutQ, col("vec_id") =!= col("query_id"))
+    val cand = gate match {
+      case None => codes.join(lutQ, col("vec_id") =!= col("query_id"))
+      case Some(probes) =>
+        // codes carry their list_id (the merged IVF-PQ layout): the
+        // gate is a broadcast semi-ish join — the codes scan never
+        // shuffles, rows outside probed lists drop at the scan
+        codes.join(broadcast(probes), col("list_id") === col("cent_id"))
+          .join(lutQ, Seq("query_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+    }
+    val shortlist = cand
       .withColumn("approx_cosine", dround(
         aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
           (acc, i) => acc + element_at(element_at(col("lut"), i + 1),
@@ -1193,8 +1207,9 @@ object VectorQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
-  def qe14b(s: SparkSession, dir: String): DataFrame = {
-    registerNative(s)
+  /** Rebuild-if-stale, then read back the driver-resident codebook. */
+  private def pqReadIndex(s: SparkSession, dir: String)
+      : (Array[Array[Seq[Double]]], DataFrame) = {
     val path = pqIndexPath(dir)
     if (TextQueries.indexStale(s, s"$path/codes", s"$dir/embeddings.parquet"))
       pqBuild(s, dir, path)
@@ -1203,7 +1218,63 @@ object VectorQueries {
       cb(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
         r.getSeq[Double](r.fieldIndex("cent"))
     }
-    pqProbe(s, dir, cb, s.read.parquet(s"$path/codes"))
+    (cb, s.read.parquet(s"$path/codes"))
+  }
+
+  def qe14b(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
+    val (cb, codes) = pqReadIndex(s, dir)
+    pqProbe(s, dir, cb, codes)
+  }
+
+  // --------------------------------------------------------------- qe20
+  /** IVF-PQ — the production ANN composition (faiss's IVFADC, Jégou et
+    * al. 2011 §IV): the persisted IVF coarse quantizer (qe5b's artifact)
+    * routes each query to its [[IVF_NPROBE]] nearest inverted lists, the
+    * persisted PQ codes (qe14b's artifact) provide asymmetric-distance
+    * scoring WITHIN those lists only, and the ADC shortlist gets the
+    * full-precision rerank. Per-query cost: ~nprobe/nlist of a 32-bit
+    * codes scan + [[PqShort]] float rows — vs qe14's full codes scan and
+    * qe5's full-float list scan; this is the shape that serves
+    * billion-vector corpora. Both indexes are the offline artifacts
+    * their standalone operators maintain (freshness dispatch rebuilds
+    * either when the corpus moves); at build time they merge once into
+    * the per-list codes layout, so the probe path is a single codes
+    * scan gated by the broadcast probe table — no shuffle ever touches
+    * the corpus at query time.
+    *
+    * No SQL oracle (both index states are engine-side); recall@5 vs the
+    * exact qe1 twin floored in RecallSpec — necessarily ≤ qe14b's (the
+    * gate can only remove candidates; what it buys is the scan cut).
+    */
+  def ivfPqIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def qe20(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
+    val ivfPath = ivfIndexPath(dir)
+    if (TextQueries.indexStale(s, s"$ivfPath/assignments", s"$dir/embeddings.parquet"))
+      ivfBuild(s, dir, ivfPath)
+    val (cb, codes) = pqReadIndex(s, dir)
+    // merged on-disk layout (faiss stores codes PER inverted list): the
+    // assignments⋈codes join happens ONCE at build time; the probe-path
+    // scan then reads (vec_id, list_id, codes) rows and never shuffles
+    val merged = ivfPqIndexPath(dir)
+    if (TextQueries.indexStale(s, s"$merged/codes", s"$dir/embeddings.parquet"))
+      s.read.parquet(s"$ivfPath/assignments").select("vec_id", "list_id")
+        .join(codes, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$merged/codes")
+    val centDf = s.read.parquet(s"$ivfPath/centroids")
+    val probes = embs(s, dir).filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("pr") <= IVF_NPROBE)
+      .select(col("query_id"), col("cent_id"))
+    pqProbe(s, dir, cb, s.read.parquet(s"$merged/codes"), Some(probes))
   }
 
   // --------------------------------------------------------------- qe15
@@ -1548,6 +1619,7 @@ object VectorQueries {
     "qe17_retrieval_metrics" -> (qe17 _),
     "qe18_prototypes" -> (qe18 _),
     "qe19_binary_ann" -> (qe19 _),
+    "qe20_ivf_pq" -> (qe20 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1576,7 +1648,8 @@ object VectorQueries {
     "qe18_prototypes" -> qe18Sql,
     "qe19_binary_ann" -> qe19Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
-    // qe14/qe14b omitted: PQ codebooks/codes are engine-side k-means
-    // state — recall@K floored against the exact qe1 twin in RecallSpec.
+    // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
+    // are engine-side k-means state — recall@K floored against the
+    // exact qe1 twin in RecallSpec.
   )
 }

@@ -329,6 +329,18 @@ class PlanSpec extends AnyFunSuite {
       "ADC scoring must stream the codes scan against broadcast lookup tables")
   }
 
+  test("qe20 IVF-PQ probe: merged codes scan gated by broadcast probes, no shuffle join") {
+    val p = finalPlan(queries.VectorQueries.qe20(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the IVF gate and LUT attach must both be broadcast joins over one codes scan")
+  }
+
+  test("q30 funnel: every stage joins and aggregates on user_id, no cartesian") {
+    val p = finalPlan(queries.EventQueries.q30(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "funnel stages must stay equi-joins on the user key")
+  }
+
   test("qd29 gopher filter is map-only: one scan, every rule a row expression") {
     val p = finalPlan(queries.TextQueries.qd29(spark, sf))
     assert(!p.contains("Exchange"),

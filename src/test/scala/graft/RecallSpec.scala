@@ -59,7 +59,11 @@ class RecallSpec extends AnyFunSuite {
     // this row measures how much of the exact top-5 the 50-deep
     // Hamming shortlist retains (random vectors again the worst case —
     // sign bits carry angle/π of the signal)
-    ("qe19_binary_ann", "sf0.01") -> 0.40, ("qe19_binary_ann", "sf0.1") -> 0.40)
+    ("qe19_binary_ann", "sf0.01") -> 0.40, ("qe19_binary_ann", "sf0.1") -> 0.40,
+    // r10: IVF-PQ composition — the list gate can only REMOVE qe14b
+    // candidates, so its recall is bounded by qe14b's; the floor sits
+    // under the measured values with the usual unlucky-corpus margin
+    ("qe20_ivf_pq", "sf0.01") -> 0.30, ("qe20_ivf_pq", "sf0.1") -> 0.30)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -212,6 +216,15 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(bin, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe19_binary_ann", sf, hit.toDouble / n,
         "qe1 exact top-5, 64-bit sign words, Hamming shortlist 50 + exact rerank")
+    }
+
+    test(s"qe20 IVF-PQ recall@5 vs exact cosine top-k [${sf.label}]") {
+      val exact = queries.VectorQueries.qe1(spark, sf.dir).select("query_id", "neighbor_id")
+      val ivfpq = queries.VectorQueries.qe20(spark, sf.dir).select("query_id", "neighbor_id")
+      val n = exact.count()
+      val hit = exact.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi").count()
+      record("qe20_ivf_pq", sf, hit.toDouble / n,
+        "qe1 exact top-5, 4/16 probed lists x PQ-ADC shortlist 50 + exact rerank")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {
