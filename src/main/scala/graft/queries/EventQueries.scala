@@ -324,6 +324,73 @@ object EventQueries {
         (col("qs").getItem(1) / 100.0).as("p90"),
         (col("qs").getItem(2) / 100.0).as("p99"))
 
+  // ---------------------------------------------------------------- q33
+  /** Hourly traffic anomaly detection: z-score every (hour, event_type)
+    * count against that event type's own hourly distribution, flag
+    * |z| > 3 — the monitoring pass an event pipeline runs to catch
+    * outages (count collapse) and bot floods (count spike). Variance
+    * comes from exact integer Σx/Σx² moments in ONE fixed operation
+    * order on both engines (never the engine's own stddev_samp, whose
+    * summation strategy differs); zero variance or a single hour pins
+    * z to 0 rather than NaN (cross-engine NaN ordering is undefined —
+    * the qe7 guard).
+    *
+    * Shape: the hourly rollup is q20's partial-agged shuffle; the
+    * per-type moments are a 5-row aggregate broadcast back onto it.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame =
+    anomaliesFrom(
+      ev(s, dir)
+        .withColumn("hour", date_format(
+          date_trunc("hour", timestamp_micros(col("us"))), "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour", "event_type").agg(count(lit(1)).as("n_events")))
+
+  /** Frame-parameterized twin (tests plant spikes): `hourly` carries
+    * (hour, event_type, n_events).
+    */
+  private[graft] def anomaliesFrom(hourly: DataFrame): DataFrame = {
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("nh"),
+      sum("n_events").as("sx"),
+      sum(col("n_events") * col("n_events")).as("sxx"))
+    val mean = col("sx").cast("double") / col("nh")
+    val variance = (col("sxx").cast("double") - col("nh") * mean * mean) /
+      (col("nh") - 1)
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        when(col("nh") > 1 && variance > 0,
+          dround((col("n_events") - mean) / sqrt(variance), 6))
+          .otherwise(lit(0.0)))
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("z").as("zscore"), (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
+  private val q33Sql =
+    """WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |         event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) AS nh,
+      |         CAST(sum(n_events) AS BIGINT) AS sx,
+      |         CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+      |  FROM hourly GROUP BY event_type),
+      |z AS (
+      |  SELECT hour, h.event_type, n_events,
+      |         CASE WHEN nh > 1 AND
+      |                   (CAST(sxx AS DOUBLE)
+      |                    - nh * (CAST(sx AS DOUBLE) / nh)
+      |                         * (CAST(sx AS DOUBLE) / nh)) / (nh - 1) > 0
+      |           THEN round((n_events - CAST(sx AS DOUBLE) / nh)
+      |                / sqrt((CAST(sxx AS DOUBLE)
+      |                        - nh * (CAST(sx AS DOUBLE) / nh)
+      |                             * (CAST(sx AS DOUBLE) / nh)) / (nh - 1)), 6)
+      |           ELSE CAST(0.0 AS DOUBLE) END AS zscore
+      |  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+      |SELECT hour, event_type, n_events, zscore, abs(zscore) > 3.0 AS is_anomaly
+      |FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -333,6 +400,7 @@ object EventQueries {
     "q31_retention" -> (q31 _),
     "q32_value_percentiles" -> (q32 _),
     "q32b_percentiles_sketch" -> (q32b _),
+    "q33_hourly_anomaly" -> (q33 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -343,6 +411,7 @@ object EventQueries {
     "q30_funnel" -> q30Sql,
     "q31_retention" -> q31Sql,
     "q32_value_percentiles" -> q32Sql,
+    "q33_hourly_anomaly" -> q33Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

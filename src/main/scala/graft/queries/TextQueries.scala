@@ -2101,6 +2101,83 @@ object TextQueries {
        |                true) AS is_low_entropy
        |FROM ent""".stripMargin
 
+  // --------------------------------------------------------------- qd33
+  /** PMI collocation extraction (Church & Hanks, CL 1990): the top-50
+    * adjacent bigrams by pointwise mutual information — PMI(u,v) =
+    * ln p(u,v) − ln p(u) − ln p(v) over corpus counts, with a count
+    * floor of [[PmiMinCount]] (rare-pair PMI diverges: a hapax pair
+    * maxes the score — the classic artifact the floor exists for).
+    * This is the phrase-mining pass a tokenizer/vocabulary pipeline
+    * runs to promote multi-word units into single tokens before BPE.
+    *
+    * Determinism (qd24 discipline): every ln factor is the ln of an
+    * exact integer count, micro-nat-quantized BEFORE the signed sum, so
+    * each bigram's score is an exact long on any partitioning and the
+    * global rank orders (pmi_micro, u, v) — a total order both engines
+    * agree on, ranked through Pareto.rankBy (auto-dispatched two-phase:
+    * no single-partition window over a production vocabulary).
+    *
+    * Shape: one (u,v) partial-agged shuffle for bigram counts, a
+    * vocab-sized unigram rollup joined back by broadcast, scalar-frame
+    * totals — the corpus streams once.
+    */
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  def qd33(s: SparkSession, dir: String): DataFrame = {
+    def micro(c: Column): Column = floor(c * 1e6 + lit(0.5)).cast("long") // ln(int>=1) >= 0
+    val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "u")))
+    val big = pos
+      .withColumn("v", lead("u", 1).over(Window.partitionBy("doc_id").orderBy("i")))
+      .filter(col("v").isNotNull)
+      .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    val uni = pos.groupBy(col("u").as("tok")).agg(count(lit(1)).as("cnt"))
+    val nBig = big.agg(sum("cuv").as("nb"))
+    val nUni = uni.agg(sum("cnt").as("m"))
+    val scored = big.filter(col("cuv") >= PmiMinCount)
+      .join(broadcast(uni.select(col("tok").as("u"), col("cnt").as("cu"))), Seq("u"))
+      .join(broadcast(uni.select(col("tok").as("v"), col("cnt").as("cv"))), Seq("v"))
+      .crossJoin(broadcast(nBig)).crossJoin(broadcast(nUni))
+      .withColumn("pmi_micro",
+        micro(log(col("cuv"))) - micro(log(col("nb")))
+          + lit(2L) * micro(log(col("m")))
+          - micro(log(col("cu"))) - micro(log(col("cv"))))
+    graft.operators.Pareto.rankBy(scored,
+        Seq(col("pmi_micro").desc, col("u").asc, col("v").asc), "rnk")
+      .filter(col("rnk") <= PmiTopK)
+      .select(col("u"), col("v"), col("cuv"),
+        dround(col("pmi_micro") / 1e6, 6).as("pmi"), col("rnk"))
+  }
+
+  private val qd33Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |tx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+       |big AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS cuv
+       |  FROM (SELECT toks[i] AS u, toks[i + 1] AS v FROM tx) GROUP BY u, v),
+       |uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |nb AS (SELECT CAST(sum(cuv) AS BIGINT) AS nb FROM big),
+       |mm AS (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM uni),
+       |sc AS (
+       |  SELECT b.u, b.v, b.cuv,
+       |         CAST(floor(ln(b.cuv) * 1000000.0 + 0.5) AS BIGINT)
+       |         - CAST(floor(ln(nb.nb) * 1000000.0 + 0.5) AS BIGINT)
+       |         + 2 * CAST(floor(ln(mm.m) * 1000000.0 + 0.5) AS BIGINT)
+       |         - CAST(floor(ln(cu.cnt) * 1000000.0 + 0.5) AS BIGINT)
+       |         - CAST(floor(ln(cv.cnt) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+       |  FROM big b JOIN uni cu ON cu.tok = b.u JOIN uni cv ON cv.tok = b.v, nb, mm
+       |  WHERE b.cuv >= $PmiMinCount)
+       |SELECT u, v, cuv, round(pmi_micro / 1000000.0, 6) AS pmi, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, u, v) AS INT)
+       |    AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $PmiTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2138,6 +2215,7 @@ object TextQueries {
     "qd30_source_overlap" -> (qd30 _),
     "qd31_stop_terms" -> (qd31 _),
     "qd32_token_entropy" -> (qd32 _),
+    "qd33_pmi_collocations" -> (qd33 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2171,6 +2249,7 @@ object TextQueries {
     "qd30_source_overlap" -> qd30Sql,
     "qd31_stop_terms" -> qd31Sql,
     "qd32_token_entropy" -> qd32Sql,
+    "qd33_pmi_collocations" -> qd33Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -238,6 +238,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q33 anomaly: planted spike flagged, uniform traffic is not") {
+    import SparkSpecBase.spark.implicits._
+    // 11 quiet hours of 10 + one 500-spike for 'click'; 'view' is flat
+    val planted = ((0 to 10).map(h => (f"2024-01-01 $h%02d:00:00", "click", 10L))
+      :+ ("2024-01-01 11:00:00", "click", 500L))
+      .++((0 to 11).map(h => (f"2024-01-01 $h%02d:00:00", "view", 10L)))
+      .toDF("hour", "event_type", "n_events")
+    val out = queries.EventQueries.anomaliesFrom(planted).cache()
+    assert(out.filter(col("event_type") === "click" && col("is_anomaly"))
+      .collect().map(_.getString(0)).toSeq == Seq("2024-01-01 11:00:00"))
+    // a constant series has zero variance: z pinned to 0, never NaN
+    assert(out.filter(col("event_type") === "view")
+      .filter(col("zscore") =!= 0.0 || col("is_anomaly")).count() == 0)
+    out.unpersist()
+    // the real corpus wiring: one row per (hour, type), flags consistent
+    val real = queries.EventQueries.q33(spark, dir).cache()
+    assert(real.filter(col("is_anomaly") =!= (abs(col("zscore")) > 3.0)).count() == 0)
+    assert(real.groupBy("hour", "event_type").count().filter(col("count") > 1).count() == 0)
+    real.unpersist()
+  }
+
+  test("qd33 PMI: count floor respected, ranks dense, scores non-increasing") {
+    val out = queries.TextQueries.qd33(spark, dir).cache()
+    assert(out.count() <= 50)
+    assert(out.filter(col("cuv") < 5).count() == 0, "count floor violated")
+    val rows = out.orderBy("rnk").collect()
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("pmi") >= b.getAs[Double]("pmi") - 1e-9)
+      case _ =>
+    }
+    out.unpersist()
+  }
+
   test("qd32 entropy: uniform docs score norm 1, skew-dominated docs flagged") {
     import SparkSpecBase.spark.implicits._
     val planted = Seq(
