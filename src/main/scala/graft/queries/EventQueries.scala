@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -391,6 +391,84 @@ object EventQueries {
       |SELECT hour, event_type, n_events, zscore, abs(zscore) > 3.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** RFM customer segmentation over purchase events: recency (days
+    * since last purchase, anchored to the corpus' own max event day —
+    * no wall clock), frequency (purchase count), monetary (exact cent
+    * total), each quintile-scored 1–5 (5 = most recent / frequent /
+    * valuable) by the NTILE div-formula over Pareto.rankBy's
+    * auto-dispatched global rank, concatenated into the classic "555"
+    * segment code. User-id tiebreaks make all three ranks total orders,
+    * so the whole segmentation hash-matches DuckDB.
+    *
+    * Shape: one user_id aggregation, then three user-cardinality ranks
+    * (two-phase above threshold — never a single-partition window over
+    * a production user base) and a scalar broadcast for the census.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val maxDay = e.agg(expr("max(us) div 86400000000").as("max_day"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        expr("max(us) div 86400000000").as("last_day"),
+        count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+    val census = pur.agg(count(lit(1)).as("nu"))
+    val ranked = Seq[(String, Seq[Column])](
+      ("rr", Seq(col("recency_days").asc, col("user_id").asc)),
+      ("fr", Seq(col("n_purchases").desc, col("user_id").asc)),
+      ("mr", Seq(col("cents").desc, col("user_id").asc)))
+      .foldLeft(pur) { case (df, (c, keys)) =>
+        graft.operators.Pareto.rankBy(df, keys, c)
+      }
+      .crossJoin(broadcast(census))
+    def score(rankCol: String): Column =
+      expr(s"cast(5 - ($rankCol - 1) * 5 div nu as int)")
+    ranked.select(
+      col("user_id"),
+      date_format(date_add(to_date(lit("1970-01-01")),
+        col("last_day").cast("int")), "yyyy-MM-dd").as("last_purchase_day"),
+      col("recency_days"), col("n_purchases"),
+      (col("cents") / 100.0).as("monetary"),
+      score("rr").as("r_score"), score("fr").as("f_score"),
+      score("mr").as("m_score"),
+      concat(score("rr").cast("string"), score("fr").cast("string"),
+        score("mr").cast("string")).as("segment"))
+  }
+
+  private val q34Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+      |mx AS (SELECT max(us) // 86400000000 AS max_day FROM x),
+      |p AS (
+      |  SELECT user_id, max(us) // 86400000000 AS last_day,
+      |         CAST(count(*) AS BIGINT) AS n_purchases,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM x WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (
+      |  SELECT p.*, mx.max_day - last_day AS recency_days,
+      |    CAST(row_number() OVER (
+      |      ORDER BY mx.max_day - last_day, user_id) AS INT) AS rr,
+      |    CAST(row_number() OVER (
+      |      ORDER BY n_purchases DESC, user_id) AS INT) AS fr,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS INT) AS mr,
+      |    count(*) OVER () AS nu
+      |  FROM p, mx)
+      |SELECT user_id,
+      |  strftime(DATE '1970-01-01' + CAST(last_day AS INT), '%Y-%m-%d')
+      |    AS last_purchase_day,
+      |  recency_days, n_purchases, cents / 100.0 AS monetary,
+      |  CAST(5 - (rr - 1) * 5 // nu AS INT) AS r_score,
+      |  CAST(5 - (fr - 1) * 5 // nu AS INT) AS f_score,
+      |  CAST(5 - (mr - 1) * 5 // nu AS INT) AS m_score,
+      |  CAST(5 - (rr - 1) * 5 // nu AS VARCHAR)
+      |    || CAST(5 - (fr - 1) * 5 // nu AS VARCHAR)
+      |    || CAST(5 - (mr - 1) * 5 // nu AS VARCHAR) AS segment
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -401,6 +479,7 @@ object EventQueries {
     "q32_value_percentiles" -> (q32 _),
     "q32b_percentiles_sketch" -> (q32b _),
     "q33_hourly_anomaly" -> (q33 _),
+    "q34_rfm_segments" -> (q34 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -412,6 +491,7 @@ object EventQueries {
     "q31_retention" -> q31Sql,
     "q32_value_percentiles" -> q32Sql,
     "q33_hourly_anomaly" -> q33Sql,
+    "q34_rfm_segments" -> q34Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

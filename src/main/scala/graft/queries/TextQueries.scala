@@ -2178,6 +2178,80 @@ object TextQueries {
        |  FROM sc)
        |WHERE rnk <= $PmiTopK""".stripMargin
 
+  // --------------------------------------------------------------- qd34
+  /** Directed containment detection (Broder's containment coefficient,
+    * SEQUENCES 1997): C(A→B) = |g(A)∩g(B)| / |g(A)| over distinct
+    * word-3-gram sets, flagged at ≥ [[ContainmentThreshold]] — the
+    * excerpt/quote/subset-duplicate relation symmetric Jaccard
+    * structurally under-scores: a short doc quoted whole inside a long
+    * one has J ≈ |A|/|B| ≈ 0 but C(A→B) ≈ 1, so a Jaccard-only dedup
+    * keeps both. Deliberately UNBLOCKED (no source gate): containment
+    * pairs typically cross sources — syndication and quoting, the same
+    * pair class qd30 diagnoses at the source granularity; this emits
+    * the doc-level evidence.
+    *
+    * Candidates from the global inverted gram index (any pair with
+    * C > 0 shares a gram — structural recall 1.0, the qd22 argument)
+    * with the lossless size bound nb ≥ t·na (shared ≤ min(na,nb), so
+    * C ≥ t forces it) pruning pair-rows before the aggregation — the
+    * PPJoin discipline in its asymmetric form. Full DuckDB oracle.
+    */
+  private val ContainmentThreshold = 0.5
+
+  def qd34(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(docs(s, dir))
+
+  /** Frame-parameterized twin (tests plant an excerpt): `d` carries
+    * (doc_id, text).
+    */
+  private[graft] def containmentFrom(d: DataFrame): DataFrame = {
+    val g = d
+      .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+    val inv = g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+    val a = inv.select(col("gram"), col("doc_id").as("doc_a"), col("ng").as("na"))
+    val b = inv.select(col("gram"), col("doc_id").as("doc_b"), col("ng").as("nb"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("nb") >= lit(ContainmentThreshold) * col("na"))
+      .groupBy("doc_a", "doc_b", "na")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        dround(col("shared").cast("double") / col("na"), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("doc_a", "doc_b", "na", "shared", "containment")
+  }
+
+  private val qd34Sql =
+    // inverted-index form on the oracle side too (the pairwise
+    // g×g/list_intersect formulation was semantically identical but
+    // took ~10 min at sf0.1; this hash-joins on the gram key in
+    // seconds)
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |             i -> array_to_string(toks[i:i+2], ' '))
+       |      ELSE [] END) AS grams
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)),
+       |inv AS (
+       |  SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram
+       |  FROM g WHERE len(grams) > 0),
+       |pair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(a.ng AS INT) AS na,
+       |         CAST(count(*) AS BIGINT) AS shared
+       |  FROM inv a JOIN inv b
+       |    ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |  WHERE b.ng >= $ContainmentThreshold * a.ng
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, na, shared,
+       |       round(CAST(shared AS DOUBLE) / na, 6) AS containment
+       |FROM pair
+       |WHERE round(CAST(shared AS DOUBLE) / na, 6) >= $ContainmentThreshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2216,6 +2290,7 @@ object TextQueries {
     "qd31_stop_terms" -> (qd31 _),
     "qd32_token_entropy" -> (qd32 _),
     "qd33_pmi_collocations" -> (qd33 _),
+    "qd34_containment" -> (qd34 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2250,6 +2325,7 @@ object TextQueries {
     "qd31_stop_terms" -> qd31Sql,
     "qd32_token_entropy" -> qd32Sql,
     "qd33_pmi_collocations" -> qd33Sql,
+    "qd34_containment" -> qd34Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

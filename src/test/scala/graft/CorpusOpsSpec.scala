@@ -273,6 +273,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd34 containment: a planted excerpt is caught in its direction only") {
+    import SparkSpecBase.spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 25).map(i => s"w$i").mkString(" ") // 16 of long's tokens
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val planted = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val out = queries.TextQueries.containmentFrom(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // the excerpt is fully contained in the long doc...
+    assert(out((2L, 1L)) == 1.0)
+    // ...but the long doc is NOT contained in the excerpt (14/58 grams),
+    // and the unrelated doc shares nothing in either direction
+    assert(!out.contains((1L, 2L)))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // real corpus: directed scores are valid fractions
+    val real = queries.TextQueries.qd34(spark, dir).cache()
+    assert(real.filter(col("containment") < 0.5 || col("containment") > 1.0).count() == 0)
+    assert(real.filter(col("shared") > col("na")).count() == 0)
+    real.unpersist()
+  }
+
+  test("q34 RFM: quintile scores balanced, segment echoes the three digits") {
+    val out = queries.EventQueries.q34(spark, dir).cache()
+    val n = out.count()
+    assert(out.select("user_id").distinct().count() == n)
+    // each score is 1..5 and each quintile holds floor/ceil(n/5) users
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = out.groupBy(c).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet.subsetOf((1 to 5).toSet), s"$c out of range: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$c quintiles must differ by <= 1: $sizes")
+    }
+    assert(out.filter(col("segment") =!= concat(
+      col("r_score").cast("string"), col("f_score").cast("string"),
+      col("m_score").cast("string"))).count() == 0)
+    // a 5-recency user purchased at least as recently as any 1-recency user
+    val r5 = out.filter(col("r_score") === 5).agg(max("recency_days")).head.getLong(0)
+    val r1 = out.filter(col("r_score") === 1).agg(min("recency_days")).head.getLong(0)
+    assert(r5 <= r1)
+    out.unpersist()
+  }
+
   test("qd32 entropy: uniform docs score norm 1, skew-dominated docs flagged") {
     import SparkSpecBase.spark.implicits._
     val planted = Seq(
