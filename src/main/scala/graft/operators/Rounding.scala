@@ -24,4 +24,15 @@ object Rounding {
     (when(c >= 0, floor(y + lit(0.5)))
       .otherwise(-floor(-y + lit(0.5))) / lit(p)).cast("double")
   }
+
+  /** Driver/executor-side scalar twin of [[dround]] — the identical
+    * IEEE operation sequence, for stateful-streaming code that computes
+    * the same statistic the Column form emits (parity tests compare
+    * them for equality, so the two must round bit-for-bit).
+    */
+  def droundD(x: Double, scale: Int): Double = {
+    val p = math.pow(10, scale)
+    val y = x * p
+    (if (x >= 0) math.floor(y + 0.5) else -math.floor(-y + 0.5)) / p
+  }
 }

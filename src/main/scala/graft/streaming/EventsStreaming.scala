@@ -269,6 +269,116 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** Per-type running-anomaly state: open (not-yet-final) hour counts
+    * plus the exact integer moments of every CLOSED hour so far.
+    */
+  case class AnomalyState(open: Map[Long, Long], nh: Long, sx: Long, sxx: Long)
+  case class HourAnomaly(event_type: String, hour_us: Long, n_events: Long,
+      zscore: Double, is_anomaly: Boolean)
+
+  /** Streaming traffic-anomaly detection — the continuous twin of
+    * EventQueries.q33 under PREFIX semantics: each event type's state
+    * carries its open hourly counters plus the exact integer Σx/Σx²
+    * moments of every hour already closed, and when the watermark
+    * passes an hour's end (+2 h delay) that hour is scored against the
+    * moments of the hours BEFORE it, emitted once (append), and folded
+    * into the moments. Prefix scoring is what a live monitor can
+    * actually compute — q33's global-moments z needs the whole history
+    * at every hour, which only a batch pass has; the exact prefix twin
+    * ([[anomaliesPrefixBatch]]) is proven equal on an in-order stream.
+    *
+    * One stateful operator does both the hour assembly and the scoring
+    * (chaining a windowed agg INTO mapGroupsWithState is the shape
+    * Spark restricts); state per event type is the open-hour map inside
+    * the watermark horizon + three longs — bounded by (horizon ×
+    * arrival spread), evicted as hours close. Hours close in ascending
+    * order, so the moment fold is deterministic; z arithmetic is the
+    * exact q33 operation sequence via the scalar dround twin.
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hourUsL = 3600L * 1000000L
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .select(col("event_type"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"), col("ts_ts"))
+      .select(col("event_type"),
+        (expr(s"us div $hourUsL") * lit(hourUsL)).as("hour_us"), col("ts_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, HourAnomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (et, rows, state: GroupState[AnomalyState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AnomalyState(Map.empty, 0L, 0L, 0L))
+          if (!state.hasTimedOut) {
+            val bumped = rows.foldLeft(st.open) { (m, r) =>
+              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+            }
+            st = st.copy(open = bumped)
+          }
+          // close every hour the watermark has passed, OLDEST FIRST —
+          // each closes against the moments of the hours before it
+          val ready = st.open.keys.filter(h => h + hourUsL <= wmUs).toSeq.sorted
+          val out = ready.map { h =>
+            val n = st.open(h)
+            val z =
+              if (st.nh > 1) {
+                val mean = st.sx.toDouble / st.nh
+                val variance =
+                  (st.sxx.toDouble - st.nh * mean * mean) / (st.nh - 1)
+                if (variance > 0)
+                  graft.operators.Rounding.droundD((n - mean) / math.sqrt(variance), 6)
+                else 0.0
+              } else 0.0
+            st = AnomalyState(st.open - h, st.nh + 1, st.sx + n, st.sxx + n * n)
+            HourAnomaly(et, h, n, z, math.abs(z) > 3.0)
+          }
+          state.update(st)
+          if (st.open.nonEmpty) {
+            val horizon = (st.open.keys.min + hourUsL) / 1000L + 2L * 3600L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(horizon, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+      .select(
+        date_format(timestamp_micros(col("hour_us")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n_events"), col("zscore"), col("is_anomaly"))
+  }
+
+  /** Batch twin of [[anomalyStream]]: prefix-moments z per (hour, type)
+    * over the bounded input — each hour scored against strictly earlier
+    * hours, the exact semantics the stream applies as hours close.
+    */
+  def anomaliesPrefixBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("hour_us").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mean = col("sx").cast("double") / col("nh")
+    val variance = (col("sxx").cast("double") - col("nh") * mean * mean) /
+      (col("nh") - 1)
+    events
+      .select(col("event_type"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"))
+      .select(col("event_type"),
+        (expr("us div 3600000000") * lit(3600L * 1000000L)).as("hour_us"))
+      .groupBy("event_type", "hour_us").agg(count(lit(1)).as("n_events"))
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("sx", sum("n_events").over(w))
+      .withColumn("sxx", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("z",
+        when(col("nh") > 1 && variance > 0,
+          graft.operators.Rounding.dround(
+            (col("n_events") - mean) / sqrt(variance), 6))
+          .otherwise(lit(0.0)))
+      .select(
+        date_format(timestamp_micros(col("hour_us")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n_events"),
+        col("z").as("zscore"), (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
   /** Sliding-window variant (1 h window, 30 min slide): each event lands
     * in two windows; same watermark bound on state.
     */

@@ -21,9 +21,13 @@ class CoreQueriesSpec extends AnyFunSuite {
   }
 
   test("every query key has either an oracle or a documented omission") {
-    // Core relational queries must all be oracle-checked.
+    // Core relational queries must all be oracle-checked. The one
+    // q-numbered exception: q32b is sketch-class (GK percentile state
+    // is engine-side, like qd20b/qd21b) — its evidence is the
+    // rank-error bound vs the exact q32 twin in SketchSpec.
+    val sketchTwins = Set("q32b_percentiles_sketch")
     val missing = SparkEntry.queries.keySet
-      .filter(_.startsWith("q")) -- SparkEntry.oracleSql.keySet
+      .filter(_.startsWith("q")) -- SparkEntry.oracleSql.keySet -- sketchTwins
     assert(missing.forall(!_.matches("q\\d.*")), s"core queries missing oracle: $missing")
   }
 

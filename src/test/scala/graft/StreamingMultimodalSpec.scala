@@ -133,6 +133,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "no user was updated in both microbatches — the split is vacuous")
   }
 
+  test("streaming anomaly detector equals the prefix-batch twin, exhaustively past the horizon") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.anomalyStream(spark, stream), "anomaly_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchEvents = Tables.events(spark, sf)
+    val twin = EventsStreaming.anomaliesPrefixBatch(batchEvents)
+    assert(out.count() > 0, "the stream should close at least one hour")
+    // append contract: every emitted row IS a prefix-twin row, once —
+    // hours close oldest-first, so the stream's fold moments equal the
+    // batch window over strictly-earlier hours
+    assert(out.exceptAll(twin).count() == 0,
+      "stream scored an hour differently than the prefix twin")
+    assert(out.count() == out.distinct().count(), "an hour was emitted twice")
+    // completeness: every hour whose end + the 2 h watermark delay lies
+    // before the final watermark must have been closed and scored
+    val maxUs = EventTime.withUs(batchEvents).agg(max("us")).collect()(0).getLong(0)
+    val mustClose = twin
+      .withColumn("hus", unix_micros(to_timestamp(col("hour"))))
+      .filter(col("hus") + lit(3L * 3600L * 1000000L) <= maxUs)
+      .drop("hus")
+    assert(mustClose.exceptAll(out).count() == 0,
+      "an hour past the watermark horizon was never scored")
+  }
+
   test("closed sessions survive multi-batch streams: state carries across microbatches") {
     // split the events table into two time-halves, streamed as two
     // microbatches (maxFilesPerTrigger=1, modTimes force the order) —
