@@ -341,6 +341,12 @@ class PlanSpec extends AnyFunSuite {
       "funnel stages must stay equi-joins on the user key")
   }
 
+  test("qd34 containment pairs come from the gram equi-join, never doc x doc text") {
+    val p = finalPlan(queries.TextQueries.qd34(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment candidates must be inverted-index postings joins")
+  }
+
   test("qd29 gopher filter is map-only: one scan, every rule a row expression") {
     val p = finalPlan(queries.TextQueries.qd29(spark, sf))
     assert(!p.contains("Exchange"),
