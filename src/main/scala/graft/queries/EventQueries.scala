@@ -469,6 +469,32 @@ object EventQueries {
       |    || CAST(5 - (mr - 1) * 5 // nu AS VARCHAR) AS segment
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Click→purchase attribution (interval join): every purchase joined
+    * to the same user's clicks in the preceding hour — the batch twin
+    * the streaming attribution join (EventsStreaming.attributionJoin)
+    * is parity-tested against, lifted onto the oracle-graded surface so
+    * the semantics are DuckDB-checked, not just stream≡batch-checked.
+    * One definition: this delegates to the streaming module's batch
+    * twin, so the three surfaces (stream, batch twin, oracle query)
+    * cannot drift. Equi-join on user_id + a two-sided time bound — the
+    * shape that lets streaming state evict at the watermark, and a
+    * plain co-partitioned join in batch.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStreaming.attributionJoinBatch(
+      ev(s, dir).withColumn("ts_ts", timestamp_micros(col("us"))))
+
+  private val q35Sql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       p.value,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -480,6 +506,7 @@ object EventQueries {
     "q32b_percentiles_sketch" -> (q32b _),
     "q33_hourly_anomaly" -> (q33 _),
     "q34_rfm_segments" -> (q34 _),
+    "q35_attribution" -> (q35 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -492,6 +519,7 @@ object EventQueries {
     "q32_value_percentiles" -> q32Sql,
     "q33_hourly_anomaly" -> q33Sql,
     "q34_rfm_segments" -> q34Sql,
+    "q35_attribution" -> q35Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

@@ -25,6 +25,20 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("droundD (scalar twin) is bit-identical to the dround Column for s=2 and s=6") =
+    // the streaming anomaly detector computes z driver-side with
+    // droundD while its batch twin uses the Column dround — parity
+    // tests compare them for exact equality, so the two MUST round
+    // every double identically
+    forAll(Gen.listOfN(50, finiteD)) { xs =>
+      xs.isEmpty || Seq(2, 6).forall { s =>
+        val got = xs.toDF("x").select(Rounding.dround(col("x"), s))
+          .collect().map(_.getDouble(0))
+        val exp = xs.map(x => Rounding.droundD(x, s))
+        got.toSeq == exp
+      }
+    }
+
   property("dround is idempotent") =
     forAll(Gen.listOfN(50, finiteD)) { xs =>
       xs.isEmpty || {
