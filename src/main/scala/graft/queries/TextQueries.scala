@@ -2252,6 +2252,57 @@ object TextQueries {
        |FROM pair
        |WHERE round(CAST(shared AS DOUBLE) / na, 6) >= $ContainmentThreshold""".stripMargin
 
+  // --------------------------------------------------------------- qd35
+  /** Tokenizer-fit diagnostics per source: fertility (subword units per
+    * whitespace word — the standard "how many pieces does this
+    * tokenizer shatter a word into" measure from the multilingual-BPE
+    * literature) and bytes-per-subword, using qd2's whitespace split
+    * and qd9's GPT-2-style pre-tokenizer as the two ends. A source
+    * whose fertility drifts high (or bytes-per-token low) is one the
+    * vocabulary under-serves — the per-source gate a pipeline checks
+    * before committing a tokenizer to a mixture. Integer sums only;
+    * the two ratios divide exact longs at the end (6dp).
+    *
+    * Shape: map-only unit counting, one source-keyed partial-agged
+    * shuffle, source-cardinality output.
+    */
+  def qd35(s: SparkSession, dir: String): DataFrame = {
+    val units = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).as("nw"),
+        size(units).as("ns"),
+        length(col("text")).as("nc"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("ns").as("n_subwords"),
+        sum("nc").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_subwords"),
+        dround(col("n_subwords").cast("double") / col("n_words"), 6).as("fertility"),
+        dround(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword"))
+  }
+
+  private val qd35Sql =
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nw) AS BIGINT) AS n_words,
+      |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+      |  round(CAST(sum(ns) AS BIGINT) / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE), 6)
+      |    AS fertility,
+      |  round(CAST(sum(nc) AS BIGINT) / CAST(CAST(sum(ns) AS BIGINT) AS DOUBLE), 6)
+      |    AS chars_per_subword
+      |FROM (
+      |  SELECT source,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+      |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS ns,
+      |         length(text) AS nc
+      |  FROM documents)
+      |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2291,6 +2342,7 @@ object TextQueries {
     "qd32_token_entropy" -> (qd32 _),
     "qd33_pmi_collocations" -> (qd33 _),
     "qd34_containment" -> (qd34 _),
+    "qd35_tokenizer_fit" -> (qd35 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2326,6 +2378,7 @@ object TextQueries {
     "qd32_token_entropy" -> qd32Sql,
     "qd33_pmi_collocations" -> qd33Sql,
     "qd34_containment" -> qd34Sql,
+    "qd35_tokenizer_fit" -> qd35Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
