@@ -495,6 +495,45 @@ object EventQueries {
       | AND epoch_us(p.ts) >= epoch_us(c.ts)
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** User-journey transition matrix: counts and row-normalized
+    * probabilities of consecutive (from → to) event-type transitions
+    * per user — the first-order Markov view of product flows ("what do
+    * users do right after an error?"). Consecutive pairing is a
+    * per-user lead window (one shuffle on user_id, the q19 shape); the
+    * row normalizer joins back as a types-cardinality broadcast, never
+    * a global window.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val c = ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = c.groupBy("from_type").agg(sum("n").as("n_from"))
+    c.join(broadcast(f), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        dround(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
+  private val q36Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM x),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, n,
+      |       round(CAST(n AS DOUBLE) / n_from, 6) AS p
+      |FROM c JOIN f USING (from_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -507,6 +546,7 @@ object EventQueries {
     "q33_hourly_anomaly" -> (q33 _),
     "q34_rfm_segments" -> (q34 _),
     "q35_attribution" -> (q35 _),
+    "q36_transition_matrix" -> (q36 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -520,6 +560,7 @@ object EventQueries {
     "q33_hourly_anomaly" -> q33Sql,
     "q34_rfm_segments" -> q34Sql,
     "q35_attribution" -> q35Sql,
+    "q36_transition_matrix" -> q36Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

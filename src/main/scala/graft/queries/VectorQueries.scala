@@ -1595,6 +1595,86 @@ object VectorQueries {
        |  FROM r)
        |WHERE rnk <= $K""".stripMargin
 
+  // --------------------------------------------------------------- qe21
+  /** Pseudo-relevance feedback (Rocchio, in the SMART retrieval system,
+    * 1971): retrieve the exact top-5, form the expanded query
+    * q' = ½·q + ½·centroid(top-5), retrieve again with q' — the
+    * zero-supervision recall amplifier: the query drifts toward the
+    * neighborhood it already found and surfaces neighbors the raw
+    * vector missed. Every expanded component is 6dp-rounded (the qe9
+    * centroid discipline) before the second retrieval, so the whole
+    * two-stage recursion hash-matches DuckDB.
+    *
+    * Shape: stage one is qe1's broadcast-queries corpus scan; the
+    * expansion is a |Q|-row centroid aggregation; stage two is a
+    * second broadcast scan with the expanded vectors. The corpus is
+    * scanned twice and shuffled never — at production scale stage two
+    * runs against the ANN index (qe20) instead of the exact scan, same
+    * expansion arithmetic.
+    */
+  def qe21(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val mean = topkExact(s, dir).select("query_id", "neighbor_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("vec")), Seq("neighbor_id"))
+      .select(col("query_id"), posexplode(col("vec")))
+      .groupBy("query_id", "pos").agg(dround(avg("col"), 6).as("m"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("query_id"), transform(col("ps"), p => p.getField("m")).as("mvec"))
+    val q2 = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec"))
+      .join(mean, Seq("query_id"))
+      .select(col("query_id"),
+        zip_with(col("vec"), col("mvec"),
+          (a, b) => dround(a * 0.5 + b * 0.5, 6)).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    e.join(broadcast(q2), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dround(cosine(col("qv"), col("vec"), col("qnrm"), col("nrm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  private val qe21Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id),
+       |topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM p)
+       |  WHERE rnk <= $K),
+       |comp AS (
+       |  SELECT query_id, unnest(range(1, len(vec) + 1)) AS i, unnest(vec) AS x
+       |  FROM topk JOIN n ON n.vec_id = topk.neighbor_id),
+       |mv AS (
+       |  SELECT query_id, list(m ORDER BY i) AS mvec
+       |  FROM (SELECT query_id, i, round(avg(x), 6) AS m FROM comp GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |q2 AS (
+       |  SELECT q.vec_id AS query_id,
+       |         list_transform(range(1, len(q.vec) + 1),
+       |                        i -> round(q.vec[i] * 0.5 + mv.mvec[i] * 0.5, 6)) AS qv
+       |  FROM n q JOIN mv ON mv.query_id = q.vec_id),
+       |r AS (
+       |  SELECT q2.query_id, d.vec_id AS neighbor_id,
+       |         round(list_dot_product(qv, d.vec)
+       |               / (sqrt(list_dot_product(qv, qv)) * d.nrm), 6) AS cosine
+       |  FROM q2, n d WHERE d.vec_id <> q2.query_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM r)
+       |WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1620,6 +1700,7 @@ object VectorQueries {
     "qe18_prototypes" -> (qe18 _),
     "qe19_binary_ann" -> (qe19 _),
     "qe20_ivf_pq" -> (qe20 _),
+    "qe21_rocchio_feedback" -> (qe21 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1647,6 +1728,7 @@ object VectorQueries {
     "qe17_retrieval_metrics" -> qe17Sql,
     "qe18_prototypes" -> qe18Sql,
     "qe19_binary_ann" -> qe19Sql,
+    "qe21_rocchio_feedback" -> qe21Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the
