@@ -317,6 +317,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q36 transitions: rows normalize to 1 per from-state, counts conserve") {
+    val out = queries.EventQueries.q36(spark, dir).cache()
+    // each from_type's probabilities sum to 1 (up to 6dp rounding x arity)
+    val sums = out.groupBy("from_type").agg(sum("p").as("sp"), sum("n").as("sn"))
+      .collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("sp") - 1.0) < 1e-4,
+        s"${r.getString(0)}: row probability sum ${r.getAs[Double]("sp")}")
+    }
+    // total transitions = total events - one per user with >= 2 events
+    val ev = graft.operators.EventTime.withUs(Tables.events(spark, dir))
+    val perUser = ev.groupBy("user_id").count()
+    val expected = perUser.agg(sum(col("count") - 1)).head.getLong(0)
+    assert(out.agg(sum("n")).head.getLong(0) == expected)
+    out.unpersist()
+  }
+
+  test("qe21 feedback: dense ranks, and the expansion actually moves some ranking") {
+    val out = queries.VectorQueries.qe21(spark, dir).cache()
+    assert(out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).count() == 0)
+    assert(out.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001).count() == 0)
+    // the expanded query is not a no-op: at least one query's top-5 set
+    // differs from the raw qe1 top-5 (with random 64-dim vectors the
+    // centroid pull always reshuffles some tail neighbor)
+    val raw = queries.VectorQueries.qe1(spark, dir).select("query_id", "neighbor_id")
+    val diff = out.select("query_id", "neighbor_id").exceptAll(raw).count()
+    assert(diff > 0, "expansion changed no ranking at all")
+    out.unpersist()
+  }
+
   test("qd32 entropy: uniform docs score norm 1, skew-dominated docs flagged") {
     import SparkSpecBase.spark.implicits._
     val planted = Seq(
