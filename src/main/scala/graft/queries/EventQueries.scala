@@ -534,6 +534,47 @@ object EventQueries {
       |       round(CAST(n AS DOUBLE) / n_from, 6) AS p
       |FROM c JOIN f USING (from_type)""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Rolling engagement: per calendar day, the distinct active users
+    * that day (DAU) and over the trailing 7 days (WAU) — the
+    * top-of-dashboard engagement pair. The rolling-window distinct is
+    * a range join of the tiny calendar-days table (broadcast — its
+    * cardinality is the date range, not the data) against the
+    * per-(day, user) distinct activity, then a count-distinct per
+    * day: the big side streams once, expanded at most 7×. Day
+    * arithmetic is integer floor-division of epoch-micros.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val du = ev(s, dir)
+      .select(expr("us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = broadcast(days)
+      .join(du.select(col("day").as("aday"), col("user_id")),
+        col("aday").between(col("day") - 6, col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  private val q37Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT strftime(DATE '1970-01-01' + CAST(d.day AS INT), '%Y-%m-%d') AS day,
+      |       dau.dau, wau.wau
+      |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -547,6 +588,7 @@ object EventQueries {
     "q34_rfm_segments" -> (q34 _),
     "q35_attribution" -> (q35 _),
     "q36_transition_matrix" -> (q36 _),
+    "q37_active_users" -> (q37 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -561,6 +603,7 @@ object EventQueries {
     "q34_rfm_segments" -> q34Sql,
     "q35_attribution" -> q35Sql,
     "q36_transition_matrix" -> q36Sql,
+    "q37_active_users" -> q37Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )
