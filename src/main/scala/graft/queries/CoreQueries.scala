@@ -551,6 +551,123 @@ object CoreQueries {
        |FROM lineitem
        |GROUP BY l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Market-basket association rules: every unordered part pair that
+    * co-occurs in >= 2 orders, with support, directional confidence and
+    * lift. The per-order basket is `distinct(orderkey, partkey)`; pair
+    * generation is a self-equi-join on the order key (fan-out bounded by
+    * max basket size, ~7 here), NEVER part x part.
+    *
+    * Scale: baskets shuffle once on orderkey (both join sides share the
+    * exchange); item supports are vocabulary-sized and broadcast into the
+    * pair aggregate; n_orders is a broadcast scalar. At 100 TB the only
+    * quadratic term is per-basket (cap giant baskets upstream, qd19-style);
+    * integer counts keep support/confidence/lift exact up to 2^53.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame =
+    basketRulesFrom(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Frame-parameterized twin (tests plant baskets): `items` carries
+    * (ok, pk) membership rows; duplicates are collapsed here.
+    */
+  private[graft] def basketRulesFrom(items: DataFrame): DataFrame = {
+    val op = items.select("ok", "pk").distinct()
+    val nOrders = op.agg(count_distinct(col("ok")).as("n_orders"))
+    val item = op.groupBy("pk").agg(count(lit(1)).as("item_cnt"))
+    val pairs = op.as("a")
+      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 2)
+    pairs
+      .join(broadcast(item.select(col("pk").as("p1"), col("item_cnt").as("cnt1"))), Seq("p1"))
+      .join(broadcast(item.select(col("pk").as("p2"), col("item_cnt").as("cnt2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("p1"), col("p2"), col("pair_cnt"),
+        dround(col("pair_cnt") / col("n_orders"), 6).as("support"),
+        dround(col("pair_cnt") / col("cnt1"), 6).as("conf_p1_p2"),
+        dround(col("pair_cnt") / col("cnt2"), 6).as("conf_p2_p1"),
+        dround((col("pair_cnt") * col("n_orders")) / (col("cnt1") * col("cnt2")), 6).as("lift"))
+  }
+
+  private val q38Sql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+      |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS item_cnt FROM op GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS pair_cnt
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p1, p2, pair_cnt,
+      |  round(pair_cnt / n_orders, 6) AS support,
+      |  round(pair_cnt / i1.item_cnt, 6) AS conf_p1_p2,
+      |  round(pair_cnt / i2.item_cnt, 6) AS conf_p2_p1,
+      |  round((pair_cnt * n_orders) / (i1.item_cnt * i2.item_cnt), 6) AS lift
+      |FROM pairs
+      |JOIN item i1 ON pairs.p1 = i1.pk
+      |JOIN item i2 ON pairs.p2 = i2.pk
+      |CROSS JOIN n""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** CDC snapshot diff: classify every key across two table snapshots as
+    * insert / delete / update (unchanged rows drop out). The snapshots are
+    * derived deterministically from `orders` so the op is oracle-checkable:
+    * the "old" snapshot misses keys with orderkey%10=3 (those become
+    * inserts), the "new" one misses orderkey%13=5 (deletes) and reprices
+    * orderkey%7=2 rows by +5% (updates).
+    *
+    * Scale: ONE full-outer sort-merge join, both sides hash-partitioned on
+    * the primary key — the canonical snapshot-reconciliation shape. At
+    * 100 TB both snapshots would be bucketed by key on disk so the diff
+    * runs exchange-free; presence flags (not value nullability) drive the
+    * classification so NULL-valued attributes can't masquerade as absence.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val snapOld = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+        col("o_orderstatus").as("old_status"), lit(1).as("old_present"))
+    val snapNew = o.filter(col("o_orderkey") % 13 =!= 5)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 2, dround(col("o_totalprice") * 1.05, 2))
+          .otherwise(col("o_totalprice")).as("new_price"),
+        col("o_orderstatus").as("new_status"), lit(1).as("new_present"))
+    snapOld.join(snapNew, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_op",
+        when(col("old_present").isNull, "insert")
+          .when(col("new_present").isNull, "delete")
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_op") =!= "unchanged")
+      .select("o_orderkey", "change_op", "old_price", "new_price")
+  }
+
+  private val q39Sql =
+    """WITH snap_old AS (
+      |  SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status,
+      |         1 AS old_present
+      |  FROM orders WHERE o_orderkey % 10 != 3),
+      |snap_new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 2 THEN round(o_totalprice * 1.05, 2)
+      |              ELSE o_totalprice END AS new_price,
+      |         o_orderstatus AS new_status, 1 AS new_present
+      |  FROM orders WHERE o_orderkey % 13 != 5),
+      |diff AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.old_present IS NULL THEN 'insert'
+      |         WHEN b.new_present IS NULL THEN 'delete'
+      |         WHEN a.old_price != b.new_price OR a.old_status != b.new_status
+      |           THEN 'update'
+      |         ELSE 'unchanged' END AS change_op,
+      |    a.old_price, b.new_price
+      |  FROM snap_old a FULL OUTER JOIN snap_new b ON a.o_orderkey = b.o_orderkey)
+      |SELECT o_orderkey, change_op, old_price, new_price
+      |FROM diff WHERE change_op != 'unchanged'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -570,6 +687,8 @@ object CoreQueries {
     "q15_collection_buckets" -> (q15 _),
     "q16_total_rollup" -> (q16 _),
     "q17_conditional_projection" -> (q17 _),
+    "q38_basket_rules" -> (q38 _),
+    "q39_snapshot_diff" -> (q39 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -591,5 +710,7 @@ object CoreQueries {
     "q15_collection_buckets" -> q15Sql,
     "q16_total_rollup" -> q16Sql,
     "q17_conditional_projection" -> q17Sql,
+    "q38_basket_rules" -> q38Sql,
+    "q39_snapshot_diff" -> q39Sql,
   )
 }

@@ -575,6 +575,76 @@ object EventQueries {
       |       dau.dau, wau.wau
       |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** EWMA traffic baseline: per event type and hour, an exponentially
+    * weighted moving average of the preceding 24 hourly counts (decay 1/2
+    * per hour, missing hours contribute no weight), and a spike verdict
+    * `n > 2*ewma` once >= 6 history hours exist. Complements q33's GLOBAL
+    * z-score with a LOCAL, trend-adaptive baseline.
+    *
+    * Exactness: weights are the integers 2^(24-d), so numerator and
+    * denominator are exact BIGINT sums (order-independent — no float
+    * accumulation across Spark partitions) and the spike decision compares
+    * integer cross-products, never rounded doubles. The reported `ewma` is
+    * one exact-over-exact division, dround-ed at 6dp.
+    *
+    * Scale: the raw scan reduces to an (event_type, hour) aggregate first;
+    * the 24x fan-out (a broadcast of 24 literal offset rows) and the
+    * baseline join both operate on that tiny aggregate, co-partitioned on
+    * (event_type, hr) — nothing quadratic, nothing resident on the driver.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    ewmaFrom(s, ev(s, dir)
+      .select(col("event_type"), expr("us div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n_events")))
+
+  /** Frame-parameterized twin (tests plant series): `hourly` carries
+    * (event_type, hr: Long, n_events: Long).
+    */
+  private[graft] def ewmaFrom(s: SparkSession, hourly: DataFrame): DataFrame = {
+    val offs = s.createDataFrame((1 to 24).map(d => (d, 1L << (24 - d))))
+      .toDF("d", "wn")
+    val baseline = hourly
+      .crossJoin(broadcast(offs))
+      .select(col("event_type"), (col("hr") + col("d")).as("hr"),
+        (col("n_events") * col("wn")).as("wc"), col("wn"))
+      .groupBy("event_type", "hr")
+      .agg(sum("wc").as("num"), sum("wn").as("den"), count(lit(1)).as("hist"))
+    hourly.join(baseline, Seq("event_type", "hr"), "left")
+      .select(
+        col("event_type"), col("hr"), col("n_events"),
+        when(col("den").isNotNull,
+          dround(col("num").cast("double") / col("den"), 6)).as("ewma"),
+        coalesce(col("hist"), lit(0L)).as("hist"),
+        (coalesce(col("hist"), lit(0L)) >= 6 &&
+          col("n_events") * col("den") > lit(2L) * col("num")).as("is_spike"))
+  }
+
+  private val q40Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |offs AS (
+      |  SELECT CAST(d AS INT) AS d,
+      |         CAST(1 AS BIGINT) << (24 - CAST(d AS INT)) AS wn
+      |  FROM range(1, 25) t(d)),
+      |baseline AS (
+      |  SELECT event_type, hr + d AS hr,
+      |         CAST(sum(n_events * wn) AS BIGINT) AS num,
+      |         CAST(sum(wn) AS BIGINT) AS den,
+      |         CAST(count(*) AS BIGINT) AS hist
+      |  FROM hourly CROSS JOIN offs
+      |  GROUP BY 1, 2)
+      |SELECT h.event_type, h.hr, h.n_events,
+      |  CASE WHEN b.den IS NOT NULL
+      |       THEN round(CAST(b.num AS DOUBLE) / b.den, 6) END AS ewma,
+      |  COALESCE(b.hist, CAST(0 AS BIGINT)) AS hist,
+      |  COALESCE(b.hist, CAST(0 AS BIGINT)) >= 6
+      |    AND h.n_events * b.den > 2 * b.num AS is_spike
+      |FROM hourly h
+      |LEFT JOIN baseline b ON h.event_type = b.event_type AND h.hr = b.hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -589,6 +659,7 @@ object EventQueries {
     "q35_attribution" -> (q35 _),
     "q36_transition_matrix" -> (q36 _),
     "q37_active_users" -> (q37 _),
+    "q40_ewma_baseline" -> (q40 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -604,6 +675,7 @@ object EventQueries {
     "q35_attribution" -> q35Sql,
     "q36_transition_matrix" -> q36Sql,
     "q37_active_users" -> q37Sql,
+    "q40_ewma_baseline" -> q40Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

@@ -370,4 +370,89 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(queries.TextQueries.qd32(spark, dir).count() ==
       Tables.documents(spark, dir).count())
   }
+
+  test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
+    import SparkSpecBase.spark.implicits._
+    // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
+    // a duplicate membership row must not inflate any count
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L)
+    ).toDF("ok", "pk")
+    val out = queries.CoreQueries.basketRulesFrom(items).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val ab = out((1L, 2L)) // cnt(A)=4, cnt(B)=4, pair 3 of 5 orders
+    assert(ab.getAs[Long]("pair_cnt") == 3L)
+    assert(ab.getAs[Double]("support") == 0.6)
+    assert(ab.getAs[Double]("conf_p1_p2") == 0.75)
+    assert(ab.getAs[Double]("conf_p2_p1") == 0.75)
+    assert(ab.getAs[Double]("lift") == 0.9375)
+    assert(out((1L, 3L)).getAs[Double]("lift") == // 2*5/(4*3)
+      graft.operators.Rounding.droundD(10.0 / 12.0, 6))
+
+    // real corpus: pairs canonical and floors respected
+    val real = queries.CoreQueries.q38(spark, dir).cache()
+    assert(real.filter(col("p1") >= col("p2")).count() == 0)
+    assert(real.filter(col("pair_cnt") < 2).count() == 0)
+    assert(real.filter(col("support") > col("conf_p1_p2") ||
+      col("support") > col("conf_p2_p1")).count() == 0,
+      "support can never exceed a directional confidence")
+    assert(real.filter(col("lift") <= 0.0).count() == 0)
+    real.unpersist()
+  }
+
+  test("q39 snapshot diff: classes partition the keyspace by the derivation rules") {
+    val out = queries.CoreQueries.q39(spark, dir).cache()
+    // no key appears twice
+    assert(out.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    val mod10 = col("o_orderkey") % 10
+    val mod13 = col("o_orderkey") % 13
+    val mod7 = col("o_orderkey") % 7
+    // inserts are exactly the old-absent keys that exist in the new snapshot
+    assert(out.filter(col("change_op") === "insert")
+      .filter(mod10 =!= 3 || mod13 === 5).count() == 0)
+    // deletes are exactly the new-absent keys that exist in the old snapshot
+    assert(out.filter(col("change_op") === "delete")
+      .filter(mod13 =!= 5 || mod10 === 3).count() == 0)
+    // updates only where the repricing rule fired, and the price moved
+    assert(out.filter(col("change_op") === "update")
+      .filter(mod7 =!= 2).count() == 0)
+    assert(out.filter(col("change_op") === "update")
+      .filter(col("old_price") === col("new_price")).count() == 0)
+    // presence columns mirror the class
+    assert(out.filter(col("change_op") === "insert")
+      .filter(col("old_price").isNotNull).count() == 0)
+    assert(out.filter(col("change_op") === "delete")
+      .filter(col("new_price").isNotNull).count() == 0)
+    assert(out.filter(col("change_op") === "update")
+      .filter(col("old_price").isNull || col("new_price").isNull).count() == 0)
+    // a key in neither modulus class never surfaces
+    assert(out.filter(mod10 =!= 3 && mod13 =!= 5 && mod7 =!= 2).count() == 0)
+    out.unpersist()
+  }
+
+  test("q40 EWMA: planted spike flagged only after history accrues, flat series exact") {
+    import SparkSpecBase.spark.implicits._
+    val planted = ((0L to 9L).map(h => ("click", h, 10L)) :+ ("click", 10L, 100L))
+      .toDF("event_type", "hr", "n_events")
+    val rows = queries.EventQueries.ewmaFrom(SparkSpecBase.spark, planted)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // hour 0 has no history: null ewma, hist 0, not a spike
+    assert(rows(0L).isNullAt(rows(0L).fieldIndex("ewma")))
+    assert(rows(0L).getAs[Long]("hist") == 0L && !rows(0L).getAs[Boolean]("is_spike"))
+    // flat history gives EXACTLY the flat value (integer-exact weights)
+    (1L to 10L).foreach(h => assert(rows(h).getAs[Double]("ewma") == 10.0))
+    // the spike fires only at hour 10; early hours lack history or sit at baseline
+    assert((0L to 9L).forall(h => !rows(h).getAs[Boolean]("is_spike")))
+    assert(rows(10L).getAs[Boolean]("is_spike"))
+    // hist counts only present preceding hours within the horizon
+    assert(rows(5L).getAs[Long]("hist") == 5L && rows(10L).getAs[Long]("hist") == 10L)
+
+    // real corpus: spike rule consistent with the reported fields
+    val real = queries.EventQueries.q40(spark, dir).cache()
+    assert(real.filter(col("is_spike") && col("hist") < 6).count() == 0)
+    assert(real.filter(col("hist") === 0 && col("ewma").isNotNull).count() == 0)
+    real.unpersist()
+  }
 }
