@@ -2303,6 +2303,170 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- qd36
+  /** Blocked fuzzy dedup (record-linkage shape): candidate pairs come
+    * from TWO deterministic blocking passes — same 8-char text prefix,
+    * same 8-char suffix — then a Levenshtein edit-distance <= 10 verify
+    * on the 60-char signature decides. Catches typo-grade near-dups that
+    * token-set methods (qd6/qd8) miss because token EDITS change every
+    * overlapping shingle.
+    *
+    * Scale: each blocking pass is one shuffle on the block key and pairs
+    * only within blocks (never corpus x corpus); multi-pass union-distinct
+    * recovers pairs a single key would miss at the cost of one more pass —
+    * the standard linkage trade. Giant blocks would be capped upstream
+    * (qd19-style) before the quadratic within-block step; the verify is
+    * O(60^2) per candidate regardless of document length.
+    */
+  def qd36(s: SparkSession, dir: String): DataFrame =
+    fuzzyDedupFrom(Tables.documents(s, dir))
+
+  /** Frame-parameterized twin (tests plant docs): (doc_id, text). */
+  private[graft] def fuzzyDedupFrom(documents: DataFrame): DataFrame = {
+    val d = documents.select(
+      col("doc_id"),
+      substring(col("text"), 1, 60).as("sig"),
+      substring(col("text"), 1, 8).as("pre"),
+      expr("substring(text, -8, 8)").as("suf"))
+    def pass(key: String): DataFrame =
+      d.as("a").join(d.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    pass("pre").union(pass("suf"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= 10)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+  }
+
+  private val qd36Sql =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, 60) AS sig, substr(text, 1, 8) AS pre,
+      |         substr(text, length(text) - 7, 8) AS suf
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
+      |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(levenshtein(sig_a, sig_b) AS INT) AS dist
+      |FROM cand WHERE levenshtein(sig_a, sig_b) <= 10""".stripMargin
+
+  // --------------------------------------------------------------- qd37
+  /** TF-IDF keyword extraction: the 5 highest tf*ln(N/df) terms per
+    * document (score dround-ed at 6dp BEFORE ranking, term tie-break, so
+    * both engines rank the identical total order).
+    *
+    * Scale: term frequencies shuffle once on (doc, term); the document
+    * frequency table is vocabulary-sized and BROADCAST back into the
+    * per-doc scoring, so the corpus-sized side never reshuffles; the
+    * top-5 window is per-doc bounded. The df table is the same artifact
+    * qd31 audits — at 100 TB it persists offline.
+    */
+  def qd37(s: SparkSession, dir: String): DataFrame =
+    tfidfFrom(Tables.documents(s, dir))
+
+  /** Frame-parameterized twin (tests plant docs): (doc_id, text). */
+  private[graft] def tfidfFrom(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        dround(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  private val qd37Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term AS term, tf, df,
+      |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term) AS INT) AS rnk
+      |FROM scored
+      |QUALIFY rnk <= 5""".stripMargin
+
+  // --------------------------------------------------------------- qd38
+  /** Per-source lexical diversity: type-token ratio and 3-gram
+    * duplication fraction (1 - distinct/total) — the corpus-health
+    * diagnostic run before mixing (a boilerplate-heavy source shows a
+    * high gram-dup fraction long before exact dedup catches it).
+    *
+    * Scale: both metrics are count-distinct aggregations keyed on source
+    * — partial aggregation map-side, one shuffle each, source-sized
+    * output. The distinct-gram count would dispatch to the qd20b HLL
+    * sketch at 100 TB (exact here so the oracle can grade it).
+    */
+  def qd38(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(s)
+    diversityFrom(Tables.documents(s, dir))
+  }
+
+  /** Frame-parameterized twin (tests plant docs): (source, text); the
+    * caller must have run VectorFunctions.registerNative.
+    */
+  private[graft] def diversityFrom(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("source"), tokens(col("text")).as("toks"))
+    val tok = base.select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("term")).as("distinct_tokens"))
+    val gram = base
+      .select(col("source"), explode(wordGrams(col("toks"), 3)).as("gram"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_grams"),
+        count_distinct(col("gram")).as("distinct_grams"))
+    tok.join(gram, Seq("source"))
+      .select(
+        col("source"), col("n_tokens"), col("distinct_tokens"),
+        dround(col("distinct_tokens") / col("n_tokens"), 6).as("ttr"),
+        col("n_grams"), col("distinct_grams"),
+        dround(lit(1.0) - col("distinct_grams") / col("n_grams"), 6)
+          .as("gram_dup_frac"))
+  }
+
+  private val qd38Sql =
+    """WITH base AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(count(DISTINCT term) AS BIGINT) AS distinct_tokens
+      |  FROM (SELECT source, unnest(toks) AS term FROM base)
+      |  GROUP BY source),
+      |gram AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams
+      |  FROM (SELECT source,
+      |               unnest(list_transform(range(1, len(toks) - 1),
+      |                 i -> array_to_string(toks[i:i+2], ' '))) AS g
+      |        FROM base WHERE len(toks) >= 3)
+      |  GROUP BY source)
+      |SELECT tok.source AS source, n_tokens, distinct_tokens,
+      |  round(distinct_tokens / n_tokens, 6) AS ttr,
+      |  n_grams, distinct_grams,
+      |  round(1.0 - distinct_grams / n_grams, 6) AS gram_dup_frac
+      |FROM tok JOIN gram ON tok.source = gram.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2343,6 +2507,9 @@ object TextQueries {
     "qd33_pmi_collocations" -> (qd33 _),
     "qd34_containment" -> (qd34 _),
     "qd35_tokenizer_fit" -> (qd35 _),
+    "qd36_fuzzy_dedup" -> (qd36 _),
+    "qd37_tfidf_keywords" -> (qd37 _),
+    "qd38_source_diversity" -> (qd38 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2379,6 +2546,9 @@ object TextQueries {
     "qd33_pmi_collocations" -> qd33Sql,
     "qd34_containment" -> qd34Sql,
     "qd35_tokenizer_fit" -> qd35Sql,
+    "qd36_fuzzy_dedup" -> qd36Sql,
+    "qd37_tfidf_keywords" -> qd37Sql,
+    "qd38_source_diversity" -> qd38Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -371,6 +371,89 @@ class CorpusOpsSpec extends AnyFunSuite {
       Tables.documents(spark, dir).count())
   }
 
+  test("qd36 fuzzy dedup: blocking passes catch edits the other key survives") {
+    import SparkSpecBase.spark.implicits._
+    val base = ("alpha gamma " * 12).trim // 143 chars, stable prefix+suffix
+    val prefixEdit = "Xlpha gamma " + base.drop(12) // edit in char 1: pre differs, suf same
+    val midEdit = base.patch(30, "ZZZ", 3) // pre+suf same, 3 edits in sig
+    val farText = "omega " * 24 + base.takeRight(8) // suf same, sig hopeless
+    val planted = Seq(
+      (1L, base), (2L, prefixEdit), (3L, midEdit), (4L, farText.trim)
+    ).toDF("doc_id", "text")
+    val pairs = queries.TextQueries.fuzzyDedupFrom(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("dist")).toMap
+    // the suffix pass rescues the prefix-edited twin; the midEdit twin is
+    // caught by the prefix pass; each appears ONCE despite double-blocking
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) == 1 && pairs((1L, 3L)) == 3)
+    // the far doc shares a block but fails the edit-distance verify
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+
+    // real corpus: pairs canonical, distances within threshold
+    val real = queries.TextQueries.qd36(spark, dir).cache()
+    assert(real.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(real.filter(col("dist") > 10 || col("dist") < 0).count() == 0)
+    assert(real.groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count() == 0, "union-distinct must dedupe passes")
+    real.unpersist()
+  }
+
+  test("qd37 TF-IDF keywords: planted scores exact, ranks dense and ordered") {
+    import SparkSpecBase.spark.implicits._
+    val planted = Seq(
+      (1L, "apple apple banana"), (2L, "banana cherry"), (3L, "cherry cherry date")
+    ).toDF("doc_id", "text")
+    val out = queries.TextQueries.tfidfFrom(planted).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val d = graft.operators.Rounding.droundD(_: Double, 6)
+    assert(out((1L, "apple")).getAs[Double]("score") == d(2.0 * math.log(3.0)))
+    assert(out((1L, "apple")).getAs[Int]("rnk") == 1)
+    assert(out((1L, "banana")).getAs[Double]("score") == d(math.log(1.5)))
+    assert(out((2L, "banana")).getAs[Long]("df") == 2L)
+    assert(out((3L, "date")).getAs[Long]("tf") == 1L)
+
+    // real corpus: per-doc top-5 contract
+    val real = queries.TextQueries.qd37(spark, dir).cache()
+    val perDoc = real.groupBy("doc_id").agg(
+      count(lit(1)).as("k"), max("rnk").as("maxr"), min("rnk").as("minr"))
+    assert(perDoc.filter(col("k") > 5 || col("maxr") =!= col("k") ||
+      col("minr") =!= 1).count() == 0, "rnk must be dense 1..k, k <= 5")
+    // scores never increase with rank within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    assert(real.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+      .count() == 0)
+    real.unpersist()
+  }
+
+  test("qd38 source diversity: planted sources yield exact TTR and dup fraction") {
+    import SparkSpecBase.spark.implicits._
+    graft.functions.VectorFunctions.registerNative(SparkSpecBase.spark)
+    val planted = Seq(
+      ("s1", "a b c d"), // grams: "a b c","b c d" -> all distinct
+      ("s2", "x x x x x") // grams: "x x x" x3 -> dup_frac 2/3
+    ).toDF("source", "text")
+    val rows = queries.TextQueries.diversityFrom(planted).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("s1").getAs[Double]("ttr") == 1.0)
+    assert(rows("s1").getAs[Double]("gram_dup_frac") == 0.0)
+    assert(rows("s2").getAs[Double]("ttr") == 0.2)
+    assert(rows("s2").getAs[Double]("gram_dup_frac") ==
+      graft.operators.Rounding.droundD(1.0 - 1.0 / 3.0, 6))
+
+    // real corpus: one row per source, fractions in range
+    val real = queries.TextQueries.qd38(spark, dir).cache()
+    assert(real.count() ==
+      Tables.documents(spark, dir).select("source").distinct().count())
+    assert(real.filter(col("ttr") <= 0.0 || col("ttr") > 1.0).count() == 0)
+    assert(real.filter(col("gram_dup_frac") < 0.0 ||
+      col("gram_dup_frac") >= 1.0).count() == 0)
+    assert(real.filter(col("distinct_grams") > col("n_grams") ||
+      col("distinct_tokens") > col("n_tokens")).count() == 0)
+    real.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
