@@ -1675,6 +1675,149 @@ object VectorQueries {
        |  FROM r)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------- qe22
+  /** Mutual-nearest-neighbor pair mining with the ratio-margin score
+    * (the bitext-mining criterion of Artetxe & Schwenk 2019: a pair
+    * counts only when each side is the other's top-1 neighbor, scored by
+    * cosine over the mean of both sides' top-K cosines). Margins are
+    * computed on 1e-6-quantized integer cosines, so the top-K sums are
+    * exact longs (order-independent) and the score is one integer-ratio
+    * division — no float accumulation can flip a pair across engines.
+    *
+    * Scale: the exact all-pairs base (each unordered pair scored once,
+    * then mirrored) is the oracle anchor; at 100 TB the top-1/top-K lists
+    * come from the ANN candidates (qe2 bands / qe5 cells) and the mutual
+    * check is a self-equi-join on the (nn, id) pair — candidate-local,
+    * never corpus x corpus.
+    */
+  def qe22(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
+    val half = a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select("ida", "idb", "cos")
+      .localCheckpoint()
+    val sym = half
+      .unionByName(half.select(col("idb").as("ida"), col("ida").as("idb"), col("cos")))
+      .withColumn("micro", dround(col("cos") * 1e6, 0).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+    val top = sym.filter(col("rn") <= K)
+      .groupBy("ida").agg(sum("micro").as("s"), count(lit(1)).as("k"))
+    val nn = sym.filter(col("rn") === 1).select("ida", "idb", "cos", "micro")
+    val den = col("sa") * col("kb") + col("sb") * col("ka")
+    nn.as("f").join(nn.as("g"),
+        col("f.ida") === col("g.idb") && col("f.idb") === col("g.ida") &&
+          col("f.ida") < col("f.idb"))
+      .select(col("f.ida").as("vec_a"), col("f.idb").as("vec_b"),
+        col("f.cos").as("cosine"), col("f.micro").as("micro"))
+      .join(broadcast(top.select(col("ida").as("vec_a"), col("s").as("sa"), col("k").as("ka"))), Seq("vec_a"))
+      .join(broadcast(top.select(col("ida").as("vec_b"), col("s").as("sb"), col("k").as("kb"))), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(dround((lit(2L) * col("micro") * col("ka") * col("kb")) / den, 6))
+          .as("margin"))
+  }
+
+  private val qe22Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |half AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+       |sym AS (SELECT ida, idb, cos FROM half
+       |        UNION ALL SELECT idb, ida, cos FROM half),
+       |rk AS (
+       |  SELECT ida, idb, cos, CAST(round(cos * 1000000) AS BIGINT) AS micro,
+       |         row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rn
+       |  FROM sym),
+       |top AS (SELECT ida, CAST(sum(micro) AS BIGINT) AS s,
+       |               CAST(count(*) AS BIGINT) AS k
+       |        FROM rk WHERE rn <= $K GROUP BY ida),
+       |nn AS (SELECT ida, idb, cos, micro FROM rk WHERE rn = 1),
+       |mutual AS (
+       |  SELECT f.ida AS vec_a, f.idb AS vec_b, f.cos AS cosine, f.micro AS micro
+       |  FROM nn f JOIN nn g ON f.ida = g.idb AND f.idb = g.ida AND f.ida < f.idb)
+       |SELECT vec_a, vec_b, cosine,
+       |  round(CAST(2 * micro * ta.k * tb.k AS DOUBLE)
+       |        / NULLIF(ta.s * tb.k + tb.s * ta.k, 0), 6) AS margin
+       |FROM mutual
+       |JOIN top ta ON vec_a = ta.ida
+       |JOIN top tb ON vec_b = tb.ida""".stripMargin
+
+  // ---------------------------------------------------------------- qe23
+  /** Label-centroid similarity matrix: the cosine between the mean
+    * vectors of every label pair — the class-separability / embedding-
+    * drift diagnostic (re-run after each re-embed; two slices whose
+    * centroids drift toward each other are losing separation). Cosine is
+    * scale-invariant, so the centroid mean is never materialized: each
+    * dimension's 1e-6-quantized component SUM (an exact long) stands in
+    * for the mean, and the cross/self dot products accumulate in
+    * Decimal(38,0) — exact at any corpus size, order-independent.
+    *
+    * Scale: one posexplode shuffle keyed on (label, dim) — 64 x #labels
+    * cells — then a labels x labels matrix on the driver-scale result.
+    */
+  def qe23(s: SparkSession, dir: String): DataFrame =
+    centroidMatrixFrom(embs(s, dir))
+
+  /** Frame-parameterized twin (tests plant vectors): (label, vec). */
+  private[graft] def centroidMatrixFrom(e: DataFrame): DataFrame = {
+    val comp = e
+      .select(col("label"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .withColumn("micro", dround(col("x") * 1e6, 0).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum("micro").as("sc"), count(lit(1)).as("n"))
+    val dec = col("sc").cast("decimal(38,0)")
+    val pair = comp.as("a")
+      .join(comp.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(
+        sum(col("a.sc").cast("decimal(38,0)") * col("b.sc")).as("dotab"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+    val self = comp
+      .groupBy("label")
+      .agg(sum(dec * col("sc")).as("selfdot"))
+    pair
+      .join(broadcast(self.select(col("label").as("label_a"), col("selfdot").as("da"))), Seq("label_a"))
+      .join(broadcast(self.select(col("label").as("label_b"), col("selfdot").as("db"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        dround(col("dotab").cast("double") /
+          (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double"))), 6)
+          .as("centroid_cosine"))
+  }
+
+  private val qe23Sql =
+    """WITH comp AS (
+      |  SELECT label, dim, CAST(sum(micro) AS BIGINT) AS sc,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT label, i - 1 AS dim,
+      |           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+      |    FROM embeddings, range(1, 65) t(i))
+      |  GROUP BY label, dim),
+      |pair AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |         sum(CAST(a.sc AS HUGEINT) * b.sc) AS dotab,
+      |         first(a.n) AS n_a, first(b.n) AS n_b
+      |  FROM comp a JOIN comp b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |self AS (
+      |  SELECT label, sum(CAST(sc AS HUGEINT) * sc) AS selfdot
+      |  FROM comp GROUP BY label)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  round(CAST(dotab AS DOUBLE)
+      |        / (sqrt(CAST(sa.selfdot AS DOUBLE)) * sqrt(CAST(sb.selfdot AS DOUBLE))), 6)
+      |    AS centroid_cosine
+      |FROM pair
+      |JOIN self sa ON label_a = sa.label
+      |JOIN self sb ON label_b = sb.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1701,6 +1844,8 @@ object VectorQueries {
     "qe19_binary_ann" -> (qe19 _),
     "qe20_ivf_pq" -> (qe20 _),
     "qe21_rocchio_feedback" -> (qe21 _),
+    "qe22_mutual_nn_pairs" -> (qe22 _),
+    "qe23_centroid_matrix" -> (qe23 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1729,6 +1874,8 @@ object VectorQueries {
     "qe18_prototypes" -> qe18Sql,
     "qe19_binary_ann" -> qe19Sql,
     "qe21_rocchio_feedback" -> qe21Sql,
+    "qe22_mutual_nn_pairs" -> qe22Sql,
+    "qe23_centroid_matrix" -> qe23Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

@@ -371,6 +371,50 @@ class CorpusOpsSpec extends AnyFunSuite {
       Tables.documents(spark, dir).count())
   }
 
+  test("qe22 mutual-NN pairs: a perfect matching consistent with the exact top-1") {
+    val pairs = queries.VectorQueries.qe22(spark, dir).cache()
+    // mutual top-1 pairs form a matching: no vector appears twice
+    val members = pairs.select(col("vec_a").as("v"))
+      .unionByName(pairs.select(col("vec_b").as("v")))
+    assert(members.groupBy("v").count().filter(col("count") > 1).count() == 0)
+    assert(pairs.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    // cross-operator consistency: when a query vector (qe1 surface) sits
+    // in a mutual pair, its partner IS its qe1 rank-1 neighbor
+    val nn1 = queries.VectorQueries.qe1(spark, dir)
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val fromA = pairs.join(nn1, col("vec_a") === col("query_id"))
+      .filter(col("vec_b") =!= col("neighbor_id"))
+    val fromB = pairs.join(nn1, col("vec_b") === col("query_id"))
+      .filter(col("vec_a") =!= col("neighbor_id"))
+    assert(fromA.count() == 0 && fromB.count() == 0)
+    pairs.unpersist()
+  }
+
+  test("qe23 centroid matrix: planted centroids exact, full matrix on the corpus") {
+    import SparkSpecBase.spark.implicits._
+    val planted = Seq(
+      (0, Seq(1.0, 0.0)), (0, Seq(1.0, 0.0)), // centroid (1,0)
+      (1, Seq(0.0, 1.0)), // orthogonal
+      (2, Seq(1.0, 1.0)), (2, Seq(1.0, 1.0)) // 45 degrees from both
+    ).toDF("label", "vec")
+    val out = queries.VectorQueries.centroidMatrixFrom(planted).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(out((0, 1)).getAs[Double]("centroid_cosine") == 0.0)
+    val d = graft.operators.Rounding.droundD(_: Double, 6)
+    assert(out((0, 2)).getAs[Double]("centroid_cosine") == d(1.0 / math.sqrt(2.0)))
+    assert(out((1, 2)).getAs[Double]("centroid_cosine") == d(1.0 / math.sqrt(2.0)))
+    assert(out((0, 2)).getAs[Long]("n_a") == 2L && out((0, 2)).getAs[Long]("n_b") == 2L)
+
+    // real corpus: complete upper triangle, cosines in range
+    val real = queries.VectorQueries.qe23(spark, dir).cache()
+    val l = Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(real.count() == l * (l - 1) / 2)
+    assert(real.filter(col("centroid_cosine") < -1.0 ||
+      col("centroid_cosine") > 1.0).count() == 0)
+    real.unpersist()
+  }
+
   test("qd36 fuzzy dedup: blocking passes catch edits the other key survives") {
     import SparkSpecBase.spark.implicits._
     val base = ("alpha gamma " * 12).trim // 143 chars, stable prefix+suffix
