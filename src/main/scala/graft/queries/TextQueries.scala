@@ -2467,6 +2467,55 @@ object TextQueries {
       |  round(1.0 - distinct_grams / n_grams, 6) AS gram_dup_frac
       |FROM tok JOIN gram ON tok.source = gram.source""".stripMargin
 
+  // --------------------------------------------------------------- qd39
+  /** Fuzzy duplicate clusters: connected components over qd36's blocked
+    * Levenshtein pairs, reporting only multi-document clusters with the
+    * min-id canonical representative — the keep/drop list a fuzzy-dedup
+    * pass actually ships (keep `is_canonical`, drop the rest).
+    *
+    * Scale: inherits qd36's blocked pair generation and qd22/qe8's
+    * auto-dispatching components operator (driver union-find below 2^18
+    * edges, alternating-star rounds above); edit-dup clusters are tiny
+    * and star-shaped, so the iteration count stays logarithmic.
+    */
+  def qd39(s: SparkSession, dir: String): DataFrame = {
+    val edges = qd36(s, dir).select(col("doc_a"), col("doc_b"))
+    graft.operators.ConnectedComponents
+      .clusters(edges, Tables.documents(s, dir).select(col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("cluster_size") >= 2)
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"),
+        col("cluster_size"), (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  private val qd39Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, substr(text, 1, 60) AS sig, substr(text, 1, 8) AS pre,
+      |         substr(text, length(text) - 7, 8) AS suf
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      |  FROM d a JOIN d b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id, a.sig, b.sig
+      |  FROM d a JOIN d b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      |          WHERE levenshtein(sig_a, sig_b) <= 10),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |cl AS (SELECT u AS doc_id, min(v) AS canonical_id FROM reach GROUP BY u)
+      |SELECT doc_id, canonical_id, cluster_size, is_canonical FROM (
+      |  SELECT doc_id, canonical_id,
+      |    CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
+      |    doc_id = canonical_id AS is_canonical
+      |  FROM cl)
+      |WHERE cluster_size >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2510,6 +2559,7 @@ object TextQueries {
     "qd36_fuzzy_dedup" -> (qd36 _),
     "qd37_tfidf_keywords" -> (qd37 _),
     "qd38_source_diversity" -> (qd38 _),
+    "qd39_fuzzy_clusters" -> (qd39 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2549,6 +2599,7 @@ object TextQueries {
     "qd36_fuzzy_dedup" -> qd36Sql,
     "qd37_tfidf_keywords" -> qd37Sql,
     "qd38_source_diversity" -> qd38Sql,
+    "qd39_fuzzy_clusters" -> qd39Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -498,6 +498,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("qd39 fuzzy clusters: pairs co-cluster, canonical is the min member") {
+    val pairs = queries.TextQueries.qd36(spark, dir)
+    val out = queries.TextQueries.qd39(spark, dir).cache()
+    // every qd36 pair ends up in the same cluster
+    val cl = out.select(col("doc_id"), col("canonical_id"))
+    val joined = pairs
+      .join(cl.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("canonical_id", "ca"), Seq("doc_a"))
+      .join(cl.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("canonical_id", "cb"), Seq("doc_b"))
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    // canonical is the minimum member id and flagged exactly once per cluster
+    val perCluster = out.groupBy("canonical_id").agg(
+      min("doc_id").as("mn"), count(lit(1)).as("n"),
+      sum(when(col("is_canonical"), 1).otherwise(0)).as("ncan"),
+      first("cluster_size").as("sz"))
+    assert(perCluster.filter(col("mn") =!= col("canonical_id")).count() == 0)
+    assert(perCluster.filter(col("ncan") =!= 1).count() == 0)
+    assert(perCluster.filter(col("sz") =!= col("n")).count() == 0)
+    // only multi-doc clusters surface, and members come from the pair set
+    assert(out.filter(col("cluster_size") < 2).count() == 0)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    assert(out.join(members, Seq("doc_id"), "left_anti").count() == 0)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
