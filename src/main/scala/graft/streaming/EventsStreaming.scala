@@ -348,6 +348,74 @@ object EventsStreaming {
         col("event_type"), col("n_events"), col("zscore"), col("is_anomaly"))
   }
 
+  /** Per-type EWMA state: open hour counts + the closed-hour counts
+    * still inside the 24 h baseline horizon (trimmed as hours close).
+    */
+  case class EwmaState(open: Map[Long, Long], closed: Map[Long, Long])
+  case class HourEwma(event_type: String, hr: Long, n_events: Long,
+      ewma: Option[Double], hist: Long, is_spike: Boolean)
+
+  /** Streaming twin of EventQueries.q40 — and unlike q33, the EWMA
+    * baseline is ALREADY prefix-semantics (hour h scores against hours
+    * h-24..h-1 only), so on an in-order stream the emitted rows equal
+    * the batch operator's rows exactly, not a weaker prefix variant.
+    * State per event type is the open-hour map inside the watermark
+    * horizon plus at most 24 closed-hour counters; hours close oldest-
+    * first as the watermark (+2 h delay) passes them, are scored against
+    * the retained baseline with the same integer 2^(24-d) weights and
+    * integer cross-product spike rule, then join the baseline and evict
+    * anything older than 24 h. State is O(horizon + 24) longs per type.
+    */
+  def ewmaStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hourUsL = 3600L * 1000000L
+    events
+      .withWatermark("ts_ts", "2 hours")
+      .select(col("event_type"),
+        EventTime.usExpr(events.schema("ts").dataType).as("us"), col("ts_ts"))
+      .select(col("event_type"), expr(s"us div $hourUsL").as("hr"), col("ts_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, HourEwma](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (et, rows, state: GroupState[EwmaState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(EwmaState(Map.empty, Map.empty))
+          if (!state.hasTimedOut) {
+            val bumped = rows.foldLeft(st.open) { (m, r) =>
+              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+            }
+            st = st.copy(open = bumped)
+          }
+          val ready = st.open.keys.filter(h => (h + 1L) * hourUsL <= wmUs).toSeq.sorted
+          val out = ready.map { h =>
+            val n = st.open(h)
+            val contrib = st.closed.filter { case (h2, _) => h2 >= h - 24 && h2 < h }
+            val num = contrib.iterator
+              .map { case (h2, c) => c * (1L << (24 - (h - h2)).toInt) }.sum
+            val den = contrib.iterator
+              .map { case (h2, _) => 1L << (24 - (h - h2)).toInt }.sum
+            val hist = contrib.size.toLong
+            val ewma =
+              if (hist > 0) Some(graft.operators.Rounding.droundD(num.toDouble / den, 6))
+              else None
+            val spike = hist >= 6 && n * den > 2 * num
+            // fold the closed hour into the baseline, trim past-horizon hours
+            st = EwmaState(st.open - h,
+              (st.closed + (h -> n)).filter { case (h2, _) => h2 >= h - 23 })
+            HourEwma(et, h, n, ewma, hist, spike)
+          }
+          state.update(st)
+          if (st.open.nonEmpty) {
+            val horizon = (st.open.keys.min + 1L) * hourUsL / 1000L + 2L * 3600L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(horizon, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Batch twin of [[anomalyStream]]: prefix-moments z per (hour, type)
     * over the bounded input — each hour scored against strictly earlier
     * hours, the exact semantics the stream applies as hours close.

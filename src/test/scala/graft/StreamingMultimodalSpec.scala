@@ -158,6 +158,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "an hour past the watermark horizon was never scored")
   }
 
+  test("streaming EWMA equals the q40 batch operator row-for-row past the horizon") {
+    val stream = EventsStreaming.readEvents(spark, sf)
+    val out = EventsStreaming.runToMemory(
+      spark, EventsStreaming.ewmaStream(spark, stream), "ewma_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchEvents = Tables.events(spark, sf)
+    val hourly = EventTime.withUs(batchEvents)
+      .select(col("event_type"), expr("us div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n_events"))
+    val twin = queries.EventQueries.ewmaFrom(spark, hourly)
+    assert(out.count() > 0, "the stream should close at least one hour")
+    // q40's EWMA is already prefix-semantics, so emitted rows must equal
+    // the BATCH operator's rows exactly (not a weaker prefix variant)
+    assert(out.exceptAll(twin).count() == 0,
+      "stream scored an hour differently than the q40 batch operator")
+    assert(out.count() == out.distinct().count(), "an hour was emitted twice")
+    // completeness: every hour past the watermark horizon must be scored
+    val maxUs = EventTime.withUs(batchEvents).agg(max("us")).collect()(0).getLong(0)
+    val mustClose = twin.filter(
+      (col("hr") + 1) * lit(3600L * 1000000L) + lit(2L * 3600L * 1000000L) <= maxUs)
+    assert(mustClose.exceptAll(out).count() == 0,
+      "an hour past the watermark horizon was never scored")
+  }
+
   test("closed sessions survive multi-batch streams: state carries across microbatches") {
     // split the events table into two time-halves, streamed as two
     // microbatches (maxFilesPerTrigger=1, modTimes force the order) —
