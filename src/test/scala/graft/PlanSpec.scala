@@ -361,6 +361,42 @@ class PlanSpec extends AnyFunSuite {
       "the overlap matrix must candidate through the gram inverted index")
   }
 
+  test("q38 basket pairs come from the order-key equi-join; supports broadcast") {
+    val p = finalPlan(queries.CoreQueries.q38(spark, sf))
+    // the only sanctioned non-equi element is the scalar n_orders cross
+    // join (IdentityBroadcastMode of a 1-row aggregate) — pair
+    // generation itself must join on ok, never part x part
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(ok") || p.contains("[ok#"),
+      "basket self-join must key on the order key")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary-sized item supports must broadcast into the pair aggregate")
+  }
+
+  test("qd36 fuzzy-dedup candidates come from the blocking-key equi-joins") {
+    val p = finalPlan(queries.TextQueries.qd36(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "blocked linkage must never fall back to doc x doc")
+  }
+
+  test("qd37 TF-IDF pushes the top-5 below the rank window and broadcasts df") {
+    val p = finalPlan(queries.TextQueries.qd37(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=5 must push into WindowGroupLimit (partial top-k before the exchange)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized df table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join on the corpus side")
+  }
+
+  test("q40 EWMA baseline joins co-partitioned aggregates, offsets broadcast") {
+    val p = finalPlan(queries.EventQueries.q40(spark, sf))
+    // the 24-row offsets frame rides a broadcast; the hourly/baseline
+    // join is an equi-join on (event_type, hr) — nothing quadratic
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 1, s"only the 24-row offset fan-out may nest (got $bnlj)")
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
