@@ -2516,6 +2516,61 @@ object TextQueries {
       |  FROM cl)
       |WHERE cluster_size >= 2""".stripMargin
 
+  // --------------------------------------------------------------- qd40
+  /** Corpus report card: the one-row dataset summary a curation run
+    * publishes next to its output — document/source/language counts,
+    * exact token totals and vocabulary size, the exact-duplicate
+    * fraction, and mean document length. Every figure is an exact
+    * aggregate (ratios divide exact longs, dround-ed at 6dp).
+    *
+    * Scale: one doc-level pass (map-side md5 + token count, then a
+    * global aggregate) plus one token-level pass for the vocabulary
+    * count (the qd20/qd20b dispatch point — exact here so the card is
+    * oracle-gradable, HLL at 100 TB). Output is a single row.
+    */
+  def qd40(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val perDoc = d.select(
+      col("doc_id"), col("source"), col("lang"), md5(col("text")).as("h"),
+      size(tokens(col("text"))).as("n_toks"))
+    val docAgg = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum("n_toks").as("total_tokens"),
+      count_distinct(col("h")).as("n_unique_texts"))
+    val vocab = d.select(explode(tokens(col("text"))).as("term"))
+      .agg(count_distinct(col("term")).as("vocab_size"))
+    docAgg.crossJoin(vocab)
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("vocab_size"),
+        dround((col("n_docs") - col("n_unique_texts")) / col("n_docs"), 6)
+          .as("exact_dup_frac"),
+        dround(col("total_tokens") / col("n_docs"), 6).as("mean_doc_tokens"))
+  }
+
+  private val qd40Sql =
+    """WITH perdoc AS (
+      |  SELECT doc_id, source, lang, md5(text) AS h,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |  FROM documents),
+      |docagg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |         CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+      |  FROM perdoc),
+      |vocab AS (
+      |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents))
+      |SELECT n_docs, n_sources, n_langs, total_tokens, vocab_size,
+      |  round((n_docs - n_unique_texts) / n_docs, 6) AS exact_dup_frac,
+      |  round(total_tokens / n_docs, 6) AS mean_doc_tokens
+      |FROM docagg CROSS JOIN vocab""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2560,6 +2615,7 @@ object TextQueries {
     "qd37_tfidf_keywords" -> (qd37 _),
     "qd38_source_diversity" -> (qd38 _),
     "qd39_fuzzy_clusters" -> (qd39 _),
+    "qd40_report_card" -> (qd40 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2600,6 +2656,7 @@ object TextQueries {
     "qd37_tfidf_keywords" -> qd37Sql,
     "qd38_source_diversity" -> qd38Sql,
     "qd39_fuzzy_clusters" -> qd39Sql,
+    "qd40_report_card" -> qd40Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

