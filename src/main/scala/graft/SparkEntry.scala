@@ -25,7 +25,8 @@ object SparkEntry {
         "qm3_image_decode" -> ((s, d) => graft.multimodal.Multimodal.imageDecode(s, d)),
         "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)),
         "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)),
-        "qm6_audio_energy" -> ((s, d) => graft.multimodal.Multimodal.audioEnergy(s, d)))
+        "qm6_audio_energy" -> ((s, d) => graft.multimodal.Multimodal.audioEnergy(s, d)),
+        "qm7_image_phash" -> ((s, d) => graft.multimodal.Multimodal.imagePhash(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -43,5 +44,6 @@ object SparkEntry {
         "qm3_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
         "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
         "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
-        "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql)
+        "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql,
+        "qm7_image_phash" -> graft.multimodal.Multimodal.imagePhashSql)
 }

@@ -418,6 +418,72 @@ object Multimodal {
     * (id + 128k) mod 256; without wraparound (s <= 128) the run sums to
     * 128s + 8128, with wraparound it splits at 255/0.
     */
+  /** qm7: perceptual-hash image dedup — a 64-bit block-mean hash (the
+    * aHash family) computed from the REAL decoded raster: global mean
+    * intensity, then an 8x8 grid of sampled pixels, bit = sample > mean,
+    * rendered as a 64-char bit string (no 1<<63 sign games). Images with
+    * equal hashes are perceptual duplicates; `keep` marks the min-id
+    * canonical per hash bucket. The checkerboard fixtures make every bit
+    * a closed form of doc_id, so the whole decode → hash → bucket chain
+    * is DuckDB-oracle-graded end to end.
+    *
+    * Scale: decode + hash is partition-local map work (the mapInPandas /
+    * mapPartitions batch shape); the dedup is one hash-partitioned
+    * window on a 16-byte key — the qd1 exact-dedup shape, applied to
+    * pixels instead of text.
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = ImageIO.read(new ByteArrayInputStream(pngPayload(id)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val row = new Array[Int](w * bands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, row)
+            var i = 0
+            while (i < row.length) { sum += row(i); i += 1 }
+            y += 1
+          }
+          val mean = sum.toDouble / (w.toLong * h * bands)
+          val bits = new StringBuilder(64)
+          var k = 0
+          while (k < 64) {
+            val px = (k % 8) * w / 8
+            val py = (k / 8) * h / 8
+            bits.append(if (raster.getSample(px, py, 0) > mean) '1' else '0')
+            k += 1
+          }
+          (id, bits.toString)
+        }
+      }.toDF("media_id", "phash")
+    val w = Window.partitionBy("phash")
+    hashed
+      .withColumn("n_same_hash", count(lit(1)).over(w))
+      .withColumn("keep", col("media_id") === min("media_id").over(w))
+  }
+
+  val imagePhashSql: String =
+    """SELECT media_id, phash,
+      | CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash,
+      | media_id = min(media_id) OVER (PARTITION BY phash) AS keep
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    array_to_string(list_transform(range(0, 64), k ->
+      |      CASE WHEN (CASE WHEN ((((k % 8) * (16 + (doc_id % 16) * 2)) // 8)
+      |                            + (((k // 8) * (8 + doc_id % 8)) // 8)) % 2 = 0
+      |                      THEN doc_id % 256 ELSE (doc_id * 7) % 256 END)
+      |                 > ((doc_id % 256) + ((doc_id * 7) % 256)) / 2.0
+      |            THEN '1' ELSE '0' END), '') AS phash
+      |  FROM documents)""".stripMargin
+
   val audioEnergySql: String =
     """WITH w AS (
       |  SELECT doc_id AS media_id,

@@ -855,6 +855,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(oversize == 0)
   }
 
+  test("qm7 perceptual hash: well-formed bits, mod-256 twins collide, canonical unique") {
+    val out = Multimodal.imagePhash(spark, sf).cache()
+    // every hash is exactly 64 bits of '0'/'1'
+    assert(out.filter(length(col("phash")) =!= 64).count() == 0)
+    assert(out.filter(col("phash").rlike("[^01]")).count() == 0)
+    // the fixture geometry and colors are functions of doc_id % 256, so
+    // ids congruent mod 256 render identical images -> identical hashes
+    val twins = out.as("a").join(out.as("b"),
+      col("a.media_id") + 256 === col("b.media_id"))
+    assert(twins.count() > 0)
+    assert(twins.filter(col("a.phash") =!= col("b.phash")).count() == 0,
+      "mod-256 twin images must hash identically")
+    // exactly one canonical per hash bucket, and it is the minimum id
+    val per = out.groupBy("phash").agg(
+      min("media_id").as("mn"), count(lit(1)).as("n"),
+      sum(when(col("keep"), 1).otherwise(0)).as("nkeep"),
+      first("n_same_hash").as("nsh"))
+    assert(per.filter(col("nkeep") =!= 1).count() == 0)
+    assert(per.filter(col("n") =!= col("nsh")).count() == 0)
+    // the flagged canonical IS the bucket minimum
+    assert(out.filter(col("keep")).join(per, Seq("phash"))
+      .filter(col("media_id") =!= col("mn")).count() == 0)
+    out.unpersist()
+  }
+
   test("qm1 media stats joins back to documents 1:1") {
     val stats = Multimodal.mediaStats(spark, sf)
     assert(stats.count() == Tables.documents(spark, sf).count())
