@@ -645,6 +645,45 @@ object EventQueries {
       |FROM hourly h
       |LEFT JOIN baseline b ON h.event_type = b.event_type AND h.hr = b.hr""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Top user-journey trigrams: the 20 most common consecutive 3-step
+    * event-type sequences across user timelines — q36's first-order
+    * transition matrix extended to the sequence-mining artifact a funnel
+    * designer actually reads (which 3-step paths dominate).
+    *
+    * Scale: two leads over the per-user ordered window (one shuffle on
+    * user_id), then a #types³-sized aggregation; the top-20 rank runs on
+    * that tiny frame. The (us, event_id) order key is a total order per
+    * user, so both engines rank the identical sequence multiset.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val w = Window.orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+    ev(s, dir)
+      .withColumn("s2", lead("event_type", 1).over(wo))
+      .withColumn("s3", lead("event_type", 2).over(wo))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 20)
+  }
+
+  private val q41Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS s1,
+      |         lead(event_type, 1) OVER w AS s2,
+      |         lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |tri AS (
+      |  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT s1, s2, s3, n, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS INT) AS rnk
+      |  FROM tri)
+      |WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -660,6 +699,7 @@ object EventQueries {
     "q36_transition_matrix" -> (q36 _),
     "q37_active_users" -> (q37 _),
     "q40_ewma_baseline" -> (q40 _),
+    "q41_path_trigrams" -> (q41 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -676,6 +716,7 @@ object EventQueries {
     "q36_transition_matrix" -> q36Sql,
     "q37_active_users" -> q37Sql,
     "q40_ewma_baseline" -> q40Sql,
+    "q41_path_trigrams" -> q41Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

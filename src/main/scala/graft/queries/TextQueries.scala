@@ -106,7 +106,11 @@ object TextQueries {
         col("pred_lang") :+ col("matches_label"): _*)
   }
 
-  private val qd3Sql = {
+  /** Shared SQL fragment: per-doc (doc_id, lang, pred_lang) via the
+    * stopword-profile scores — the inner body of qd3's oracle, reused by
+    * qd41's confusion matrix so both engines share ONE definition.
+    */
+  private val langPredSql: String = {
     val langs = stopwords.map(_._1)
     val scoreExprs = stopwords.map { case (lang, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")
@@ -116,15 +120,20 @@ object TextQueries {
       val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $ge AND s_$l > 0 THEN '$l'"
     }
-    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
-       | pred_lang, pred_lang = lang AS matches_label
-       |FROM (
-       |  SELECT *, CASE ${arms.mkString(" ")} ELSE 'unknown' END AS pred_lang
+    s"""SELECT *, CASE ${arms.mkString(" ")} ELSE 'unknown' END AS pred_lang
        |  FROM (
        |    SELECT doc_id, lang, ${scoreExprs.mkString(", ")}
        |    FROM (SELECT doc_id, lang,
        |                 regexp_split_to_array(trim(text), '\\s+') AS toks
-       |          FROM documents)))""".stripMargin
+       |          FROM documents))""".stripMargin
+  }
+
+  private val qd3Sql = {
+    val langs = stopwords.map(_._1)
+    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       | pred_lang, pred_lang = lang AS matches_label
+       |FROM (
+       |$langPredSql)""".stripMargin
   }
 
   // ---------------------------------------------------------------- qd4
@@ -2571,6 +2580,40 @@ object TextQueries {
       |  round(total_tokens / n_docs, 6) AS mean_doc_tokens
       |FROM docagg CROSS JOIN vocab""".stripMargin
 
+  // --------------------------------------------------------------- qd41
+  /** Language-ID confusion matrix: declared label x qd3 prediction with
+    * counts and row fractions — the calibration artifact that decides
+    * whether the cheap classifier is trustworthy per language before it
+    * gates a corpus (a language whose row mass sits off-diagonal needs a
+    * better model, not a threshold tweak).
+    *
+    * Scale: the per-doc prediction is map-only (qd3); the matrix is a
+    * #langs² aggregation with broadcast row totals. Shares qd3's single
+    * scoring definition on BOTH engines (one Spark helper, one SQL
+    * fragment), so the matrix can never drift from the classifier.
+    */
+  def qd41(s: SparkSession, dir: String): DataFrame = {
+    val pred = withLangScores(docs(s, dir).withColumn("toks", tokens(col("text"))))
+      .withColumn("pred_lang", langPred)
+      .select(col("lang"), col("pred_lang"))
+    val counts = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("lang").agg(sum("n").as("n_lang"))
+    counts.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        dround(col("n") / col("n_lang"), 6).as("frac"))
+  }
+
+  private val qd41Sql =
+    s"""WITH pred AS (
+       |$langPredSql),
+       |counts AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |totals AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |           FROM counts GROUP BY lang)
+       |SELECT counts.lang AS lang, pred_lang, n, round(n / n_lang, 6) AS frac
+       |FROM counts JOIN totals ON counts.lang = totals.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2616,6 +2659,7 @@ object TextQueries {
     "qd38_source_diversity" -> (qd38 _),
     "qd39_fuzzy_clusters" -> (qd39 _),
     "qd40_report_card" -> (qd40 _),
+    "qd41_lang_confusion" -> (qd41 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2657,6 +2701,7 @@ object TextQueries {
     "qd38_source_diversity" -> qd38Sql,
     "qd39_fuzzy_clusters" -> qd39Sql,
     "qd40_report_card" -> qd40Sql,
+    "qd41_lang_confusion" -> qd41Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -1875,6 +1875,78 @@ object VectorQueries {
        |  FROM p)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---------------------------------------------------------------- qe25
+  /** Leave-one-out kNN label confusion matrix: EVERY vector is classified
+    * by the majority label of its K exact nearest neighbors (itself
+    * excluded), and the true x predicted matrix with row fractions is the
+    * embedding-quality scorecard — qe3 generalized from the 10-query
+    * slice to the whole corpus, reduced to the #labels² eval artifact.
+    *
+    * Scale: the exact all-pairs base is the oracle anchor (each unordered
+    * pair scored once, mirrored — the qe15 trick); production swaps in
+    * ANN candidate lists (qe2/qe5/qe14) and keeps the vote + matrix
+    * layers unchanged. Votes and fractions are integer-exact.
+    */
+  def qe25(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val half = a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select("ida", "la", "idb", "lb", "cos")
+      .localCheckpoint()
+    val sym = half.unionByName(half.select(
+      col("idb").as("ida"), col("lb").as("la"),
+      col("ida").as("idb"), col("la").as("lb"), col("cos")))
+    val knn = sym.withColumn("rn", row_number().over(
+        Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+      .filter(col("rn") <= K)
+    val pred = knn.groupBy("ida", "la", "lb")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("ida").orderBy(col("votes").desc, col("lb").asc)))
+      .filter(col("vr") === 1)
+      .select(col("la").as("true_label"), col("lb").as("pred_label"))
+    val counts = pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("true_label").agg(sum("n").as("n_label"))
+    counts.join(broadcast(totals), Seq("true_label"))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        dround(col("n") / col("n_label"), 6).as("frac"))
+  }
+
+  private val qe25Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |half AS (
+       |  SELECT a.vec_id AS ida, a.label AS la, b.vec_id AS idb, b.label AS lb,
+       |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+       |sym AS (SELECT ida, la, idb, lb, cos FROM half
+       |        UNION ALL SELECT idb, lb, ida, la, cos FROM half),
+       |knn AS (
+       |  SELECT * FROM (
+       |    SELECT ida, la, lb,
+       |           row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rn
+       |    FROM sym) WHERE rn <= $K),
+       |pred AS (
+       |  SELECT la AS true_label, lb AS pred_label FROM (
+       |    SELECT ida, la, lb, count(*) AS votes,
+       |           row_number() OVER (PARTITION BY ida
+       |             ORDER BY count(*) DESC, lb) AS vr
+       |    FROM knn GROUP BY ida, la, lb) WHERE vr = 1),
+       |counts AS (
+       |  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |totals AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS n_label
+       |           FROM counts GROUP BY 1)
+       |SELECT counts.true_label AS true_label, pred_label, n,
+       |       round(n / n_label, 6) AS frac
+       |FROM counts JOIN totals ON counts.true_label = totals.true_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1904,6 +1976,7 @@ object VectorQueries {
     "qe22_mutual_nn_pairs" -> (qe22 _),
     "qe23_centroid_matrix" -> (qe23 _),
     "qe24_segment_merge_topk" -> (qe24 _),
+    "qe25_knn_confusion" -> (qe25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1935,6 +2008,7 @@ object VectorQueries {
     "qe22_mutual_nn_pairs" -> qe22Sql,
     "qe23_centroid_matrix" -> qe23Sql,
     "qe24_segment_merge_topk" -> qe24Sql,
+    "qe25_knn_confusion" -> qe25Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

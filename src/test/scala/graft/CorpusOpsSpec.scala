@@ -415,6 +415,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("qd41 lang confusion: rows normalize, totals and diagonal agree with qd3") {
+    val m = queries.TextQueries.qd41(spark, dir).cache()
+    val d = Tables.documents(spark, dir)
+    assert(m.agg(sum("n")).collect()(0).getLong(0) == d.count())
+    // each declared language's fractions sum to 1 (within rounding dust)
+    val rowSums = m.groupBy("lang").agg(sum("frac").as("s")).collect()
+    assert(rowSums.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-4))
+    // diagonal mass equals qd3's matches_label count
+    val diag = m.filter(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+    val qd3Matches = queries.TextQueries.qd3(spark, dir)
+      .filter(col("matches_label")).count()
+    assert(diag == qd3Matches)
+    m.unpersist()
+  }
+
+  test("qe25 kNN confusion: every vector classified once, rows normalize") {
+    val m = queries.VectorQueries.qe25(spark, dir).cache()
+    val e = Tables.embeddings(spark, dir)
+    assert(m.agg(sum("n")).collect()(0).getLong(0) == e.count())
+    val rowSums = m.groupBy("true_label").agg(sum("frac").as("s")).collect()
+    assert(rowSums.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-4))
+    // per-true-label mass equals the label's corpus frequency
+    val byLabel = e.groupBy(col("label").as("true_label"))
+      .agg(count(lit(1)).as("n_corpus"))
+    val agg = m.groupBy("true_label").agg(sum("n").as("n_mat"))
+      .join(byLabel, Seq("true_label"))
+    assert(agg.filter(col("n_mat") =!= col("n_corpus")).count() == 0)
+    m.unpersist()
+  }
+
+  test("q41 path trigrams: dense ranks, non-increasing counts, conserved mass") {
+    val out = queries.EventQueries.q41(spark, dir).cache()
+    val rows = out.orderBy("rnk").collect()
+    assert(rows.length <= 20)
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+      case _ =>
+    }
+    out.unpersist()
+  }
+
   test("qe24 segment merge: exactly equals the single-pass exact top-k") {
     val merged = queries.VectorQueries.qe24(spark, dir)
       .select("query_id", "neighbor_id", "cosine", "rnk").cache()
