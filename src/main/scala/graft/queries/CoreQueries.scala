@@ -668,6 +668,82 @@ object CoreQueries {
       |SELECT o_orderkey, change_op, old_price, new_price
       |FROM diff WHERE change_op != 'unchanged'""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Join-key skew report: for every hot join/aggregation keyspace in
+    * the lake (order, part, customer, user, source), the group-size
+    * distribution a planner reads before choosing salting/AQE-skew
+    * handling — key count, the heaviest key's row share, exact p50/p99
+    * group sizes, and the Gini coefficient of the size distribution.
+    *
+    * Exactness: quantiles are the sizes at integer ranks ((n+1) div 2,
+    * ceil(99n/100)) of the (size, key)-ordered ranking — ties carry
+    * equal sizes, so the picked VALUE is deterministic; Gini's
+    * Σ rank·size accumulates in Decimal(38,0) (exact past 2^63) and the
+    * final ratio divides two exact decimals.
+    *
+    * Scale: each keyspace is one partial-agged shuffle to sizes, then
+    * Pareto.rankBy's two-phase global rank (no single-partition window
+    * above the threshold); per-keyspace output is ONE row.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    // only user_id is read, but the footer still declares ts — keep the
+    // int64-nanos generations readable (no-op for µs timestamps)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def keyspace(name: String, rows: DataFrame, key: Column): DataFrame = {
+      val sizes = rows.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      val ranked = graft.operators.Pareto.rankBy(
+        sizes, Seq(col("c").asc, col("k").asc), "r")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val stats = ranked.agg(
+        count(lit(1)).as("n_keys"), sum("c").as("n_rows"), max("c").as("max_size"),
+        sum(dec(col("r")) * col("c")).as("s1"))
+      val quant = ranked.crossJoin(broadcast(stats)).agg(
+        max(when(col("r") === expr("(n_keys + 1) div 2"), col("c"))).as("p50_size"),
+        max(when(col("r") === expr("(99 * n_keys + 99) div 100"), col("c"))).as("p99_size"))
+      stats.crossJoin(quant).select(
+        lit(name).as("keyspace"), col("n_rows"), col("n_keys"),
+        dround(col("max_size") / col("n_rows"), 6).as("max_share"),
+        col("p50_size"), col("p99_size"),
+        dround(
+          (lit(2) * col("s1") - dec(col("n_keys") + 1) * col("n_rows")).cast("double") /
+            (dec(col("n_keys")) * col("n_rows")).cast("double"), 6).as("gini"))
+    }
+    keyspace("lineitem.l_orderkey", Tables.lineitem(s, dir), col("l_orderkey"))
+      .unionByName(keyspace("lineitem.l_partkey", Tables.lineitem(s, dir), col("l_partkey")))
+      .unionByName(keyspace("orders.o_custkey", Tables.orders(s, dir), col("o_custkey")))
+      .unionByName(keyspace("events.user_id", Tables.events(s, dir), col("user_id")))
+      .unionByName(keyspace("documents.source", Tables.documents(s, dir), col("source")))
+  }
+
+  private val q42Sql = {
+    def block(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS keyspace, n_rows, n_keys,
+         |  round(max_size / n_rows, 6) AS max_share, p50_size, p99_size,
+         |  round(CAST(2 * s1 - (n_keys + 1) * CAST(n_rows AS HUGEINT) AS DOUBLE)
+         |        / CAST(CAST(n_keys AS HUGEINT) * n_rows AS DOUBLE), 6) AS gini
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |         CAST(sum(c) AS BIGINT) AS n_rows,
+         |         CAST(max(c) AS BIGINT) AS max_size,
+         |         sum(CAST(r AS HUGEINT) * c) AS s1,
+         |         CAST(max(CASE WHEN r = (n_keys_pre + 1) // 2 THEN c END) AS BIGINT)
+         |           AS p50_size,
+         |         CAST(max(CASE WHEN r = (99 * n_keys_pre + 99) // 100 THEN c END) AS BIGINT)
+         |           AS p99_size
+         |  FROM (
+         |    SELECT c, k, row_number() OVER (ORDER BY c, k) AS r,
+         |           count(*) OVER () AS n_keys_pre
+         |    FROM (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c
+         |          FROM $table GROUP BY 1)))""".stripMargin
+    Seq(
+      block("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      block("lineitem.l_partkey", "lineitem", "l_partkey"),
+      block("orders.o_custkey", "orders", "o_custkey"),
+      block("events.user_id", "events", "user_id"),
+      block("documents.source", "documents", "source")
+    ).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -689,6 +765,7 @@ object CoreQueries {
     "q17_conditional_projection" -> (q17 _),
     "q38_basket_rules" -> (q38 _),
     "q39_snapshot_diff" -> (q39 _),
+    "q42_skew_report" -> (q42 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,5 +789,6 @@ object CoreQueries {
     "q17_conditional_projection" -> q17Sql,
     "q38_basket_rules" -> q38Sql,
     "q39_snapshot_diff" -> q39Sql,
+    "q42_skew_report" -> q42Sql,
   )
 }

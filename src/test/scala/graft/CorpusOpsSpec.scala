@@ -602,6 +602,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q42 skew report: one row per keyspace, ordered quantiles, sane Gini") {
+    val out = queries.CoreQueries.q42(spark, dir).cache()
+    assert(out.count() == 5)
+    assert(out.select("keyspace").distinct().count() == 5)
+    // p50 <= p99 <= max-implied size; shares and Gini in range
+    assert(out.filter(col("p50_size") > col("p99_size")).count() == 0)
+    assert(out.filter(col("max_share") <= 0.0 || col("max_share") > 1.0).count() == 0)
+    assert(out.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
+    assert(out.filter(col("n_keys") > col("n_rows")).count() == 0)
+    // ground truth for one keyspace: documents.source at sf0.01 is 20
+    // uniform sources of 25 docs -> zero skew
+    val src = out.filter(col("keyspace") === "documents.source").collect()(0)
+    assert(src.getAs[Long]("n_keys") ==
+      Tables.documents(spark, dir).select("source").distinct().count())
+    assert(src.getAs[Long]("p50_size") == 25L && src.getAs[Long]("p99_size") == 25L)
+    assert(src.getAs[Double]("gini") == 0.0)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
