@@ -510,7 +510,8 @@ object VectorQueries {
     * centroids (by euclidean on the quantizer geometry), then rank only
     * those inverted lists via the equi-join on list id.
     */
-  private def ivfProbe(assigned: DataFrame, centDf: DataFrame): DataFrame = {
+  private def ivfProbe(assigned: DataFrame, centDf: DataFrame,
+      nprobe: Int = IVF_NPROBE): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probes = q.crossJoin(broadcast(centDf))
@@ -518,7 +519,7 @@ object VectorQueries {
         (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
-      .filter(col("pr") <= IVF_NPROBE)
+      .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnrm"), col("cent_id"))
     assigned.join(broadcast(probes),
       col("list_id") === col("cent_id") && col("vec_id") =!= col("query_id"))
@@ -1947,6 +1948,62 @@ object VectorQueries {
        |       round(n / n_label, 6) AS frac
        |FROM counts JOIN totals ON counts.true_label = totals.true_label""".stripMargin
 
+  // ---------------------------------------------------------------- qe26
+  /** IVF probe-sweep tuning curve: recall@K against the exact top-k and
+    * the scanned-corpus fraction for nprobe ∈ {1, 2, 4, 8, 16} over the
+    * SAME seeded quantizer — the artifact that picks a production
+    * operating point (an index is tuned by reading this curve, not by
+    * faith). The nprobe = nlist endpoint scans every list, so its recall
+    * is 1.0 by construction — SketchSpec pins that endpoint plus
+    * monotonicity of both columns in nprobe.
+    *
+    * Scale: ONE fit; each sweep point reuses the assignments frame and
+    * differs only in the probe filter, so the sweep costs nprobe-sum
+    * list scans, not five refits. No SQL oracle (quantizer state is
+    * engine-side) — graded by the invariant spec like qe2/qe5.
+    */
+  def qe26(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centDf) = ivfFit(s, dir)
+    val cached = assigned.localCheckpoint()
+    val exact = topkExact(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.count() // NQUERIES * K
+    val corpus = cached.count()
+    Seq(1, 2, 4, IVF_NPROBE * 2, IVF_NLIST).distinct.sorted.map { p =>
+      val ann = ivfProbe(cached, centDf, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id")).count()
+      // scanned fraction: probed-list sizes summed over queries
+      val scanned = cached.select(col("vec_id").as("query_id"), col("vec"), col("nrm"))
+        .filter(col("query_id") < NQUERIES)
+        .select(col("query_id")).count() // queries present
+      val listRows = ivfProbeListRows(cached, centDf, p)
+      val s2 = s
+      import s2.implicits._
+      Seq((p, graft.operators.Rounding.droundD(hits.toDouble / nExact, 6),
+        graft.operators.Rounding.droundD(
+          listRows.toDouble / (scanned.toDouble * corpus), 6)))
+        .toDF("nprobe", "recall", "scanned_frac")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Rows a probe pass would score: Σ over queries of probed list sizes. */
+  private def ivfProbeListRows(assigned: DataFrame, centDf: DataFrame,
+      nprobe: Int): Long = {
+    val q = assigned.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val listSizes = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    probes.join(broadcast(listSizes), col("cent_id") === col("list_id"))
+      .agg(coalesce(sum("sz"), lit(0L))).collect()(0).getLong(0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -1977,6 +2034,7 @@ object VectorQueries {
     "qe23_centroid_matrix" -> (qe23 _),
     "qe24_segment_merge_topk" -> (qe24 _),
     "qe25_knn_confusion" -> (qe25 _),
+    "qe26_probe_sweep" -> (qe26 _),
   )
 
   val oracle: Map[String, String] = Map(

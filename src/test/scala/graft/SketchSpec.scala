@@ -114,4 +114,28 @@ class SketchSpec extends AnyFunSuite {
       shuffled.exceptAll(base).count() == 0,
       "HLL estimate drifted under a different input partitioning")
   }
+
+  test("qe26 probe sweep: monotone curve, exact endpoints at nprobe = nlist") {
+    val rows = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
+      .orderBy("nprobe").collect()
+    assert(rows.length >= 4)
+    // recall and scanned fraction are monotone non-decreasing in nprobe
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall") + 1e-12)
+        assert(a.getAs[Double]("scanned_frac") <= b.getAs[Double]("scanned_frac") + 1e-12)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      val sc = r.getAs[Double]("scanned_frac")
+      assert(rec >= 0.0 && rec <= 1.0 && sc > 0.0 && sc <= 1.0)
+    }
+    // probing every list IS the exact search: both endpoints pin to 1.0
+    val last = rows.last
+    assert(last.getAs[Double]("recall") == 1.0,
+      "nprobe = nlist must recover the exact top-k")
+    assert(last.getAs[Double]("scanned_frac") == 1.0,
+      "nprobe = nlist must scan the whole corpus")
+  }
 }
