@@ -2614,6 +2614,48 @@ object TextQueries {
        |SELECT counts.lang AS lang, pred_lang, n, round(n / n_lang, 6) AS frac
        |FROM counts JOIN totals ON counts.lang = totals.lang""".stripMargin
 
+  // --------------------------------------------------------------- qd42
+  /** BPE merge induction, round one: the corpus-wide adjacent
+    * character-pair frequencies inside whitespace words — the statistic
+    * a byte-pair-encoding tokenizer TRAINER maximizes at every merge
+    * step (Sennrich et al. 2016) — with the top-20 merge candidates
+    * ranked by (count desc, pair asc). Counts weight word OCCURRENCES,
+    * not types, exactly as BPE training does.
+    *
+    * Scale: pair extraction is map-only (per-token HOF over short
+    * words); one partial-agged shuffle on the pair key; the rank runs on
+    * the alphabet²-sized aggregate. Successive merge rounds would
+    * re-segment against the accepted merge list (the offline artifact)
+    * and re-run this exact aggregation — each round is one such pass.
+    */
+  def qd42(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
+      .filter(col("rnk") <= 20)
+  }
+
+  private val qd42Sql =
+    """WITH pairs AS (
+      |  SELECT pair, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, length(w)),
+      |                                 i -> substr(w, i, 2))) AS pair
+      |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |          FROM documents)
+      |    WHERE length(w) >= 2)
+      |  GROUP BY pair)
+      |SELECT pair, n, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+      |  FROM pairs)
+      |WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2660,6 +2702,7 @@ object TextQueries {
     "qd39_fuzzy_clusters" -> (qd39 _),
     "qd40_report_card" -> (qd40 _),
     "qd41_lang_confusion" -> (qd41 _),
+    "qd42_bpe_pairs" -> (qd42 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2702,6 +2745,7 @@ object TextQueries {
     "qd39_fuzzy_clusters" -> qd39Sql,
     "qd40_report_card" -> qd40Sql,
     "qd41_lang_confusion" -> qd41Sql,
+    "qd42_bpe_pairs" -> qd42Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

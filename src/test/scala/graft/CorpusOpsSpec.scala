@@ -621,6 +621,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd42 BPE pairs: planted corpus yields the exact merge statistic") {
+    import SparkSpecBase.spark.implicits._
+    // "abab" twice and "ab" once: ab=5 (2+2+1), ba=2; "x" contributes none
+    val planted = Seq((1L, "abab abab ab x")).toDF("doc_id", "text")
+    val pairs = planted
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == Map("ab" -> 5L, "ba" -> 2L))
+
+    // real corpus: dense ranks, non-increasing counts, 2-char pairs only
+    val out = queries.TextQueries.qd42(spark, dir).orderBy("rnk").collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Int]("rnk")).toSeq == (1 to 20))
+    assert(out.forall(_.getAs[String]("pair").length == 2))
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+      case _ =>
+    }
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
