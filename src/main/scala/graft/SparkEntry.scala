@@ -26,7 +26,8 @@ object SparkEntry {
         "qm4_audio_decode" -> ((s, d) => graft.multimodal.Multimodal.audioDecode(s, d)),
         "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)),
         "qm6_audio_energy" -> ((s, d) => graft.multimodal.Multimodal.audioEnergy(s, d)),
-        "qm7_image_phash" -> ((s, d) => graft.multimodal.Multimodal.imagePhash(s, d)))
+        "qm7_image_phash" -> ((s, d) => graft.multimodal.Multimodal.imagePhash(s, d)),
+        "qm8_corruption_scan" -> ((s, d) => graft.multimodal.Multimodal.mediaCorruption(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -45,5 +46,6 @@ object SparkEntry {
         "qm4_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
         "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
         "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql,
-        "qm7_image_phash" -> graft.multimodal.Multimodal.imagePhashSql)
+        "qm7_image_phash" -> graft.multimodal.Multimodal.imagePhashSql,
+        "qm8_corruption_scan" -> graft.multimodal.Multimodal.mediaCorruptionSql)
 }

@@ -484,6 +484,45 @@ object Multimodal {
       |            THEN '1' ELSE '0' END), '') AS phash
       |  FROM documents)""".stripMargin
 
+  /** qm8: corruption quarantine — every payload is pushed through the
+    * REAL codec and classified healthy/corrupt by whether decode
+    * succeeds; the quarantine verdict plus the error class is what a
+    * media-lake ingest job writes before anything downstream touches
+    * the binary column (a truncated file must die here, not inside a
+    * 1000-executor training job). Corruption is planted
+    * deterministically (doc_id % 97 == 0 payloads truncated to 10
+    * bytes), so the verdict has a closed-form oracle while the decode
+    * attempt itself is genuine.
+    *
+    * Scale: partition-local try-decode (same batch shape as qm3/qm4);
+    * output one row per asset. The catch is Exception-narrow — a JVM
+    * error still fails the job, as it should.
+    */
+  def mediaCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val kind = if (id % 2 == 0) "image" else "audio"
+          val full =
+            if (id % 2 == 0) pngPayload(id) else wavPayload(id)
+          val payload = if (id % 97 == 0) full.take(10) else full
+          val ok =
+            try { JdkDecoder.decode(kind, payload); true }
+            catch { case _: Exception => false }
+          (id, kind, payload.length, !ok)
+        }
+      }.toDF("media_id", "kind", "byte_len", "is_corrupt")
+      .select(col("media_id"), col("kind"), col("is_corrupt"))
+  }
+
+  val mediaCorruptionSql: String =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      | doc_id % 97 = 0 AS is_corrupt
+      |FROM documents""".stripMargin
+
   val audioEnergySql: String =
     """WITH w AS (
       |  SELECT doc_id AS media_id,

@@ -2656,6 +2656,61 @@ object TextQueries {
       |  FROM pairs)
       |WHERE rnk <= 20""".stripMargin
 
+  // --------------------------------------------------------------- qd43
+  /** Quality-ensemble vote: four independent per-doc quality signals —
+    * the qd4 heuristic score (>= 0.75), the qd29 Gopher rule gate, the
+    * qd16 repetition flag, and the qd32 entropy flag — each cast one
+    * vote; `keep` needs >= 3. Ensembling de-correlates single-filter
+    * failure modes (a long listicle passes ratios but fails entropy; a
+    * terse quality doc fails length but passes everything else) — the
+    * production keep-list shape when no trained classifier is available.
+    *
+    * Both engines COMPOSE the four published definitions: Spark joins
+    * the four operators' outputs; the oracle nests the four oracle SQL
+    * constants verbatim (one definition each, zero drift). Scale: the
+    * signals are map-only or per-doc aggregates; the ensemble is three
+    * joins on the primary key — bucketed tables make it exchange-free,
+    * or the four signals fuse into one scan when materialized together.
+    */
+  def qd43(s: SparkSession, dir: String): DataFrame = {
+    val v = (c: Column) => when(c, 1).otherwise(0)
+    val q4 = qd4(s, dir)
+      .select(col("doc_id"), (col("quality_score") >= 0.75).as("heuristic_pass"))
+    val gg = qd29(s, dir).select(col("doc_id"), col("keep").as("gopher_pass"))
+    val rep = qd16(s, dir).select(col("doc_id"), (!col("flagged")).as("repetition_pass"))
+    val ent = qd32(s, dir)
+      .select(col("doc_id"), (!col("is_low_entropy")).as("entropy_pass"))
+    q4.join(gg, Seq("doc_id")).join(rep, Seq("doc_id")).join(ent, Seq("doc_id"))
+      .withColumn("votes",
+        (v(col("heuristic_pass")) + v(col("gopher_pass")) +
+          v(col("repetition_pass")) + v(col("entropy_pass"))).cast("int"))
+      .withColumn("keep", col("votes") >= 3)
+  }
+
+  private val qd43Sql =
+    s"""WITH q4 AS ($qd4Sql),
+       |gg AS ($qd29Sql),
+       |rep AS ($qd16Sql),
+       |ent AS ($qd32Sql),
+       |joined AS (
+       |  SELECT q4.doc_id AS doc_id,
+       |         q4.quality_score >= 0.75 AS heuristic_pass,
+       |         gg.keep AS gopher_pass,
+       |         NOT rep.flagged AS repetition_pass,
+       |         NOT ent.is_low_entropy AS entropy_pass
+       |  FROM q4
+       |  JOIN gg ON q4.doc_id = gg.doc_id
+       |  JOIN rep ON q4.doc_id = rep.doc_id
+       |  JOIN ent ON q4.doc_id = ent.doc_id)
+       |SELECT doc_id, heuristic_pass, gopher_pass, repetition_pass, entropy_pass,
+       |  CAST(CAST(heuristic_pass AS INT) + CAST(gopher_pass AS INT)
+       |       + CAST(repetition_pass AS INT) + CAST(entropy_pass AS INT) AS INT)
+       |    AS votes,
+       |  CAST(heuristic_pass AS INT) + CAST(gopher_pass AS INT)
+       |       + CAST(repetition_pass AS INT) + CAST(entropy_pass AS INT) >= 3
+       |    AS keep
+       |FROM joined""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2703,6 +2758,7 @@ object TextQueries {
     "qd40_report_card" -> (qd40 _),
     "qd41_lang_confusion" -> (qd41 _),
     "qd42_bpe_pairs" -> (qd42 _),
+    "qd43_quality_ensemble" -> (qd43 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2746,6 +2802,7 @@ object TextQueries {
     "qd40_report_card" -> qd40Sql,
     "qd41_lang_confusion" -> qd41Sql,
     "qd42_bpe_pairs" -> qd42Sql,
+    "qd43_quality_ensemble" -> qd43Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -2004,6 +2004,75 @@ object VectorQueries {
       .agg(coalesce(sum("sz"), lit(0L))).collect()(0).getLong(0)
   }
 
+  // ---------------------------------------------------------------- qe27
+  /** Embedding health report: per-label norm statistics (count, mean,
+    * sample std, min, max) plus degenerate-vector counts (zero-norm,
+    * non-finite) — the sanity pass a pipeline runs after every re-embed
+    * BEFORE anything downstream trusts the vectors (a single NaN
+    * poisons a centroid; a zero norm turns cosine into 0/0).
+    *
+    * Exactness: norms quantize to 1e-6 integer units, so Σm and Σm²
+    * accumulate exactly (Decimal(38,0) for the squares) and mean/std
+    * divide exact quantities — no float-order drift across engines.
+    *
+    * Scale: one map-only pass to (label, micro-norm), one partial-agged
+    * shuffle on label; output is #labels rows.
+    */
+  def qe27(s: SparkSession, dir: String): DataFrame = {
+    val m = embs(s, dir)
+      .withColumn("micro", dround(col("nrm") * 1e6, 0).cast("long"))
+      .withColumn("bad", when(isnan(col("nrm")) ||
+        col("nrm") === Double.PositiveInfinity, 1L).otherwise(0L))
+    val mean = col("sm").cast("double") / col("n")
+    val variance = (col("smm").cast("double") - col("n") * mean * mean) /
+      (col("n") - 1)
+    m.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        sum("micro").as("sm"),
+        sum(col("micro").cast("decimal(38,0)") * col("micro")).as("smm"),
+        min("micro").as("mn"), max("micro").as("mx"),
+        sum(when(col("micro") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum("bad").as("n_nonfinite"))
+      .select(col("label"), col("n"),
+        dround(mean / 1e6, 6).as("mean_norm"),
+        when(col("n") > 1 && variance > 0, dround(sqrt(variance) / 1e6, 6))
+          .otherwise(lit(0.0)).as("std_norm"),
+        dround(col("mn") / 1e6, 6).as("min_norm"),
+        dround(col("mx") / 1e6, 6).as("max_norm"),
+        col("n_zero"), col("n_nonfinite"))
+  }
+
+  private val qe27Sql =
+    """WITH m AS (
+      |  SELECT label,
+      |    CAST(round(sqrt(list_dot_product(vec, vec)) * 1000000) AS BIGINT) AS micro,
+      |    CASE WHEN isnan(sqrt(list_dot_product(vec, vec)))
+      |           OR isinf(sqrt(list_dot_product(vec, vec)))
+      |         THEN 1 ELSE 0 END AS bad
+      |  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |        FROM embeddings)),
+      |agg AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(micro) AS BIGINT) AS sm,
+      |         sum(CAST(micro AS HUGEINT) * micro) AS smm,
+      |         CAST(min(micro) AS BIGINT) AS mn, CAST(max(micro) AS BIGINT) AS mx,
+      |         CAST(count(*) FILTER (micro = 0) AS BIGINT) AS n_zero,
+      |         CAST(sum(bad) AS BIGINT) AS n_nonfinite
+      |  FROM m GROUP BY label)
+      |SELECT label, n,
+      |  round(CAST(sm AS DOUBLE) / n / 1000000, 6) AS mean_norm,
+      |  CASE WHEN n > 1 AND
+      |            (CAST(smm AS DOUBLE) - n * (CAST(sm AS DOUBLE) / n)
+      |                                     * (CAST(sm AS DOUBLE) / n)) / (n - 1) > 0
+      |    THEN round(sqrt((CAST(smm AS DOUBLE)
+      |                     - n * (CAST(sm AS DOUBLE) / n)
+      |                          * (CAST(sm AS DOUBLE) / n)) / (n - 1)) / 1000000, 6)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS std_norm,
+      |  round(CAST(mn AS DOUBLE) / 1000000, 6) AS min_norm,
+      |  round(CAST(mx AS DOUBLE) / 1000000, 6) AS max_norm,
+      |  n_zero, n_nonfinite
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -2035,6 +2104,7 @@ object VectorQueries {
     "qe24_segment_merge_topk" -> (qe24 _),
     "qe25_knn_confusion" -> (qe25 _),
     "qe26_probe_sweep" -> (qe26 _),
+    "qe27_embedding_health" -> (qe27 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2067,6 +2137,7 @@ object VectorQueries {
     "qe23_centroid_matrix" -> qe23Sql,
     "qe24_segment_merge_topk" -> qe24Sql,
     "qe25_knn_confusion" -> qe25Sql,
+    "qe27_embedding_health" -> qe27Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

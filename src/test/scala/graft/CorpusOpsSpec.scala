@@ -645,6 +645,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qd43 quality ensemble: votes recompose from the four component operators") {
+    val out = queries.TextQueries.qd43(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.count() == nDocs)
+    // votes always equal the sum of the four flags, keep <=> votes >= 3
+    val vSum = when(col("heuristic_pass"), 1).otherwise(0) +
+      when(col("gopher_pass"), 1).otherwise(0) +
+      when(col("repetition_pass"), 1).otherwise(0) +
+      when(col("entropy_pass"), 1).otherwise(0)
+    assert(out.filter(col("votes") =!= vSum).count() == 0)
+    assert(out.filter(col("keep") =!= (col("votes") >= 3)).count() == 0)
+    // each flag column agrees with its source operator
+    val gg = queries.TextQueries.qd29(spark, dir).select(col("doc_id"), col("keep").as("src"))
+    assert(out.join(gg, Seq("doc_id"))
+      .filter(col("gopher_pass") =!= col("src")).count() == 0)
+    val rep = queries.TextQueries.qd16(spark, dir)
+      .select(col("doc_id"), (!col("flagged")).as("src"))
+    assert(out.join(rep, Seq("doc_id"))
+      .filter(col("repetition_pass") =!= col("src")).count() == 0)
+    out.unpersist()
+  }
+
+  test("qe27 embedding health: exact stats on a planted frame via the real operator") {
+    val out = queries.VectorQueries.qe27(spark, dir).cache()
+    val e = Tables.embeddings(spark, dir)
+    // one row per label, counts conserve, no degenerate vectors in this data
+    assert(out.count() == e.select("label").distinct().count())
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == e.count())
+    assert(out.filter(col("n_zero") =!= 0 || col("n_nonfinite") =!= 0).count() == 0)
+    // ordering and positivity invariants
+    assert(out.filter(col("min_norm") > col("mean_norm") ||
+      col("mean_norm") > col("max_norm")).count() == 0)
+    assert(out.filter(col("std_norm") < 0.0 || col("min_norm") <= 0.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("qm8 corruption scan: exactly the planted truncations quarantine") {
+    val out = graft.multimodal.Multimodal.mediaCorruption(spark, dir).cache()
+    assert(out.count() == Tables.documents(spark, dir).count())
+    // the corrupt set is exactly doc_id % 97 == 0 — decode genuinely
+    // failed there and genuinely succeeded everywhere else
+    assert(out.filter(col("is_corrupt") =!= (col("media_id") % 97 === 0)).count() == 0)
+    assert(out.filter(col("is_corrupt")).count() > 0)
+    assert(out.filter((col("media_id") % 2 === 0) =!= (col("kind") === "image"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
