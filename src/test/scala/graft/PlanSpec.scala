@@ -397,6 +397,28 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"only the 24-row offset fan-out may nest (got $bnlj)")
   }
 
+  test("qd42 BPE pairs: map-only extraction, one shuffle on the pair key") {
+    val p = finalPlan(queries.TextQueries.qd42(spark, sf))
+    val docScans = "FileScan parquet[^\\n]*documents".r.findAllMatchIn(p).size
+    assert(docScans == 1, s"expected one documents scan (got $docScans)")
+    assert(!p.contains("Join"), "pair counting needs no join at all")
+  }
+
+  test("qe27 embedding health aggregates in one pass: single scan, no join") {
+    val p = finalPlan(queries.VectorQueries.qe27(spark, sf))
+    val scans = "FileScan parquet[^\\n]*embeddings".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected one embeddings scan (got $scans)")
+    assert(!p.contains("Join"), "per-label moments are one partial-agged aggregate")
+  }
+
+  test("qd40 report card never shuffles the corpus for its scalar joins") {
+    val p = finalPlan(queries.TextQueries.qd40(spark, sf))
+    // the doc-level and vocabulary aggregates meet in a 1-row x 1-row
+    // cross join — broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "scalar aggregates must combine via broadcast")
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
