@@ -744,6 +744,90 @@ object CoreQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** PageRank over the co-purchase graph: nodes are parts, edges the
+    * q38 pairs (co-occurring in >= 2 orders, symmetrized), 10 power
+    * iterations at damping 0.85, top-50 by rank. The whole computation
+    * runs in INTEGER mass units (total mass 1e12): the per-edge
+    * contribution is `(mass * 85) div (100 * outdeg)` and the
+    * teleportation base `(15% of mass) div N` — floor losses are
+    * deterministic and identical across engines, so the output is exact
+    * BIGINT, no float anywhere. The oracle is a recursive CTE carrying
+    * an iteration counter through the same integer arithmetic.
+    *
+    * Scale: each iteration is ONE equi-join of the edge list (keyed on
+    * the source node) against the rank vector plus one destination-keyed
+    * aggregation — the Pregel shape; co-partitioning edges and ranks on
+    * the node key makes iterations exchange-light, and localCheckpoint
+    * cuts the 10-step lineage. Graph size is vocabulary-scale (parts),
+    * not corpus-scale.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = op.as("a")
+      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("p1", "p2")
+    graft.operators.Pareto.rankBy(
+        pagerankMass(pairs), Seq(col("mass").desc, col("node").asc), "rnk")
+      .filter(col("rnk") <= 50)
+      .select(col("node").as("part"), col("mass").as("rank_mass"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Integer-mass power iteration over an undirected pair list (p1, p2)
+    * — symmetrized here; 10 rounds, damping 85/100, total mass 1e12.
+    * Frame-parameterized so tests can plant graphs.
+    */
+  private[graft] def pagerankMass(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
+      .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val n = deg.count()
+    val edgeDeg = edges.join(deg, Seq("u")).localCheckpoint()
+    var rank = deg.select(col("u").as("node"), lit(1000000000000L / n).as("mass"))
+    for (_ <- 1 to 10) {
+      rank = edgeDeg.join(rank, col("u") === col("node"))
+        .select(col("v"), expr("(mass * 85) div (100 * d)").as("c"))
+        .groupBy(col("v").as("node"))
+        .agg((lit(150000000000L / n) + sum("c")).as("mass"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  private val q43Sql =
+    """WITH RECURSIVE
+      |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+      |          UNION ALL SELECT p2, p1 FROM pairs),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      |pr(iter, node, mass) AS (
+      |  SELECT 0, u, CAST(1000000000000 // n AS BIGINT) FROM deg, nn
+      |  UNION ALL
+      |  SELECT iter + 1, e.v,
+      |         CAST(150000000000 // any_value(n)
+      |              + sum((mass * 85) // (100 * d)) AS BIGINT)
+      |  FROM pr
+      |  JOIN edges e ON pr.node = e.u
+      |  JOIN deg ON deg.u = pr.node
+      |  CROSS JOIN nn
+      |  WHERE iter < 10
+      |  GROUP BY iter + 1, e.v)
+      |SELECT node AS part, mass AS rank_mass, rnk FROM (
+      |  SELECT node, mass,
+      |         CAST(row_number() OVER (ORDER BY mass DESC, node) AS INT) AS rnk
+      |  FROM pr WHERE iter = 10)
+      |WHERE rnk <= 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -766,6 +850,7 @@ object CoreQueries {
     "q38_basket_rules" -> (q38 _),
     "q39_snapshot_diff" -> (q39 _),
     "q42_skew_report" -> (q42 _),
+    "q43_copurchase_pagerank" -> (q43 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -790,5 +875,6 @@ object CoreQueries {
     "q38_basket_rules" -> q38Sql,
     "q39_snapshot_diff" -> q39Sql,
     "q42_skew_report" -> q42Sql,
+    "q43_copurchase_pagerank" -> q43Sql,
   )
 }

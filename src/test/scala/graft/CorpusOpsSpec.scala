@@ -693,6 +693,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q43 PageRank: planted star ranks the hub first; mass bounded and exact") {
+    import SparkSpecBase.spark.implicits._
+    // star: hub 1 connected to 2,3,4,5; plus a detached edge 6-7.
+    val planted = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+      .toDF("p1", "p2")
+    val mass = queries.CoreQueries.pagerankMass(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass.size == 7)
+    // the hub out-ranks every leaf; leaves are symmetric -> equal mass
+    assert((2L to 5L).forall(l => mass(1L) > mass(l)))
+    assert((3L to 5L).forall(l => mass(l) == mass(2L)))
+    // the detached pair is symmetric too, and below the hub
+    assert(mass(6L) == mass(7L) && mass(6L) < mass(1L))
+    // total mass stays within the 1e12 budget (floor losses only shrink it)
+    val total = mass.values.sum
+    assert(total <= 1000000000000L && total > 900000000000L)
+
+    // real corpus: 50 ranked rows, positive masses, dense ranks
+    val out = queries.CoreQueries.q43(spark, dir).orderBy("rnk").collect()
+    assert(out.length == 50)
+    assert(out.map(_.getAs[Int]("rnk")).toSeq == (1 to 50))
+    assert(out.forall(_.getAs[Long]("rank_mass") > 0L))
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
