@@ -762,14 +762,21 @@ object CoreQueries {
     * cuts the 10-step lineage. Graph size is vocabulary-scale (parts),
     * not corpus-scale.
     */
-  def q43(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical (p1 < p2) co-purchase edges: part pairs sharing >= 2
+    * orders — the graph under q43 (PageRank) and q44 (triangles).
+    */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = op.as("a")
+    op.as("a")
       .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
       .select("p1", "p2")
+  }
+
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir)
     graft.operators.Pareto.rankBy(
         pagerankMass(pairs), Seq(col("mass").desc, col("node").asc), "rnk")
       .filter(col("rnk") <= 50)
@@ -828,6 +835,83 @@ object CoreQueries {
       |  FROM pr WHERE iter = 10)
       |WHERE rnk <= 50""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Triangle counting + local clustering coefficients on the
+    * co-purchase graph. The engine enumerates via DEGREE ORIENTATION
+    * (compact-forward): every edge directs from its lower-(degree, id)
+    * endpoint to the higher one, wedges fan out only from a node's
+    * out-neighbors, and a closing edge is probed in the canonical pair
+    * set — each triangle found exactly once, wedge fan-out bounded by
+    * out-degree ~ sqrt(m) instead of the raw hub degree. The oracle
+    * counts the same triangles by plain a<b<c enumeration; both are
+    * deterministic, so outputs hash-match while the ENGINE carries the
+    * skew-safe shape.
+    *
+    * Scale: three equi-joins on vertex keys; orientation is THE
+    * standard hub-skew mitigation for distributed triangle counting.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame =
+    trianglesFrom(copurchasePairs(s, dir).localCheckpoint())
+
+  /** Frame-parameterized twin (tests plant graphs): canonical p1 < p2
+    * edges in, per-node (degree, triangles, clustering coeff) out.
+    */
+  private[graft] def trianglesFrom(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("p1").as("u"))
+      .unionByName(pairs.select(col("p2").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("u").as("p1"), col("d").as("d1")), Seq("p1"))
+      .join(deg.select(col("u").as("p2"), col("d").as("d2")), Seq("p2"))
+    val directed = withDeg.select(
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2")), col("p1"))
+        .otherwise(col("p2")).as("src"),
+      when(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2")), col("p2"))
+        .otherwise(col("p1")).as("dst"))
+    val wedges = directed.as("e1")
+      .join(directed.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges.join(pairs,
+      col("b") === col("p1") && col("c") === col("p2"))
+    val tcnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("t"))
+    deg.join(tcnt, Seq("u"), "left")
+      .select(col("u").as("part"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          dround(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  private val q44Sql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT p1 AS u FROM pairs UNION ALL SELECT p2 FROM pairs)
+      |        GROUP BY u),
+      |tri AS (
+      |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.p1 = e1.p1 AND e1.p2 < e2.p2
+      |  JOIN pairs e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+      |tcnt AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS t
+      |  FROM (SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri)
+      |  GROUP BY u)
+      |SELECT deg.u AS part, d AS degree, COALESCE(t, 0) AS triangles,
+      |  CASE WHEN d >= 2
+      |    THEN round(2.0 * COALESCE(t, 0) / (d * (d - 1)), 6)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+      |FROM deg LEFT JOIN tcnt ON deg.u = tcnt.u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -851,6 +935,7 @@ object CoreQueries {
     "q39_snapshot_diff" -> (q39 _),
     "q42_skew_report" -> (q42 _),
     "q43_copurchase_pagerank" -> (q43 _),
+    "q44_triangle_count" -> (q44 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -876,5 +961,6 @@ object CoreQueries {
     "q39_snapshot_diff" -> q39Sql,
     "q42_skew_report" -> q42Sql,
     "q43_copurchase_pagerank" -> q43Sql,
+    "q44_triangle_count" -> q44Sql,
   )
 }

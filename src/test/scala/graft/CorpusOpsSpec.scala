@@ -717,6 +717,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("rank_mass") > 0L))
   }
 
+  test("q44 triangles: a planted K4 plus pendant path counts exactly") {
+    import SparkSpecBase.spark.implicits._
+    // K4 on 1..4 (every node: 3 triangles, coeff 1.0) + path 4-5-6
+    val planted = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("p1", "p2")
+    val rows = queries.CoreQueries.trianglesFrom(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 3L).foreach { n =>
+      assert(rows(n).getAs[Long]("triangles") == 3L)
+      assert(rows(n).getAs[Double]("clustering_coeff") == 1.0)
+    }
+    // node 4 gains a pendant edge: 3 triangles over C(4,2)=6 wedges
+    assert(rows(4L).getAs[Long]("degree") == 4L)
+    assert(rows(4L).getAs[Long]("triangles") == 3L)
+    assert(rows(4L).getAs[Double]("clustering_coeff") == 0.5)
+    // path nodes close nothing; degree-1 node 6 pins coeff to 0
+    assert(rows(5L).getAs[Long]("triangles") == 0L &&
+      rows(5L).getAs[Double]("clustering_coeff") == 0.0)
+    assert(rows(6L).getAs[Long]("degree") == 1L &&
+      rows(6L).getAs[Double]("clustering_coeff") == 0.0)
+
+    // real corpus: coefficient bounds and the degree/triangle inequality
+    val real = queries.CoreQueries.q44(spark, dir).cache()
+    assert(real.filter(col("clustering_coeff") < 0.0 ||
+      col("clustering_coeff") > 1.0).count() == 0)
+    assert(real.filter(col("triangles") * 2 >
+      col("degree") * (col("degree") - 1)).count() == 0,
+      "triangles cannot exceed the wedge count")
+    real.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
