@@ -912,6 +912,73 @@ object CoreQueries {
       |    ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
       |FROM deg LEFT JOIN tcnt ON deg.u = tcnt.u""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Community detection via synchronous majority label propagation
+    * (Raghavan et al. 2007) on the co-purchase graph: labels start as
+    * node ids; each of 5 rounds every node adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label —
+    * fully deterministic, so unlike the usual randomized LPA this is
+    * oracle-gradable (the DuckDB twin runs the identical rounds in a
+    * recursive CTE with a window-function mode pick). Communities are
+    * denser than connected components: a bridge edge joins components
+    * but majority voting keeps the two sides' labels apart.
+    *
+    * Scale: each round is one source-keyed edge join + one
+    * destination-keyed (node, label) count + a per-node top-1 window —
+    * the Pregel shape again; lineage cut per round.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    lpaFrom(copurchasePairs(s, dir))
+
+  /** Frame-parameterized twin (tests plant graphs): canonical p1 < p2
+    * edges in, (part, community, community_size) out after 5 rounds.
+    */
+  private[graft] def lpaFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
+      .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 5) {
+      labels = edges.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("part"), col("label").as("community"),
+        col("community_size"))
+  }
+
+  private val q45Sql =
+    """WITH RECURSIVE
+      |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+      |          UNION ALL SELECT p2, p1 FROM pairs),
+      |lp(iter, node, label) AS (
+      |  SELECT 0, u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION ALL
+      |  SELECT iter + 1, node, label FROM (
+      |    SELECT iter, node, nl AS label,
+      |           row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+      |    FROM (SELECT lp.iter AS iter, e.v AS node, lp.label AS nl,
+      |                 count(*) AS c
+      |          FROM lp JOIN edges e ON lp.node = e.u
+      |          WHERE lp.iter < 5 GROUP BY 1, 2, 3))
+      |  WHERE rn = 1)
+      |SELECT node AS part, label AS community,
+      |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+      |FROM lp WHERE iter = 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -936,6 +1003,7 @@ object CoreQueries {
     "q42_skew_report" -> (q42 _),
     "q43_copurchase_pagerank" -> (q43 _),
     "q44_triangle_count" -> (q44 _),
+    "q45_lpa_communities" -> (q45 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -962,5 +1030,6 @@ object CoreQueries {
     "q42_skew_report" -> q42Sql,
     "q43_copurchase_pagerank" -> q43Sql,
     "q44_triangle_count" -> q44Sql,
+    "q45_lpa_communities" -> q45Sql,
   )
 }

@@ -750,6 +750,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("q45 LPA: two disjoint triangles converge to their min-id communities") {
+    import SparkSpecBase.spark.implicits._
+    val planted = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("p1", "p2")
+    val rows = queries.CoreQueries.lpaFrom(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 3L).foreach { n =>
+      assert(rows(n).getAs[Long]("community") == 1L)
+      assert(rows(n).getAs[Long]("community_size") == 3L)
+    }
+    Seq(10L, 11L, 12L).foreach { n =>
+      assert(rows(n).getAs[Long]("community") == 10L)
+      assert(rows(n).getAs[Long]("community_size") == 3L)
+    }
+
+    // real corpus: every graph node labeled once, sizes consistent
+    val real = queries.CoreQueries.q45(spark, dir).cache()
+    assert(real.groupBy("part").count().filter(col("count") > 1).count() == 0)
+    val sizes = real.groupBy("community").agg(
+      count(lit(1)).as("n"), first("community_size").as("sz"))
+    assert(sizes.filter(col("n") =!= col("sz")).count() == 0)
+    real.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
