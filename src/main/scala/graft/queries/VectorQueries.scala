@@ -2073,6 +2073,42 @@ object VectorQueries {
       |  n_zero, n_nonfinite
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- qe28
+  /** PCA dimensionality reduction: project the 64-dim embeddings onto
+    * the top-8 principal components — the offline compression step
+    * before clustering/visualization sweeps (and the classical
+    * alternative to the learned PQ codebooks of qe14). Uses Spark ML's
+    * PCA, whose distributed shape is the right one at any scale: one
+    * treeAggregate builds the 64x64 Gramian (map-side combinable), the
+    * eigendecomposition runs on the driver on a d x d matrix, and the
+    * projection is a map-only matrix multiply.
+    *
+    * No SQL oracle (eigenvectors are engine-side state, like the qe2
+    * hyperplanes); SketchSpec grades the linear-algebra contract
+    * instead: component orthonormality, non-increasing explained
+    * variance, projection-norm bounds, and partitioning invariance.
+    */
+  def qe28(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
+    val model = new PCA().setK(8).setInputCol("fvec").setOutputCol("proj")
+      .fit(e)
+    model.transform(e)
+      .withColumn("parr", vector_to_array(col("proj")))
+      .select(col("vec_id") +: (0 until 8).map(i =>
+        dround(col("parr")(i), 6).as(s"pc$i")): _*)
+  }
+
+  /** The fitted model's explained-variance vector, for the spec. */
+  private[graft] def pcaModel(s: SparkSession, dir: String)
+      : org.apache.spark.ml.feature.PCAModel = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
+    new PCA().setK(8).setInputCol("fvec").setOutputCol("proj").fit(e)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -2105,6 +2141,7 @@ object VectorQueries {
     "qe25_knn_confusion" -> (qe25 _),
     "qe26_probe_sweep" -> (qe26 _),
     "qe27_embedding_health" -> (qe27 _),
+    "qe28_pca_projection" -> (qe28 _),
   )
 
   val oracle: Map[String, String] = Map(

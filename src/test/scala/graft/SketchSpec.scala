@@ -115,6 +115,44 @@ class SketchSpec extends AnyFunSuite {
       "HLL estimate drifted under a different input partitioning")
   }
 
+  test("qe28 PCA: orthonormal basis, ordered variance, norm-contractive projection") {
+    val spark = SparkSpecBase.spark
+    val dir = "/root/testdata/sf0.01"
+    val model = queries.VectorQueries.pcaModel(spark, dir)
+    // explained variance is non-increasing and positive
+    val ev = model.explainedVariance.toArray
+    assert(ev.forall(_ > 0.0))
+    ev.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-12)
+      case _ =>
+    }
+    // the 64x8 loading matrix has orthonormal columns
+    val pc = model.pc
+    for (i <- 0 until 8; j <- i until 8) {
+      var dot = 0.0
+      for (r <- 0 until pc.numRows) dot += pc(r, i) * pc(r, j)
+      if (i == j) assert(math.abs(dot - 1.0) < 1e-9, s"col $i not unit norm")
+      else assert(math.abs(dot) < 1e-9, s"cols $i,$j not orthogonal")
+    }
+    // projections: one row per vector; an orthonormal projection never
+    // grows a vector's norm (PCA here does not mean-center, so the
+    // bound holds against the RAW norm)
+    val out = queries.VectorQueries.qe28(spark, dir).cache()
+    val e = Tables.embeddings(spark, dir)
+    assert(out.count() == e.count())
+    val projNorm = sqrt((0 until 8).map(i => col(s"pc$i") * col(s"pc$i"))
+      .reduce(_ + _))
+    val joined = out.join(
+      e.select(col("vec_id"), sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)).as("full_norm")), Seq("vec_id"))
+    assert(joined.filter(projNorm > col("full_norm") + 1e-6).count() == 0)
+    // deterministic under repartitioning
+    val again = queries.VectorQueries.qe28(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
   test("qe26 probe sweep: monotone curve, exact endpoints at nprobe = nlist") {
     val rows = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
       .orderBy("nprobe").collect()
