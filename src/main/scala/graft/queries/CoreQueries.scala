@@ -979,6 +979,81 @@ object CoreQueries {
       |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
       |FROM lp WHERE iter = 5""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Referential-integrity audit: the cross-table consistency checks an
+    * ingest gate runs before a snapshot is published — FK orphans in
+    * both directions, childless parents, duplicate child keys, and
+    * domain-range violations — one row per check with exact violation
+    * counts and fractions. (The duplicate-(orderkey, linenumber) check
+    * is EXPECTED to fire on this synthetic data — the audit reports,
+    * it does not assume.)
+    *
+    * Scale: every check is an anti/semi join or aggregate keyed on the
+    * FK — partial-agged, broadcastable on the dimension side; output is
+    * checks-count rows.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    def check(name: String, violations: DataFrame, checked: Long): DataFrame = {
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          lit(checked).as("n_checked"),
+          dround(col("n_violations") / lit(checked), 6).as("violation_frac"))
+    }
+    val nLi = li.count(); val nO = o.count()
+    check("lineitem_orphan_order",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"), nLi)
+      .unionByName(check("order_orphan_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"), nO))
+      .unionByName(check("order_without_lineitems",
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti"), nO))
+      .unionByName(check("duplicate_lineitem_key",
+        li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1), nLi))
+      .unionByName(check("nonpositive_quantity",
+        li.filter(col("l_quantity") <= 0), nLi))
+      .unionByName(check("nonpositive_totalprice",
+        o.filter(col("o_totalprice") <= 0), nO))
+  }
+
+  private val q46Sql =
+    """SELECT 'lineitem_orphan_order' AS check_name,
+      |  CAST(count(*) AS BIGINT) AS n_violations,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+      |  round(count(*) / (SELECT count(*) FROM lineitem), 6) AS violation_frac
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'order_orphan_customer', CAST(count(*) AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  round(count(*) / (SELECT count(*) FROM orders), 6)
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'order_without_lineitems', CAST(count(*) AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  round(count(*) / (SELECT count(*) FROM orders), 6)
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |UNION ALL
+      |SELECT 'duplicate_lineitem_key', CAST(count(*) AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  round(count(*) / (SELECT count(*) FROM lineitem), 6)
+      |FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      |      GROUP BY 1, 2 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'nonpositive_quantity', CAST(count(*) AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  round(count(*) / (SELECT count(*) FROM lineitem), 6)
+      |FROM lineitem WHERE l_quantity <= 0
+      |UNION ALL
+      |SELECT 'nonpositive_totalprice', CAST(count(*) AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  round(count(*) / (SELECT count(*) FROM orders), 6)
+      |FROM orders WHERE o_totalprice <= 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1004,6 +1079,7 @@ object CoreQueries {
     "q43_copurchase_pagerank" -> (q43 _),
     "q44_triangle_count" -> (q44 _),
     "q45_lpa_communities" -> (q45 _),
+    "q46_integrity_audit" -> (q46 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1031,5 +1107,6 @@ object CoreQueries {
     "q43_copurchase_pagerank" -> q43Sql,
     "q44_triangle_count" -> q44Sql,
     "q45_lpa_communities" -> q45Sql,
+    "q46_integrity_audit" -> q46Sql,
   )
 }

@@ -774,6 +774,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("q46 integrity audit: six checks, fractions consistent, duplicates detected") {
+    val out = queries.CoreQueries.q46(spark, dir).cache()
+    assert(out.count() == 6)
+    assert(out.filter(col("n_violations") > col("n_checked")).count() == 0)
+    // fraction recomputes from the counts
+    val recompute = graft.operators.Rounding.dround(
+      col("n_violations") / col("n_checked"), 6)
+    assert(out.filter(col("violation_frac") =!= recompute).count() == 0)
+    val byName = out.collect().map(r => r.getString(0) -> r).toMap
+    // the synthetic lineitem is KNOWN to carry duplicate
+    // (l_orderkey, l_linenumber) keys (verify-skill gotcha) — the audit
+    // must report them rather than assume uniqueness
+    assert(byName("duplicate_lineitem_key").getAs[Long]("n_violations") > 0)
+    // TPC-H-shaped generators keep FKs intact: orphan checks come back 0
+    assert(byName("lineitem_orphan_order").getAs[Long]("n_violations") == 0)
+    assert(byName("order_orphan_customer").getAs[Long]("n_violations") == 0)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
