@@ -2711,6 +2711,59 @@ object TextQueries {
        |    AS keep
        |FROM joined""".stripMargin
 
+  // --------------------------------------------------------------- qd44
+  /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each doc draws a deterministic uniform u from its
+    * md5 (first 8 hex digits / 2^32, the qd11 idiom) and competes with
+    * priority ln(u)/w, w = quality score + 0.01 — the top-200 priorities
+    * ARE a weighted sample without replacement. Deterministic end to
+    * end, so unlike rand()-based samplers it is fully oracle-graded;
+    * priorities are dround-ed before ranking with a doc_id tiebreak for
+    * a cross-engine total order.
+    *
+    * Scale: weights and priorities are map-only; the top-k is one
+    * TakeOrdered-shaped global rank (two-phase above threshold). This is
+    * the quality-proportional subsampling step between filtering (qd43)
+    * and mixing (qd25/qd28): higher-quality docs win proportionally
+    * more often, but nothing is certain — exactly the soft-selection
+    * pressure curation wants.
+    */
+  def qd44(s: SparkSession, dir: String): DataFrame = {
+    val w = col("quality_score") + lit(0.01)
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val scored = withQuality(docs(s, dir))
+      .select(col("doc_id"), col("quality_score"),
+        dround(log(u) / w, 6).as("priority"))
+    graft.operators.Pareto.rankBy(
+        scored, Seq(col("priority").desc, col("doc_id").asc), "rnk")
+      .filter(col("rnk") <= 200)
+      .select(col("doc_id"), col("quality_score"), col("priority"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  private val qd44Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    round((round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |           / length(text), 6)) * 0.5
+      |          + (1.0 - round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      |                   / length(text), 6)) * 0.2
+      |          + round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) * 0.3,
+      |          6) AS quality_score,
+      |    (CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS DOUBLE) + 0.5)
+      |      / 4294967296.0 AS u
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, quality_score,
+      |         round(ln(u) / (quality_score + 0.01), 6) AS priority
+      |  FROM q)
+      |SELECT doc_id, quality_score, priority, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT)
+      |           AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2759,6 +2812,7 @@ object TextQueries {
     "qd41_lang_confusion" -> (qd41 _),
     "qd42_bpe_pairs" -> (qd42 _),
     "qd43_quality_ensemble" -> (qd43 _),
+    "qd44_weighted_sample" -> (qd44 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2803,6 +2857,7 @@ object TextQueries {
     "qd41_lang_confusion" -> qd41Sql,
     "qd42_bpe_pairs" -> qd42Sql,
     "qd43_quality_ensemble" -> qd43Sql,
+    "qd44_weighted_sample" -> qd44Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

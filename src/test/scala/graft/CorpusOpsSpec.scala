@@ -793,6 +793,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd44 weighted sample: deterministic, dense ranks, priority formula exact") {
+    val out = queries.TextQueries.qd44(spark, dir).cache()
+    val rows = out.orderBy("rnk").collect()
+    assert(rows.length == 200)
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to 200))
+    // priorities are ln(u)/w < 0 and non-increasing with rank
+    assert(rows.forall(_.getAs[Double]("priority") < 0.0))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("priority") >= b.getAs[Double]("priority"))
+      case _ =>
+    }
+    // deterministic across invocations (hash-keyed, no rand())
+    val again = queries.TextQueries.qd44(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // the priority IS ln(u)/w: recompute from raw text + qd4's score
+    // (this corpus's quality scores are too tightly clustered for a
+    // mean-shift assertion — pin the mechanism, not the statistics)
+    val docsDf = Tables.documents(spark, dir).select("doc_id", "text")
+    val q4 = queries.TextQueries.qd4(spark, dir)
+      .select(col("doc_id"), col("quality_score").as("qs4"))
+    val joined = out.join(docsDf, Seq("doc_id")).join(q4, Seq("doc_id"))
+      .orderBy("rnk").limit(25).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    joined.foreach { r =>
+      val hex = md.digest(r.getAs[String]("text").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      val w = r.getAs[Double]("qs4") + 0.01
+      assert(r.getAs[Double]("priority") ==
+        graft.operators.Rounding.droundD(math.log(u) / w, 6),
+        s"priority formula mismatch for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("quality_score") == r.getAs[Double]("qs4"))
+    }
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
