@@ -1054,6 +1054,53 @@ object CoreQueries {
       |  round(count(*) / (SELECT count(*) FROM orders), 6)
       |FROM orders WHERE o_totalprice <= 0""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** CUBE aggregate over (returnflag, linestatus, ship year): all 8
+    * grouping combinations in one pass — the multi-dimensional rollup
+    * surface beyond q16's one-dimension ROLLUP. Subtotal rows label
+    * collapsed dimensions 'ALL' (these columns are never NULL in the
+    * data, so the coalesce is unambiguous). Revenue goes through
+    * integer cents so even the grand-total row (a sum over the whole
+    * table) is association-order-proof.
+    *
+    * Scale: Spark plans CUBE as one Expand (x8) + one partial-agged
+    * shuffle — rows multiply by the grouping-set count BEFORE the
+    * map-side combine, so the exchange still carries only group-sized
+    * data. The shape is identical at any corpus size.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("string").as("ship_year"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        (sum("cents") / 100.0).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        coalesce(col("ship_year"), lit("ALL")).as("ship_year"),
+        col("n_rows"), col("sum_qty"), col("revenue"))
+
+  private val q47Sql =
+    """SELECT
+      |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  coalesce(ship_year, 'ALL') AS ship_year,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(year(l_shipdate) AS VARCHAR) AS ship_year,
+      |         l_quantity,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1080,6 +1127,7 @@ object CoreQueries {
     "q44_triangle_count" -> (q44 _),
     "q45_lpa_communities" -> (q45 _),
     "q46_integrity_audit" -> (q46 _),
+    "q47_cube" -> (q47 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1108,5 +1156,6 @@ object CoreQueries {
     "q44_triangle_count" -> q44Sql,
     "q45_lpa_communities" -> q45Sql,
     "q46_integrity_audit" -> q46Sql,
+    "q47_cube" -> q47Sql,
   )
 }

@@ -830,6 +830,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q47 cube: subtotal lattice is additive and the grand total matches") {
+    val out = queries.CoreQueries.q47(spark, dir).cache()
+    val li = Tables.lineitem(spark, dir)
+    // grand total row equals the table
+    val gt = out.filter(col("l_returnflag") === "ALL" &&
+      col("l_linestatus") === "ALL" && col("ship_year") === "ALL").collect()
+    assert(gt.length == 1 && gt(0).getAs[Long]("n_rows") == li.count())
+    // each lattice level's row counts sum to the grand total
+    Seq(
+      col("l_returnflag") =!= "ALL" && col("l_linestatus") === "ALL" &&
+        col("ship_year") === "ALL",
+      col("l_returnflag") === "ALL" && col("l_linestatus") =!= "ALL" &&
+        col("ship_year") === "ALL",
+      col("l_returnflag") =!= "ALL" && col("l_linestatus") =!= "ALL" &&
+        col("ship_year") =!= "ALL"
+    ).foreach { level =>
+      val s = out.filter(level).agg(sum("n_rows")).collect()(0).getLong(0)
+      assert(s == li.count(), s"lattice level does not re-sum to the total")
+    }
+    // revenue is additive too (integer cents make this exact)
+    val fine = out.filter(col("l_returnflag") =!= "ALL" &&
+      col("l_linestatus") =!= "ALL" && col("ship_year") =!= "ALL")
+      .agg(sum("revenue")).collect()(0).getDouble(0)
+    assert(math.abs(fine - gt(0).getAs[Double]("revenue")) < 1e-6)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
