@@ -2109,6 +2109,80 @@ object VectorQueries {
     new PCA().setK(8).setInputCol("fvec").setOutputCol("proj").fit(e)
   }
 
+  // ---------------------------------------------------------------- qe29
+  /** Dimension-truncation retrieval sweep (the Matryoshka question): at
+    * each prefix length d ∈ {8,16,32,64}, run the exact cosine top-K on
+    * the FIRST d dimensions only and measure overlap with the full-dim
+    * top-K — how much retrieval quality survives storing a prefix. The
+    * d = 64 row is the full search, so its recall is 1.0 by
+    * construction. Every stage is deterministic (zero-norm prefixes pin
+    * cosine to -1), so the whole sweep is DuckDB-oracle-graded —
+    * unlike qe26's quantizer sweep, nothing here is engine-side state.
+    *
+    * Scale: per d, the same broadcast-queries scan shape as qe1; the
+    * sweep is the offline study that picks a stored prefix length
+    * before committing 8x less vector storage.
+    */
+  def qe29(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select("vec_id", "vec").localCheckpoint()
+    def topAt(d: Int): DataFrame = {
+      val vd = slice(col("vec"), 1, d)
+      val base = e.select(col("vec_id"), vd.as("vd"),
+        sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
+          .as("nd"))
+      val q = base.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nd").as("qn"))
+      base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          when(col("qn") * col("nd") === 0, lit(-1.0))
+            .otherwise(dround(
+              aggregate(zip_with(col("qd"), col("vd"), (x, y) => x * y),
+                lit(0.0), (a, x) => a + x) / (col("qn") * col("nd")), 6)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rn") <= K)
+        .select(lit(d).as("dim"), col("query_id"), col("vec_id").as("neighbor_id"))
+    }
+    val tops = Seq(8, 16, 32, 64).map(topAt).reduce(_.unionByName(_))
+    val full = tops.filter(col("dim") === 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    tops.join(full, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_ret"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("dim"),
+        dround(col("hits") / col("n_ret"), 6).as("recall"))
+  }
+
+  private val qe29Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+       |scored AS (
+       |  SELECT dim, q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(q.vec[1:dim], q.vec[1:dim]))
+       |              * sqrt(list_dot_product(d.vec[1:dim], d.vec[1:dim])) = 0
+       |      THEN CAST(-1.0 AS DOUBLE)
+       |      ELSE round(list_dot_product(q.vec[1:dim], d.vec[1:dim])
+       |                 / (sqrt(list_dot_product(q.vec[1:dim], q.vec[1:dim]))
+       |                    * sqrt(list_dot_product(d.vec[1:dim], d.vec[1:dim]))), 6)
+       |      END AS cos
+       |  FROM e q CROSS JOIN e d CROSS JOIN dims
+       |  WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id),
+       |top AS (
+       |  SELECT dim, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY dim, query_id
+       |                                 ORDER BY cos DESC, neighbor_id) AS rn
+       |    FROM scored) WHERE rn <= $K),
+       |full5 AS (SELECT query_id, neighbor_id FROM top WHERE dim = 64)
+       |SELECT t.dim AS dim,
+       |       round(CAST(count(f.neighbor_id) AS BIGINT)
+       |             / CAST(count(*) AS BIGINT), 6) AS recall
+       |FROM top t
+       |LEFT JOIN full5 f
+       |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+       |GROUP BY t.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -2142,6 +2216,7 @@ object VectorQueries {
     "qe26_probe_sweep" -> (qe26 _),
     "qe27_embedding_health" -> (qe27 _),
     "qe28_pca_projection" -> (qe28 _),
+    "qe29_dim_truncation_sweep" -> (qe29 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2175,6 +2250,7 @@ object VectorQueries {
     "qe24_segment_merge_topk" -> qe24Sql,
     "qe25_knn_confusion" -> qe25Sql,
     "qe27_embedding_health" -> qe27Sql,
+    "qe29_dim_truncation_sweep" -> qe29Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

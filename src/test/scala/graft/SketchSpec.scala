@@ -153,6 +153,18 @@ class SketchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qe29 dim sweep: full-dim endpoint exactly 1.0, recalls in range") {
+    val rows = queries.VectorQueries.qe29(SparkSpecBase.spark, "/root/testdata/sf0.01")
+      .orderBy("dim").collect()
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == Seq(8, 16, 32, 64))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    assert(rows.last.getAs[Double]("recall") == 1.0,
+      "the d = 64 prefix IS the full search")
+  }
+
   test("qe26 probe sweep: monotone curve, exact endpoints at nprobe = nlist") {
     val rows = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
       .orderBy("nprobe").collect()
