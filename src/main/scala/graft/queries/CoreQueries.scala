@@ -1101,6 +1101,77 @@ object CoreQueries {
       |  FROM lineitem)
       |GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** SCD type-2 dimension build over q39's two snapshots: every key's
+    * history as versioned rows with [valid_from, valid_to) epochs (0 =
+    * the old snapshot's load, 1 = the new one's, NULL = open-ended) and
+    * an `is_current` flag — the warehouse-canonical slowly-changing
+    * dimension materialization, where q39 only CLASSIFIES the change:
+    *   unchanged → one open row from 0        updated → closed old
+    *   insert    → one open row from 1                  [0,1) + open new
+    *   delete    → one closed row [0,1)                 from 1
+    *
+    * Scale: one full-outer key join (identical to q39) followed by a
+    * map-only row expansion — history never reshuffles; bucketed
+    * snapshots make the whole build exchange-free.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val snapOld = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+        lit(1).as("old_present"))
+    val snapNew = o.filter(col("o_orderkey") % 13 =!= 5)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 2, dround(col("o_totalprice") * 1.05, 2))
+          .otherwise(col("o_totalprice")).as("new_price"),
+        lit(1).as("new_present"))
+    val joined = snapOld.join(snapNew, Seq("o_orderkey"), "full_outer")
+    val intNull = lit(null).cast("int")
+    // old-era row: exists when the key was in the old snapshot; closes
+    // at epoch 1 iff the key changed or vanished
+    val oldRow = joined.filter(col("old_present").isNotNull)
+      .select(col("o_orderkey"), col("old_price").as("price"),
+        lit(0).as("valid_from"),
+        when(col("new_present").isNull ||
+          col("old_price") =!= col("new_price"), lit(1)).otherwise(intNull)
+          .as("valid_to"))
+    // new-era row: exists when the key changed or was inserted
+    val newRow = joined.filter(col("new_present").isNotNull &&
+        (col("old_present").isNull || col("old_price") =!= col("new_price")))
+      .select(col("o_orderkey"), col("new_price").as("price"),
+        lit(1).as("valid_from"), intNull.as("valid_to"))
+    oldRow.unionByName(newRow)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  private val q48Sql =
+    """WITH snap_old AS (
+      |  SELECT o_orderkey, o_totalprice AS old_price, 1 AS old_present
+      |  FROM orders WHERE o_orderkey % 10 != 3),
+      |snap_new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 2 THEN round(o_totalprice * 1.05, 2)
+      |              ELSE o_totalprice END AS new_price, 1 AS new_present
+      |  FROM orders WHERE o_orderkey % 13 != 5),
+      |joined AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |         a.old_price, a.old_present, b.new_price, b.new_present
+      |  FROM snap_old a FULL OUTER JOIN snap_new b
+      |    ON a.o_orderkey = b.o_orderkey),
+      |rows_out AS (
+      |  SELECT o_orderkey, old_price AS price, 0 AS valid_from,
+      |         CASE WHEN new_present IS NULL OR old_price != new_price
+      |              THEN 1 END AS valid_to
+      |  FROM joined WHERE old_present IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, new_price, 1, NULL
+      |  FROM joined
+      |  WHERE new_present IS NOT NULL
+      |    AND (old_present IS NULL OR old_price != new_price))
+      |SELECT o_orderkey, price, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM rows_out""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1128,6 +1199,7 @@ object CoreQueries {
     "q45_lpa_communities" -> (q45 _),
     "q46_integrity_audit" -> (q46 _),
     "q47_cube" -> (q47 _),
+    "q48_scd2_build" -> (q48 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1157,5 +1229,6 @@ object CoreQueries {
     "q45_lpa_communities" -> q45Sql,
     "q46_integrity_audit" -> q46Sql,
     "q47_cube" -> q47Sql,
+    "q48_scd2_build" -> q48Sql,
   )
 }

@@ -857,6 +857,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q48 SCD2: history agrees with the q39 change classes, one current row max") {
+    val hist = queries.CoreQueries.q48(spark, dir).cache()
+    val cdc = queries.CoreQueries.q39(spark, dir)
+      .select(col("o_orderkey"), col("change_op"))
+    // per key: at most one current row; version count by change class
+    val perKey = hist.groupBy("o_orderkey").agg(
+      count(lit(1)).as("versions"),
+      sum(when(col("is_current"), 1).otherwise(0)).as("n_current"))
+    assert(perKey.filter(col("n_current") > 1).count() == 0)
+    val byClass = perKey.join(cdc, Seq("o_orderkey"), "left")
+      .withColumn("cls", coalesce(col("change_op"), lit("unchanged")))
+    // unchanged/insert -> 1 version (current); update -> 2 (one current);
+    // delete -> 1 closed version (no current row)
+    assert(byClass.filter(col("cls").isin("unchanged", "insert") &&
+      (col("versions") =!= 1 || col("n_current") =!= 1)).count() == 0)
+    assert(byClass.filter(col("cls") === "update" &&
+      (col("versions") =!= 2 || col("n_current") =!= 1)).count() == 0)
+    assert(byClass.filter(col("cls") === "delete" &&
+      (col("versions") =!= 1 || col("n_current") =!= 0)).count() == 0)
+    // interval sanity: valid_from < valid_to when closed
+    assert(hist.filter(col("valid_to").isNotNull &&
+      col("valid_from") >= col("valid_to")).count() == 0)
+    hist.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
