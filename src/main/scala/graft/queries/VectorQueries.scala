@@ -2183,6 +2183,89 @@ object VectorQueries {
        |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
        |GROUP BY t.dim""".stripMargin
 
+  // ---------------------------------------------------------------- qe30
+  /** Silhouette score per cluster over the oracle-exact qe9 k-means
+    * assignment: a(i) = mean squared-L2 to own-cluster members, b(i) =
+    * min over other clusters of the mean to that cluster, s(i) =
+    * (b-a)/max(a,b) — the canonical internal clustering-quality eval
+    * (squared-euclidean variant), reported as per-cluster means.
+    * Per-pair distances use the SAME rounded dot-identity as the
+    * assignment and quantize to 1e-6 integers, so every mean divides
+    * exact longs and no float accumulation order can flip a row.
+    * Singleton clusters pin s = 0 (the standard convention), as does a
+    * degenerate max(a,b) = 0.
+    *
+    * Scale: the exact all-pairs base is the oracle anchor (qe15's
+    * class); production gates pairs through the cluster equi-join
+    * (a exactly, b against sampled or centroid-approximated clusters).
+    */
+  def qe30(s: SparkSession, dir: String): DataFrame =
+    silhouetteFrom(kmeansAssign(s, dir).select(col("vec_id"), col("cid"), col("vec"))
+      .localCheckpoint())
+
+  /** Frame-parameterized twin (tests plant assignments): (vec_id, cid,
+    * vec) in, per-cluster (n, mean_silhouette) out.
+    */
+  private[graft] def silhouetteFrom(asg: DataFrame): DataFrame = {
+    val x = asg.select(col("vec_id").as("i"), col("cid").as("ci"), col("vec").as("vi"))
+    val y = asg.select(col("vec_id").as("j"), col("cid").as("cj"), col("vec").as("vj"))
+    val d2 = dround(dot(col("vi"), col("vi")) - lit(2.0) * dot(col("vi"), col("vj"))
+      + dot(col("vj"), col("vj")), 6)
+    val grp = x.join(y, col("i") =!= col("j"))
+      .select(col("i"), col("ci"), col("cj"),
+        dround(d2 * 1e6, 0).cast("long").as("micro"))
+      .groupBy("i", "ci", "cj")
+      .agg(sum("micro").as("sm"), count(lit(1)).as("cnt"))
+      .withColumn("mean_d", dround(col("sm").cast("double") / col("cnt") / 1e6, 6))
+    val aDf = grp.filter(col("ci") === col("cj"))
+      .select(col("i"), col("mean_d").as("a"))
+    val bDf = grp.filter(col("ci") =!= col("cj"))
+      .groupBy("i").agg(min("mean_d").as("b"))
+    asg.select(col("vec_id").as("i"), col("cid"))
+      .join(aDf, Seq("i"), "left")
+      .join(bDf, Seq("i"), "left")
+      .withColumn("sil",
+        when(col("a").isNull || col("b").isNull, lit(0.0))
+          .when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise(dround((col("b") - col("a")) / greatest(col("a"), col("b")), 6)))
+      .withColumn("smicro", dround(col("sil") * 1e6, 0).cast("long"))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        dround(sum("smicro").cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_silhouette"))
+  }
+
+  private val qe30Sql =
+    s"""$kmeansCtes,
+       |pair AS (
+       |  SELECT x.vec_id AS i, x.cid AS ci, y.cid AS cj,
+       |    CAST(round(round(list_dot_product(x.vec, x.vec)
+       |                     - 2 * list_dot_product(x.vec, y.vec)
+       |                     + list_dot_product(y.vec, y.vec), 6) * 1000000)
+       |         AS BIGINT) AS micro
+       |  FROM asg x JOIN asg y ON x.vec_id <> y.vec_id),
+       |grp AS (
+       |  SELECT i, ci, cj, CAST(sum(micro) AS BIGINT) AS sm,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pair GROUP BY 1, 2, 3),
+       |md AS (SELECT i, ci, cj,
+       |              round(CAST(sm AS DOUBLE) / cnt / 1000000, 6) AS mean_d
+       |       FROM grp),
+       |aa AS (SELECT i, mean_d AS a FROM md WHERE ci = cj),
+       |bb AS (SELECT i, min(mean_d) AS b FROM md WHERE ci <> cj GROUP BY i),
+       |sil AS (
+       |  SELECT asg.vec_id AS i, asg.cid AS cid,
+       |    CASE WHEN aa.a IS NULL OR bb.b IS NULL THEN CAST(0.0 AS DOUBLE)
+       |         WHEN greatest(aa.a, bb.b) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE round((bb.b - aa.a) / greatest(aa.a, bb.b), 6) END AS s
+       |  FROM asg
+       |  LEFT JOIN aa ON asg.vec_id = aa.i
+       |  LEFT JOIN bb ON asg.vec_id = bb.i)
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 1000000, 6) AS mean_silhouette
+       |FROM sil GROUP BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -2217,6 +2300,7 @@ object VectorQueries {
     "qe27_embedding_health" -> (qe27 _),
     "qe28_pca_projection" -> (qe28 _),
     "qe29_dim_truncation_sweep" -> (qe29 _),
+    "qe30_silhouette" -> (qe30 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2251,6 +2335,7 @@ object VectorQueries {
     "qe25_knn_confusion" -> qe25Sql,
     "qe27_embedding_health" -> qe27Sql,
     "qe29_dim_truncation_sweep" -> qe29Sql,
+    "qe30_silhouette" -> qe30Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

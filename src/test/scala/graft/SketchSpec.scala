@@ -165,6 +165,31 @@ class SketchSpec extends AnyFunSuite {
       "the d = 64 prefix IS the full search")
   }
 
+  test("qe30 silhouette: separated planted clusters score high, singleton pins 0") {
+    import SparkSpecBase.spark.implicits._
+    // two tight, far-apart clusters + one singleton cluster
+    val planted = Seq(
+      (0L, 0, Seq(0.0, 0.0)), (1L, 0, Seq(0.1, 0.0)),
+      (2L, 1, Seq(10.0, 10.0)), (3L, 1, Seq(10.1, 10.0)),
+      (4L, 2, Seq(100.0, 0.0))
+    ).toDF("vec_id", "cid", "vec")
+    val rows = queries.VectorQueries.silhouetteFrom(planted).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows(0).getAs[Double]("mean_silhouette") > 0.9)
+    assert(rows(1).getAs[Double]("mean_silhouette") > 0.9)
+    assert(rows(2).getAs[Long]("n") == 1L &&
+      rows(2).getAs[Double]("mean_silhouette") == 0.0)
+
+    // real corpus: one row per qe9 cluster, silhouettes within [-1, 1]
+    val real = queries.VectorQueries.qe30(SparkSpecBase.spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(real.length == 8)
+    assert(real.forall { r =>
+      val m = r.getAs[Double]("mean_silhouette"); m >= -1.0 && m <= 1.0
+    })
+    assert(real.map(_.getAs[Long]("n")).sum == 500L)
+  }
+
   test("qe26 probe sweep: monotone curve, exact endpoints at nprobe = nlist") {
     val rows = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
       .orderBy("nprobe").collect()
