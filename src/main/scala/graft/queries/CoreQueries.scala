@@ -1172,6 +1172,55 @@ object CoreQueries {
       |       valid_to IS NULL AS is_current
       |FROM rows_out""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Year-over-year revenue growth per return flag: yearly integer-cents
+    * revenue with the previous year's figure (lag over the per-flag
+    * year series) and the growth percentage — the period-over-period
+    * reporting pattern (lag over an AGGREGATE, not over raw rows). The
+    * first year of each series and zero-base years yield NULL growth
+    * rather than an infinity.
+    *
+    * Scale: one partial-agged shuffle to (flag, year); the lag window
+    * runs on the years-sized aggregate. Integer cents make every
+    * revenue and delta exact.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("l_returnflag", "ship_year")
+      .agg(sum("cents").as("cents"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("ship_year").asc)
+    yearly
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .select(
+        col("l_returnflag"), col("ship_year").cast("int").as("ship_year"),
+        (col("cents") / 100.0).as("revenue"),
+        (col("prev_cents") / 100.0).as("prev_revenue"),
+        when(col("prev_cents").isNotNull && col("prev_cents") =!= 0,
+          dround((col("cents") - col("prev_cents")).cast("double")
+            / col("prev_cents") * 100.0, 6)).as("yoy_pct"))
+  }
+
+  private val q49Sql =
+    """WITH yearly AS (
+      |  SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT l_returnflag, ship_year, cents,
+      |         lag(cents, 1) OVER (PARTITION BY l_returnflag
+      |                             ORDER BY ship_year) AS prev_cents
+      |  FROM yearly)
+      |SELECT l_returnflag, ship_year,
+      |  cents / 100.0 AS revenue,
+      |  prev_cents / 100.0 AS prev_revenue,
+      |  CASE WHEN prev_cents IS NOT NULL AND prev_cents != 0
+      |    THEN round(CAST(cents - prev_cents AS DOUBLE) / prev_cents * 100.0, 6)
+      |  END AS yoy_pct
+      |FROM lagged""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1200,6 +1249,7 @@ object CoreQueries {
     "q46_integrity_audit" -> (q46 _),
     "q47_cube" -> (q47 _),
     "q48_scd2_build" -> (q48 _),
+    "q49_yoy_growth" -> (q49 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1230,5 +1280,6 @@ object CoreQueries {
     "q46_integrity_audit" -> q46Sql,
     "q47_cube" -> q47Sql,
     "q48_scd2_build" -> q48Sql,
+    "q49_yoy_growth" -> q49Sql,
   )
 }

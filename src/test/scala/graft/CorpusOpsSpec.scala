@@ -882,6 +882,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     hist.unpersist()
   }
 
+  test("q49 YoY growth: first years null, growth recomputes from the revenue pair") {
+    val out = queries.CoreQueries.q49(spark, dir).cache()
+    // exactly one first-year (null prev) row per flag
+    val firsts = out.filter(col("prev_revenue").isNull)
+    assert(firsts.count() ==
+      out.select("l_returnflag").distinct().count())
+    assert(firsts.filter(col("yoy_pct").isNotNull).count() == 0)
+    // growth percentage recomputes from the two revenue columns
+    val recompute = graft.operators.Rounding.dround(
+      (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 6)
+    assert(out.filter(col("prev_revenue").isNotNull && col("prev_revenue") =!= 0.0)
+      .filter(col("yoy_pct") =!= recompute).count() == 0)
+    // yearly revenue re-sums to the table total
+    val total = out.agg(sum("revenue")).collect()(0).getDouble(0)
+    val cents = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(math.abs(total - cents / 100.0) < 1e-6)
+    out.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
