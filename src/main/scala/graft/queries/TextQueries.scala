@@ -2764,6 +2764,88 @@ object TextQueries {
       |  FROM scored)
       |WHERE rnk <= 200""".stripMargin
 
+  // --------------------------------------------------------------- qd45
+  /** Water-filling budget allocation: distribute a document budget
+    * (half the corpus) across sources by the max-min-fair rule — find
+    * the largest integer threshold t* with Σ min(n_i, t*) <= B, give
+    * every source min(n_i, t*), then hand the remaining r documents one
+    * each to the first r unsaturated sources in name order. Small
+    * sources survive whole, big sources cap at a common level, and the
+    * allocation sums to EXACTLY B — the fairness alternative to qd28's
+    * temperature mixture (which preserves ratios instead of flattening
+    * them). Pure integer arithmetic end to end ⇒ fully oracle-graded.
+    *
+    * Scale: everything after the per-source count runs on the
+    * sources-sized frame (threshold candidates are the distinct sizes;
+    * S(v) is a candidates x sources mini-join). The corpus itself is
+    * touched once, by the count.
+    */
+  def qd45(s: SparkSession, dir: String): DataFrame =
+    waterfillFrom(
+      docs(s, dir).groupBy("source").agg(count(lit(1)).as("n")))
+
+  /** Frame-parameterized twin (tests plant source sizes): (source, n). */
+  private[graft] def waterfillFrom(sizes: DataFrame): DataFrame = {
+    val tot = sizes.agg(sum("n").as("tot"))
+    val cand = sizes.select(col("n").as("v")).distinct()
+      .unionByName(sizes.sparkSession.range(1).select(lit(0L).as("v")))
+    val sv = cand.crossJoin(sizes.select(col("n").as("nj")))
+      .groupBy("v").agg(sum(least(col("nj"), col("v"))).as("sv"))
+    val best = sv.crossJoin(broadcast(tot))
+      .withColumn("b", expr("tot div 2"))
+      .filter(col("sv") <= col("b"))
+      .orderBy(col("v").desc).limit(1)
+      .select(col("v").as("t0"), col("sv").as("s0"), col("b"))
+    val act = sizes.crossJoin(broadcast(best)).filter(col("n") > col("t0"))
+      .agg(count(lit(1)).as("active"))
+    val params = best.crossJoin(broadcast(act))
+      .withColumn("d",
+        when(col("active") > 0, expr("(b - s0) div active")).otherwise(0L))
+      .withColumn("r",
+        when(col("active") > 0, expr("(b - s0) % active")).otherwise(0L))
+      .withColumn("tstar", col("t0") + col("d"))
+    val base = sizes.crossJoin(broadcast(params))
+      .withColumn("alloc_base", least(col("n"), col("tstar")))
+    val actv = base.filter(col("n") > col("tstar"))
+      .withColumn("ark", row_number().over(Window.orderBy(col("source").asc)))
+      .select(col("source"), col("ark"))
+    base.join(actv, Seq("source"), "left")
+      .select(col("source"), col("n").as("n_docs"),
+        (col("alloc_base") +
+          when(col("ark").isNotNull && col("ark") <= col("r"), 1L).otherwise(0L))
+          .as("allocation"))
+  }
+
+  private val qd45Sql =
+    """WITH sizes AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM sizes),
+      |cand AS (SELECT DISTINCT n AS v FROM sizes
+      |         UNION SELECT CAST(0 AS BIGINT)),
+      |sv AS (SELECT v, CAST(sum(least(nj, v)) AS BIGINT) AS sv
+      |       FROM cand CROSS JOIN (SELECT n AS nj FROM sizes)
+      |       GROUP BY v),
+      |best AS (SELECT v AS t0, sv AS s0, tot // 2 AS b
+      |         FROM sv CROSS JOIN tot WHERE sv <= tot // 2
+      |         ORDER BY v DESC LIMIT 1),
+      |act AS (SELECT CAST(count(*) AS BIGINT) AS active
+      |        FROM sizes, best WHERE n > t0),
+      |params AS (
+      |  SELECT t0, s0, b,
+      |    CASE WHEN active > 0 THEN (b - s0) % active ELSE 0 END AS r,
+      |    t0 + CASE WHEN active > 0 THEN (b - s0) // active ELSE 0 END AS tstar
+      |  FROM best CROSS JOIN act),
+      |base AS (
+      |  SELECT source, n, least(n, tstar) AS alloc_base, tstar, r
+      |  FROM sizes CROSS JOIN params),
+      |actv AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) AS ark
+      |  FROM base WHERE n > tstar)
+      |SELECT b.source AS source, b.n AS n_docs,
+      |  CAST(b.alloc_base + CASE WHEN a.ark IS NOT NULL AND a.ark <= b.r
+      |                           THEN 1 ELSE 0 END AS BIGINT) AS allocation
+      |FROM base b LEFT JOIN actv a ON b.source = a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2813,6 +2895,7 @@ object TextQueries {
     "qd42_bpe_pairs" -> (qd42 _),
     "qd43_quality_ensemble" -> (qd43 _),
     "qd44_weighted_sample" -> (qd44 _),
+    "qd45_waterfill_mixture" -> (qd45 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2858,6 +2941,7 @@ object TextQueries {
     "qd42_bpe_pairs" -> qd42Sql,
     "qd43_quality_ensemble" -> qd43Sql,
     "qd44_weighted_sample" -> qd44Sql,
+    "qd45_waterfill_mixture" -> qd45Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

@@ -903,6 +903,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("qd45 water-fill: exact budget, max-min fairness, small sources whole") {
+    import SparkSpecBase.spark.implicits._
+    // sizes 100/50/10/4: B = 82 -> t* lands between 10 and 50:
+    // 10+4 saturate, the two big sources split the remaining 68 as 34/34
+    val planted = Seq(("big", 100L), ("mid", 50L), ("tiny", 10L), ("nano", 4L))
+      .toDF("source", "n")
+    val rows = queries.TextQueries.waterfillFrom(planted).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("allocation")).toMap
+    assert(rows("tiny") == 10L && rows("nano") == 4L, "small sources survive whole")
+    assert(rows("big") == 34L && rows("mid") == 34L,
+      s"unsaturated sources share the level: $rows")
+    assert(rows.values.sum == 82L, "allocation must sum exactly to the budget")
+
+    // real corpus: exact budget conservation and per-source caps
+    val real = queries.TextQueries.qd45(spark, dir).cache()
+    val totalDocs = Tables.documents(spark, dir).count()
+    assert(real.agg(sum("allocation")).collect()(0).getLong(0) == totalDocs / 2)
+    assert(real.filter(col("allocation") > col("n_docs")).count() == 0)
+    assert(real.filter(col("allocation") < 0).count() == 0)
+    // max-min property: any two unsaturated sources differ by at most 1
+    val unsat = real.filter(col("allocation") < col("n_docs"))
+      .select("allocation").collect().map(_.getLong(0))
+    if (unsat.length > 1) assert(unsat.max - unsat.min <= 1)
+    real.unpersist()
+  }
+
   test("q38 basket rules: planted baskets yield exact support/confidence/lift") {
     import SparkSpecBase.spark.implicits._
     // baskets: 1={A,B,C} 2={A,B} 3={A,C} 4={B,C} 5={A,B} (A=1,B=2,C=3);
