@@ -351,4 +351,25 @@ object GraftProperties extends Properties("graft") {
         java.lang.Double.doubleToLongBits(r.getDouble(1))
     }
   }
+
+  property("water-fill: exact budget, caps respected, max-min level on any sizes") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 500L)).map(_.take(12))) { ns =>
+      ns.isEmpty || {
+        val sizes = ns.zipWithIndex
+          .map { case (n, i) => (f"s$i%02d", n) }.toDF("source", "n")
+        val rows = queries.TextQueries.waterfillFrom(sizes).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val budget = ns.sum / 2
+        val sumsToBudget = rows.map(_._3).sum == budget
+        val capped = rows.forall { case (_, n, a) => a >= 0 && a <= n }
+        // max-min: any two unsaturated sources sit within 1 of each other
+        val unsat = rows.filter { case (_, n, a) => a < n }.map(_._3)
+        val level = unsat.isEmpty || (unsat.max - unsat.min <= 1)
+        // a saturated source never holds more than the common level
+        val fair = unsat.isEmpty ||
+          rows.filter { case (_, n, a) => a == n }
+            .forall { case (_, _, a) => a <= unsat.min }
+        sumsToBudget && capped && level && fair
+      }
+    }
 }

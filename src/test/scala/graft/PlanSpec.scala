@@ -419,6 +419,31 @@ class PlanSpec extends AnyFunSuite {
       "scalar aggregates must combine via broadcast")
   }
 
+  test("q44 triangle wedges stay equi-joined on vertex keys, never cartesian") {
+    val p = finalPlan(queries.CoreQueries.q44(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "wedge generation and closure must join on vertex keys")
+  }
+
+  test("q47 cube plans one Expand over one aggregation, no join at all") {
+    val p = finalPlan(queries.CoreQueries.q47(spark, sf))
+    assert(p.contains("Expand"), "CUBE must plan via Expand, not a union of scans")
+    val scans = "FileScan parquet[^\\n]*lineitem".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected one lineitem scan (got $scans)")
+    assert(!p.contains("Join"))
+  }
+
+  test("q48 SCD2 joins stay keyed and outer — Catalyst may split the full-outer") {
+    // the presence-filtered branches let Catalyst rewrite the single
+    // full-outer into a LeftOuter + a RightOuter (outer-join
+    // elimination) — same key-partitioned shape, one join per era row
+    val p = finalPlan(queries.CoreQueries.q48(spark, sf))
+    val outer = "FullOuter|LeftOuter|RightOuter|LeftAnti".r.findAllMatchIn(p).size
+    assert(outer >= 1 && outer <= 2,
+      s"expected 1-2 keyed outer joins (got $outer)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
