@@ -1221,6 +1221,130 @@ object CoreQueries {
       |  END AS yoy_pct
       |FROM lagged""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Point-in-time (as-of) lookup of facts against the q48 SCD2
+    * dimension: every lineitem carries a deterministic fact epoch
+    * (l_linenumber % 2) and picks the dimension version whose
+    * [valid_from, valid_to) interval covers it — the standard
+    * warehouse PIT join that q48 only BUILDS the input for. Facts on
+    * keys with no version valid at their epoch (pre-insert reads,
+    * post-delete reads) surface as NULL price/is_current rather than
+    * being dropped, so late and early arrivals stay auditable.
+    *
+    * Scale: the interval predicate rides on an EQUI-join on the
+    * dimension key — never an interval cross-product — and SCD2 keys
+    * carry at most 2 versions, so the range filter scans O(1) rows per
+    * fact. One shuffle on the key (or zero with bucketed fact/dim);
+    * the dimension side broadcasts when it fits.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val dim = q48(s, dir)
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") % 2).cast("int").as("fact_epoch"))
+    facts.join(dim,
+        facts("l_orderkey") === dim("o_orderkey") &&
+          dim("valid_from") <= col("fact_epoch") &&
+          (dim("valid_to").isNull || col("fact_epoch") < dim("valid_to")),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("fact_epoch"),
+        col("price"), col("is_current"))
+  }
+
+  private val q50Sql =
+    """WITH snap_old AS (
+      |  SELECT o_orderkey, o_totalprice AS old_price, 1 AS old_present
+      |  FROM orders WHERE o_orderkey % 10 != 3),
+      |snap_new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 2 THEN round(o_totalprice * 1.05, 2)
+      |              ELSE o_totalprice END AS new_price, 1 AS new_present
+      |  FROM orders WHERE o_orderkey % 13 != 5),
+      |joined AS (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |         a.old_price, a.old_present, b.new_price, b.new_present
+      |  FROM snap_old a FULL OUTER JOIN snap_new b
+      |    ON a.o_orderkey = b.o_orderkey),
+      |dim AS (
+      |  SELECT o_orderkey, price, valid_from, valid_to,
+      |         valid_to IS NULL AS is_current
+      |  FROM (
+      |    SELECT o_orderkey, old_price AS price, 0 AS valid_from,
+      |           CASE WHEN new_present IS NULL OR old_price != new_price
+      |                THEN 1 END AS valid_to
+      |    FROM joined WHERE old_present IS NOT NULL
+      |    UNION ALL
+      |    SELECT o_orderkey, new_price, 1, NULL
+      |    FROM joined
+      |    WHERE new_present IS NOT NULL
+      |      AND (old_present IS NULL OR old_price != new_price))),
+      |facts AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(l_linenumber % 2 AS INT) AS fact_epoch
+      |  FROM lineitem)
+      |SELECT f.l_orderkey, f.l_linenumber, f.fact_epoch,
+      |       d.price, d.is_current
+      |FROM facts f
+      |LEFT JOIN dim d
+      |  ON f.l_orderkey = d.o_orderkey
+      | AND d.valid_from <= f.fact_epoch
+      | AND (d.valid_to IS NULL OR f.fact_epoch < d.valid_to)""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** k-anonymity privacy audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance band): for each candidate
+    * k the number of equivalence classes, how many fall below k, how
+    * many ROWS sit in those under-k classes, and the at-risk row
+    * percentage — the release-gate report a training-data pipeline runs
+    * before shipping user-derived records.
+    *
+    * Scale: one partial-agged shuffle to equivalence-class sizes; the
+    * k sweep is a broadcast cross of the already-aggregated class table
+    * with a 4-row threshold frame. Class counts are exact longs; the
+    * only division is the final percentage.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val thresholds = Seq(2, 5, 10, 20).toDF("k")
+    classes.crossJoin(broadcast(thresholds))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < col("k"), 1L).otherwise(0L))
+          .as("classes_at_risk"),
+        sum(when(col("class_size") < col("k"), col("class_size"))
+          .otherwise(0L)).as("rows_at_risk"),
+        min("class_size").as("min_class_size"),
+        sum("class_size").as("n_rows"))
+      .select(col("k"), col("n_classes"), col("classes_at_risk"),
+        col("rows_at_risk"), col("min_class_size"),
+        dround(col("rows_at_risk") * 100.0 / col("n_rows"), 6)
+          .as("pct_rows_at_risk"))
+  }
+
+  private val q52Sql =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |         CAST(count(*) AS BIGINT) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3),
+      |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+      |SELECT k,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_at_risk,
+      |  CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  min(class_size) AS min_class_size,
+      |  round(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) * 100.0
+      |        / sum(class_size), 6) AS pct_rows_at_risk
+      |FROM classes CROSS JOIN ks
+      |GROUP BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1250,6 +1374,8 @@ object CoreQueries {
     "q47_cube" -> (q47 _),
     "q48_scd2_build" -> (q48 _),
     "q49_yoy_growth" -> (q49 _),
+    "q50_scd2_lookup" -> (q50 _),
+    "q52_k_anonymity" -> (q52 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1281,5 +1407,7 @@ object CoreQueries {
     "q47_cube" -> q47Sql,
     "q48_scd2_build" -> q48Sql,
     "q49_yoy_growth" -> q49Sql,
+    "q50_scd2_lookup" -> q50Sql,
+    "q52_k_anonymity" -> q52Sql,
   )
 }

@@ -684,6 +684,62 @@ object EventQueries {
       |  FROM tri)
       |WHERE rnk <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Gap-filled hourly series: the q20 hourly aggregate densified onto a
+    * complete (hour × event_type) spine from the corpus' first to last
+    * hour, with zero-filled counts/values and an explicit is_gap flag —
+    * the resample step every downstream time-series consumer (q33's
+    * anomaly baseline, charting, seasonal decomposition) needs before
+    * lag arithmetic is meaningful.
+    *
+    * Scale: the only full-data stage is the hourly pre-aggregation (one
+    * shuffle, partial aggs map-side); the spine is hours × #types rows
+    * built from a 1-row bounds aggregate via `sequence` + `explode`, and
+    * the densifying join runs on aggregate-sized frames (types
+    * broadcast). The raw corpus is never re-scanned or re-shuffled.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .withColumn("hour_ts", date_trunc("hour", timestamp_micros(col("us"))))
+      .groupBy("hour_ts", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // integer cents, same rationale as q20
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val spine = hourly
+      .agg(min("hour_ts").as("lo"), max("hour_ts").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val types = hourly.select("event_type").distinct()
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_ts", "event_type"), "left")
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("sum_value"),
+        col("n_events").isNull.as("is_gap"))
+  }
+
+  private val q51Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM hourly),
+      |spine AS (
+      |  SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour_ts
+      |  FROM b),
+      |types AS (SELECT DISTINCT event_type FROM hourly)
+      |SELECT strftime(s.hour_ts, '%Y-%m-%d %H:00:00') AS hour, t.event_type,
+      |       COALESCE(h.n_events, 0) AS n_events,
+      |       COALESCE(h.cents, 0) / 100.0 AS sum_value,
+      |       h.n_events IS NULL AS is_gap
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN hourly h
+      |  ON s.hour_ts = h.hour_ts AND t.event_type = h.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_asof_join" -> (q18 _),
     "q19_sessionize" -> (q19 _),
@@ -700,6 +756,7 @@ object EventQueries {
     "q37_active_users" -> (q37 _),
     "q40_ewma_baseline" -> (q40 _),
     "q41_path_trigrams" -> (q41 _),
+    "q51_gap_fill" -> (q51 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -717,6 +774,7 @@ object EventQueries {
     "q37_active_users" -> q37Sql,
     "q40_ewma_baseline" -> q40Sql,
     "q41_path_trigrams" -> q41Sql,
+    "q51_gap_fill" -> q51Sql,
     // q32b omitted: GK-sketch state is engine-side; error bound pinned
     // against the exact q32 twin in SketchSpec.
   )

@@ -903,6 +903,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q50 PIT lookup: no fan-out, nulls exactly at pre-insert/post-delete reads") {
+    val out = queries.CoreQueries.q50(spark, dir).cache()
+    val nLi = Tables.lineitem(spark, dir).count()
+    // exactly one dimension version (or none) matches per fact
+    assert(out.count() == nLi, "PIT join must not fan out or drop facts")
+    // a fact misses iff its epoch predates the key's insert (epoch 0,
+    // key only in the new snapshot) or postdates its delete (epoch 1,
+    // key only in the old snapshot) — the snapshots are keyed on
+    // o_orderkey % 10 / % 13, so the null set is computable directly
+    val expectNull = (col("fact_epoch") === 0 && col("l_orderkey") % 10 === 3) ||
+      (col("fact_epoch") === 1 && col("l_orderkey") % 13 === 5)
+    assert(out.filter(col("price").isNull =!= expectNull).count() == 0,
+      "null prices must be exactly the pre-insert/post-delete reads")
+    // every epoch-1 match reads the OPEN (current) version
+    assert(out.filter(col("fact_epoch") === 1 && col("price").isNotNull &&
+      !col("is_current")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q51 gap fill: complete dense spine, zeroed gaps, mass conservation") {
+    val out = queries.EventQueries.q51(spark, dir).cache()
+    val nTypes = out.select("event_type").distinct().count()
+    val nHours = out.select("hour").distinct().count()
+    // the spine is the full cross product — every (hour, type) cell exists
+    assert(out.count() == nTypes * nHours, "spine must be dense")
+    // gap rows are zeroed, non-gap rows are positive
+    assert(out.filter(col("is_gap") &&
+      (col("n_events") =!= 0L || col("sum_value") =!= 0.0)).count() == 0)
+    assert(out.filter(!col("is_gap") && col("n_events") <= 0L).count() == 0)
+    // densification conserves event mass
+    val total = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, dir).count())
+    out.unpersist()
+  }
+
+  test("q52 k-anonymity: risk monotone in k, singleton count recomputes") {
+    val out = queries.CoreQueries.q52(spark, dir).collect()
+      .sortBy(_.getAs[Int]("k"))
+    // class/table totals identical on every row of the sweep
+    assert(out.map(_.getAs[Long]("n_classes")).distinct.length == 1)
+    assert(out.map(_.getAs[Long]("min_class_size")).distinct.length == 1)
+    // rows/classes at risk grow with k
+    val risk = out.map(r => (r.getAs[Long]("classes_at_risk"), r.getAs[Long]("rows_at_risk")))
+    assert(risk.zip(risk.tail).forall { case ((c1, r1), (c2, r2)) => c1 <= c2 && r1 <= r2 })
+    // k=2's at-risk classes are exactly the singletons, recomputed directly
+    val singletons = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b"))
+      .count().filter(col("count") === 1).count()
+    assert(out.head.getAs[Long]("classes_at_risk") == singletons)
+    assert(out.head.getAs[Long]("rows_at_risk") == singletons)
+  }
+
   test("qd45 water-fill: exact budget, max-min fairness, small sources whole") {
     import SparkSpecBase.spark.implicits._
     // sizes 100/50/10/4: B = 82 -> t* lands between 10 and 50:

@@ -444,6 +444,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q50 PIT lookup rides an equi-join on the key, range as residual") {
+    val p = finalPlan(queries.CoreQueries.q50(spark, sf))
+    // the interval predicate must NOT become an interval cross-product
+    assert(!p.contains("CartesianProduct"))
+    val outer = "BroadcastHashJoin \\[l_orderkey[^\\n]*LeftOuter".r.findAllMatchIn(p).size +
+      "SortMergeJoin \\[l_orderkey[^\\n]*LeftOuter".r.findAllMatchIn(p).size
+    assert(outer == 1, s"fact->dim PIT join must be keyed+LeftOuter:\n$p")
+  }
+
+  test("q51 gap fill: spine work is aggregate-sized, corpus agg map-combined") {
+    val p = finalPlan(queries.EventQueries.q51(spark, sf))
+    // the hourly aggregate partial-aggregates before its shuffle
+    assert(p.contains("partial_count"), "hourly agg must map-side combine")
+    // the only nested-loop is the intentional tiny spine x types cross
+    val bnl = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnl <= 1 && !p.contains("CartesianProduct"))
+    // densifying join is keyed on (hour, type)
+    assert("BroadcastHashJoin \\[hour_ts".r.findAllMatchIn(p).nonEmpty ||
+      "SortMergeJoin \\[hour_ts".r.findAllMatchIn(p).nonEmpty)
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
