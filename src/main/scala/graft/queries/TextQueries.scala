@@ -2846,6 +2846,109 @@ object TextQueries {
       |                           THEN 1 ELSE 0 END AS BIGINT) AS allocation
       |FROM base b LEFT JOIN actv a ON b.source = a.source""".stripMargin
 
+  // --------------------------------------------------------------- qd46
+  /** Dedup survivorship: qd39's fuzzy duplicate clusters with exactly
+    * one KEPT document per cluster — the argmax-quality member (qd4's
+    * score, ties to the smaller doc_id) rather than qd39's min-id
+    * canonical. This is the policy step a curation pipeline runs after
+    * clustering: "of these near-identical docs, which one ships?"
+    * Picking by quality instead of id keeps the best-written variant.
+    *
+    * Scale: cluster ids and quality scores join on doc_id (one keyed
+    * shuffle), then a per-cluster window whose partitions are
+    * cluster-sized (duplicates, so tiny). The corpus outside clusters
+    * never enters: qd39 already filtered to cluster_size >= 2.
+    */
+  def qd46(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qd39(s, dir)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    val quality = qd4(s, dir).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "canonical_id", "cluster_size", "quality_score", "keep")
+  }
+
+  private val qd46Sql =
+    s"""WITH cl AS ($qd39Sql),
+       |q4 AS ($qd4Sql)
+       |SELECT doc_id, canonical_id, cluster_size, quality_score,
+       |       row_number() OVER (PARTITION BY canonical_id
+       |           ORDER BY quality_score DESC, doc_id) = 1 AS keep
+       |FROM (SELECT cl.doc_id, cl.canonical_id, cl.cluster_size,
+       |             q4.quality_score
+       |      FROM cl JOIN q4 USING (doc_id))""".stripMargin
+
+  // --------------------------------------------------------------- qd47
+  /** Vocabulary growth (Heaps-law) curve: the corpus in doc_id order
+    * split into 10 equal-count buckets, with per-bucket token mass and
+    * NEW vocabulary (terms whose first occurrence falls in the bucket),
+    * both cumulated — the curve a corpus grower reads to decide whether
+    * more of the same source still adds lexical novelty.
+    *
+    * Exactness: "first occurrence" is min(doc_id) per term — order-free
+    * and engine-agnostic; bucket ids come from the two-phase global
+    * rank (Pareto.rankBy, no single-partition window at scale) with
+    * pure integer-division boundaries ((r-1)*10 div n + 1).
+    *
+    * Scale: one shuffle on token for the first-occurrence min, one
+    * doc-sized rank; the cumulative window runs on the 10-row bucket
+    * aggregate.
+    */
+  def qd47(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nd = d.agg(count(lit(1)).as("nd"))
+    val buckets = graft.operators.Pareto
+      .rankBy(d.select(col("doc_id")), Seq(col("doc_id").asc), "r")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        (expr("((r - 1) * 10) div nd") + 1).cast("int").as("bucket"))
+    val firstDoc = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+    val perBucket = d
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .join(buckets, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val newTerms = firstDoc.join(buckets, Seq("doc_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+      .withColumn("cum_vocab", sum("new_terms").over(cum))
+      .select("bucket", "n_docs", "n_tokens", "new_terms",
+        "cum_tokens", "cum_vocab")
+  }
+
+  private val qd47Sql =
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+      |       FROM documents),
+      |bk AS (SELECT doc_id, CAST((r - 1) * 10 // nd + 1 AS INT) AS bucket
+      |       FROM rk, nd),
+      |tok AS (SELECT doc_id,
+      |               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents),
+      |first_doc AS (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok),
+      |per_bucket AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents JOIN bk USING (doc_id) GROUP BY bucket),
+      |new_terms AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+      |  FROM first_doc JOIN bk USING (doc_id) GROUP BY bucket)
+      |SELECT bucket, n_docs, n_tokens,
+      |  COALESCE(new_terms, 0) AS new_terms,
+      |  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(COALESCE(new_terms, 0)) OVER (ORDER BY bucket) AS BIGINT)
+      |    AS cum_vocab
+      |FROM per_bucket LEFT JOIN new_terms USING (bucket)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -2896,6 +2999,8 @@ object TextQueries {
     "qd43_quality_ensemble" -> (qd43 _),
     "qd44_weighted_sample" -> (qd44 _),
     "qd45_waterfill_mixture" -> (qd45 _),
+    "qd46_dedup_survivorship" -> (qd46 _),
+    "qd47_vocab_growth" -> (qd47 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2942,6 +3047,8 @@ object TextQueries {
     "qd43_quality_ensemble" -> qd43Sql,
     "qd44_weighted_sample" -> qd44Sql,
     "qd45_waterfill_mixture" -> qd45Sql,
+    "qd46_dedup_survivorship" -> qd46Sql,
+    "qd47_vocab_growth" -> qd47Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec

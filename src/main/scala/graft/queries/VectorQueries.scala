@@ -2266,6 +2266,77 @@ object VectorQueries {
        |        / count(*) / 1000000, 6) AS mean_silhouette
        |FROM sil GROUP BY cid""".stripMargin
 
+  // --------------------------------------------------------------- qe31
+  /** Greedy k-center coreset (Gonzalez farthest-first traversal): start
+    * from the smallest vec_id, then K-1 times pick the point farthest
+    * (squared L2, 1e-6-quantized) from the selected set — the classic
+    * 2-approximation coverage coreset used for data selection, active
+    * learning seeds, and diverse eval panels. Output: each pick with
+    * its selection rank and its distance-to-set at pick time (the
+    * greedy coverage radius, non-increasing by construction).
+    *
+    * Exactness: distances quantize at 6dp BEFORE the argmax and ties
+    * break to the smaller vec_id, so both engines traverse identically;
+    * an already-selected point's self-distance is exactly 0.0 in IEEE
+    * ((a - 2a) + a), never re-picked while any point is uncovered.
+    *
+    * Scale: K passes, each a map-only distance-min against the
+    * driver-held selected set (K × dim doubles, the qe9 centroid
+    * pattern) feeding a distributed TakeOrdered(1) — the corpus never
+    * shuffles; the oracle unrolls the same K selections as CTEs.
+    */
+  def qe31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embs(s, dir).select("vec_id", "vec").cache()
+    try {
+      val first = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      var centers = Vector[(Long, Seq[Double], Option[Double])](
+        (first.getLong(0), first.getSeq[Double](1), None))
+      while (centers.size < K) {
+        val dmin = array_min(array(centers.map { case (_, c, _) =>
+          dround(dot(col("vec"), col("vec"))
+            - lit(2.0) * dot(col("vec"), typedLit(c))
+            + lit(c.map(x => x * x).sum), 6)
+        }: _*))
+        val pick = e.withColumn("d", dmin)
+          .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+          .select("vec_id", "vec", "d").collect()(0)
+        centers :+= ((pick.getLong(0), pick.getSeq[Double](1),
+          Some(pick.getDouble(2))))
+      }
+      centers.zipWithIndex
+        .map { case ((id, _, d), i) => (i + 1, id, d) }
+        .toDF("sel_rank", "vec_id", "dist_at_pick")
+    } finally { e.unpersist(); () }
+  }
+
+  private val qe31Sql = {
+    // one selection step: dNext folds the new center's distance into the
+    // running min; cN takes the quantized argmax with the id tiebreak
+    def dist(v: String, c: String) =
+      s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c) " +
+        s"+ list_dot_product($c, $c), 6)"
+    val steps = (2 to K).map { i =>
+      val (dp, dn, cn) = (s"d${i - 1}", s"d$i", s"c$i")
+      s"""$cn AS (SELECT vec_id, vec, d FROM $dp ORDER BY d DESC, vec_id LIMIT 1),
+         |$dn AS (SELECT p.vec_id, p.vec, least(p.d, ${dist("p.vec", "c.vec")}) AS d
+         |        FROM $dp p, $cn c)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to K)
+      .map(i => s"UNION ALL SELECT $i, vec_id, d FROM c$i").mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.vec, ${dist("e.vec", "c.vec")} AS d
+       |       FROM e, c1 c),
+       |$steps
+       |SELECT CAST(1 AS INT) AS sel_rank, vec_id,
+       |       CAST(NULL AS DOUBLE) AS dist_at_pick
+       |FROM c1
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe1_cosine_topk" -> (qe1 _),
     "qe2_ann_lsh" -> (qe2 _),
@@ -2301,6 +2372,7 @@ object VectorQueries {
     "qe28_pca_projection" -> (qe28 _),
     "qe29_dim_truncation_sweep" -> (qe29 _),
     "qe30_silhouette" -> (qe30 _),
+    "qe31_kcenter_coreset" -> (qe31 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2336,6 +2408,7 @@ object VectorQueries {
     "qe27_embedding_health" -> qe27Sql,
     "qe29_dim_truncation_sweep" -> qe29Sql,
     "qe30_silhouette" -> qe30Sql,
+    "qe31_kcenter_coreset" -> qe31Sql,
     // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the

@@ -956,6 +956,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("rows_at_risk") == singletons)
   }
 
+  test("qd46 survivorship: one keeper per cluster, and it is the argmax-quality member") {
+    val out = queries.TextQueries.qd46(spark, dir).cache()
+    val perCluster = out.groupBy("canonical_id").agg(
+      sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+      count(lit(1)).as("n"),
+      max("quality_score").as("maxq"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() == 0,
+      "every cluster ships exactly one survivor")
+    assert(perCluster.filter(col("n") < 2).count() == 0,
+      "survivorship only applies to real clusters")
+    // the keeper carries the cluster's max quality
+    val kept = out.filter(col("keep")).select(col("canonical_id"), col("quality_score"))
+    assert(kept.join(perCluster, "canonical_id")
+      .filter(col("quality_score") =!= col("maxq")).count() == 0)
+    out.unpersist()
+  }
+
+  test("qd47 vocab growth: dense buckets, monotone cumulatives, NDV closure") {
+    val out = queries.TextQueries.qd47(spark, dir).collect().sortBy(_.getAs[Int]("bucket"))
+    assert(out.map(_.getAs[Int]("bucket")).toSeq == (1 to 10))
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, dir).count())
+    // cumulatives re-sum their deltas and end at the corpus totals
+    assert(out.last.getAs[Long]("cum_vocab") ==
+      Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("t"))
+        .agg(countDistinct("t")).collect()(0).getLong(0),
+      "final cumulative vocabulary must equal the corpus NDV")
+    val newTerms = out.map(_.getAs[Long]("new_terms"))
+    assert(out.map(_.getAs[Long]("cum_vocab")).toSeq ==
+      newTerms.scanLeft(0L)(_ + _).tail.toSeq)
+    // first bucket introduces its whole vocabulary as new
+    assert(newTerms.head > 0)
+  }
+
+  test("qe31 k-center: distinct picks, non-increasing coverage radius") {
+    val out = queries.VectorQueries.qe31(spark, dir).collect().sortBy(_.getAs[Int]("sel_rank"))
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 5, "picks must be distinct")
+    assert(out.head.getAs[Long]("vec_id") ==
+      Tables.embeddings(spark, dir).agg(min("vec_id")).collect()(0).getLong(0),
+      "traversal starts at the smallest vec_id")
+    val d = out.tail.map(_.getAs[Double]("dist_at_pick"))
+    assert(d.forall(_ > 0.0))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b },
+      "greedy farthest-first radius must be non-increasing")
+  }
+
   test("qd45 water-fill: exact budget, max-min fairness, small sources whole") {
     import SparkSpecBase.spark.implicits._
     // sizes 100/50/10/4: B = 82 -> t* lands between 10 and 50:
