@@ -13,6 +13,14 @@ object GraftProperties extends Properties("graft") {
   import SparkSpecBase.spark
   import spark.implicits._
 
+  // Pin the generator seed so `sbt test` is reproducible run-to-run:
+  // a property that passes or fails by generator luck is not a gate
+  // (round-10 verdict). Any falsifying case found by bumping the seed
+  // locally must be promoted to a deterministic regression below.
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(20260814L))
+
   private val finiteD: Gen[Double] =
     Gen.chooseNum(-1e9, 1e9).suchThat(d => !d.isNaN && !d.isInfinite)
 
@@ -365,11 +373,30 @@ object GraftProperties extends Properties("graft") {
         // max-min: any two unsaturated sources sit within 1 of each other
         val unsat = rows.filter { case (_, n, a) => a < n }.map(_._3)
         val level = unsat.isEmpty || (unsat.max - unsat.min <= 1)
-        // a saturated source never holds more than the common level
+        // a saturated source never holds more than the common level,
+        // EXCEPT one saturated *by the remainder top-up*: when the
+        // integer budget doesn't divide evenly the first (by name)
+        // active sources each get +1, and that unit can push a source
+        // to its cap one above the unsaturated minimum — e.g. sizes
+        // [1,1], budget 1 → allocation {1,0}, which IS max-min fair
+        // because a whole unit can't be split (round-10 verdict: the
+        // original `a <= unsat.min` clause was wrong on this edge)
         val fair = unsat.isEmpty ||
           rows.filter { case (_, n, a) => a == n }
-            .forall { case (_, _, a) => a <= unsat.min }
+            .forall { case (_, _, a) => a <= unsat.min + 1 }
         sumsToBudget && capped && level && fair
       }
+    }
+
+  property("water-fill remainder edge: sizes [1,1] allocates {1,0} (regression)") =
+    Prop {
+      // the exact case that falsified the round-10 property: two
+      // 1-doc sources, budget = 2/2 = 1. Max-min fairness with
+      // integer units gives the whole unit to the first source by
+      // name — {s00→1, s01→0} — and the sum must hit the budget.
+      val sizes = Seq(("s00", 1L), ("s01", 1L)).toDF("source", "n")
+      val got = queries.TextQueries.waterfillFrom(sizes).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      got == Map("s00" -> 1L, "s01" -> 0L)
     }
 }
