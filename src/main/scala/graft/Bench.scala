@@ -133,6 +133,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.bootstrap(spark)
     // Materialize via the noop sink, not count(): count(1) lets Catalyst
     // prune every unused column, so final projections (dround chains,
     // struct assembly) would be skipped and the bench would understate

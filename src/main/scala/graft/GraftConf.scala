@@ -79,4 +79,28 @@ object GraftConf {
     * the charge/payment role mapping of the testdata (FIXTURES.md §2).
     */
   val termDays = 30
+
+  /** Reliable-checkpoint directory for iterative operators (PageRank,
+    * LPA, distributed connected components). Unset: `localCheckpoint`
+    * (single-JVM default). Set to an HDFS/S3 path on a cluster:
+    * `checkpoint()` there instead — survives executor loss and does
+    * not pin executors under dynamic allocation. Dispatch lives in
+    * [[graft.operators.Checkpoints.cut]].
+    */
+  val checkpointDirKey = "graft.checkpoint.dir"
+
+  /** Session defaults every graft entry point applies ONCE at bootstrap
+    * (Verify/Bench/PlanProbe/test base, after `getOrCreate`). Query
+    * constructors are pure `DataFrame` builders and must never mutate
+    * session conf themselves (VERDICT r10 item 3 — q42's in-query
+    * `conf.set` leaked into every later read in the session).
+    *
+    * `nanosAsLong` keeps int64-nanosecond parquet footers readable (the
+    * driver's events generator has shipped TIMESTAMP(NANOS) before —
+    * EventSchemaSpec history); it is a no-op for µs timestamps, and
+    * [[graft.operators.EventTime]] dispatches whichever physical type
+    * surfaces.
+    */
+  def bootstrap(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.bootstrap(spark)
     new java.io.File(outDir).mkdirs()
     // dev-only subset (mirrors Bench): comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -75,8 +75,11 @@ object Balances {
     * for raw fact tables (SURVEY §4.3.3).
     */
   def bandGroups(df: DataFrame, orderCols: Seq[Column], outName: String = "band"): DataFrame =
-    df.withColumn(
-      outName,
-      (dense_rank().over(Window.orderBy(orderCols: _*)) % 2).cast("int"),
-    )
+    // display-order banding is global by definition; the dense rank
+    // goes through Pareto's two-phase dispatch so a fact-scale frame
+    // range-partitions instead of single-partitioning (VERDICT r10
+    // item 4)
+    Pareto.denseRankBy(df, orderCols, "_band_rank")
+      .withColumn(outName, (col("_band_rank") % 2).cast("int"))
+      .drop("_band_rank")
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.GraftConf
+
+/** Lineage cuts for iterative operators (PageRank q43, LPA q45, the
+  * alternating-star connected-components rounds), dispatched by the
+  * `graft.checkpoint.dir` session conf (VERDICT r10 item 5):
+  *
+  *  - conf UNSET (local/test default): `localCheckpoint()` — executor-
+  *    memory blocks, zero filesystem setup, exactly what a single-JVM
+  *    run wants.
+  *  - conf SET to a reliable path (HDFS/S3): `checkpoint()` against
+  *    that directory. On a real cluster `localCheckpoint` PINS the
+  *    executors holding the blocks — dynamic allocation can't release
+  *    them, and losing one executor kills the lineage-truncated frame
+  *    with no recompute path. A reliable checkpoint survives executor
+  *    loss and leaves allocation free to scale the iteration down.
+  *
+  * Both shapes are EAGER (materialize now) and truncate lineage, so the
+  * iterative plans stay O(1) size per round either way; outputs are
+  * bit-identical — only placement/durability of the cut changes
+  * (CheckpointSpec pins that equality).
+  */
+object Checkpoints {
+
+  /** One lineage cut, placed per the session's `graft.checkpoint.dir`. */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(GraftConf.checkpointDirKey) match {
+      case Some(dir) if dir.trim.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+}

@@ -35,7 +35,10 @@ import graft.GraftConf
   *    current edge set (groupBy min + join back + distinct), no
   *    all-pairs blow-up, nothing driver-sized.
   *
-  * Each distributed round's edge set is localCheckpoint-ed: the
+  * Each distributed round's edge set is lineage-cut via
+  * [[Checkpoints.cut]] (localCheckpoint locally, reliable checkpoint()
+  * when `graft.checkpoint.dir` is set — executor-loss-safe under
+  * dynamic allocation): the
   * convergence probe and the next round's lineage must see the SAME
   * materialized set (same rationale as Pareto's two-phase pinning), and
   * without it the PLAN doubles every round (each star op references its
@@ -91,10 +94,9 @@ object ConnectedComponents {
       edges: DataFrame, vertices: DataFrame,
       distributed: Option[Boolean] = None): (DataFrame, Int) = {
     val Array(sc, dc) = edges.columns.take(2)
-    val cur = canonical(
+    val cur = Checkpoints.cut(canonical(
       edges.select(col(sc).as("a"), col(dc).as("b"))
-        .filter(col("a").isNotNull && col("b").isNotNull))
-      .localCheckpoint()
+        .filter(col("a").isNotNull && col("b").isNotNull)))
     val useStars = distributed match {
       case Some(true)  => true
       case Some(false) =>
@@ -158,7 +160,7 @@ object ConnectedComponents {
       require(rounds <= MaxRounds,
         s"connected components did not converge in $MaxRounds rounds — " +
           "algorithm regression (expected O(log n) alternating-star rounds)")
-      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      val next = Checkpoints.cut(star(star(cur, large = true), large = false))
       // next is eagerly materialized with truncated lineage, so the
       // previous round's blocks are dead — release them now
       freeCheckpoint(cur)
@@ -167,7 +169,9 @@ object ConnectedComponents {
     (cur, rounds)
   }
 
-  /** Unpersist a spent localCheckpoint's RDD blocks. `Dataset.unpersist`
+  /** Unpersist a spent localCheckpoint's RDD blocks (no-op for a
+    * reliable checkpoint, whose files the ContextCleaner owns).
+    * `Dataset.unpersist`
     * only clears CacheManager entries; a checkpoint's blocks belong to
     * the `LogicalRDD`-wrapped RDD and otherwise live until the
     * ContextCleaner happens to GC it.

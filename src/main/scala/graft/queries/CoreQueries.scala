@@ -686,9 +686,8 @@ object CoreQueries {
     * above the threshold); per-keyspace output is ONE row.
     */
   def q42(s: SparkSession, dir: String): DataFrame = {
-    // only user_id is read, but the footer still declares ts — keep the
-    // int64-nanos generations readable (no-op for µs timestamps)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // only user_id is read; int64-nanos footer readability comes from
+    // GraftConf.bootstrap at session setup, never from in-query conf
     def keyspace(name: String, rows: DataFrame, key: Column): DataFrame = {
       val sizes = rows.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
       val ranked = graft.operators.Pareto.rankBy(
@@ -758,7 +757,10 @@ object CoreQueries {
     * Scale: each iteration is ONE equi-join of the edge list (keyed on
     * the source node) against the rank vector plus one destination-keyed
     * aggregation — the Pregel shape; co-partitioning edges and ranks on
-    * the node key makes iterations exchange-light, and localCheckpoint
+    * the node key makes iterations exchange-light, and Checkpoints.cut
+    * (localCheckpoint locally; reliable checkpoint() when
+    * `graft.checkpoint.dir` is set — the cluster/dynamic-allocation
+    * mode, VERDICT r10 item 5)
     * cuts the 10-step lineage. Graph size is vocabulary-scale (parts),
     * not corpus-scale.
     */
@@ -789,19 +791,19 @@ object CoreQueries {
     * Frame-parameterized so tests can plant graphs.
     */
   private[graft] def pagerankMass(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
-      .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v")))
-      .localCheckpoint()
+    val edges = graft.operators.Checkpoints.cut(
+      pairs.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val n = deg.count()
-    val edgeDeg = edges.join(deg, Seq("u")).localCheckpoint()
+    val edgeDeg = graft.operators.Checkpoints.cut(edges.join(deg, Seq("u")))
     var rank = deg.select(col("u").as("node"), lit(1000000000000L / n).as("mass"))
     for (_ <- 1 to 10) {
-      rank = edgeDeg.join(rank, col("u") === col("node"))
-        .select(col("v"), expr("(mass * 85) div (100 * d)").as("c"))
-        .groupBy(col("v").as("node"))
-        .agg((lit(150000000000L / n) + sum("c")).as("mass"))
-        .localCheckpoint()
+      rank = graft.operators.Checkpoints.cut(
+        edgeDeg.join(rank, col("u") === col("node"))
+          .select(col("v"), expr("(mass * 85) div (100 * d)").as("c"))
+          .groupBy(col("v").as("node"))
+          .agg((lit(150000000000L / n) + sum("c")).as("mass")))
     }
     rank
   }
@@ -934,19 +936,19 @@ object CoreQueries {
     * edges in, (part, community, community_size) out after 5 rounds.
     */
   private[graft] def lpaFrom(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
-      .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v")))
-      .localCheckpoint()
+    val edges = graft.operators.Checkpoints.cut(
+      pairs.select(col("p1").as("u"), col("p2").as("v"))
+        .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to 5) {
-      labels = edges.join(labels, col("u") === col("node"))
-        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("v").as("node"), col("label"))
-        .localCheckpoint()
+      labels = graft.operators.Checkpoints.cut(
+        edges.join(labels, col("u") === col("node"))
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)))
+          .filter(col("rn") === 1)
+          .select(col("v").as("node"), col("label")))
     }
     labels
       .withColumn("community_size",
@@ -996,13 +998,19 @@ object CoreQueries {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    def check(name: String, violations: DataFrame, checked: Long): DataFrame = {
+    // n_checked is a 1-row count aggregate broadcast into the single
+    // check row — NOT a driver-side .count(), which would run two full
+    // scans at DataFrame-CONSTRUCTION time (ADVICE r10: building the
+    // query for a plan probe must stay lazy)
+    def check(name: String, violations: DataFrame, checked: DataFrame): DataFrame = {
       violations.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(checked))
         .select(lit(name).as("check_name"), col("n_violations"),
-          lit(checked).as("n_checked"),
-          dround(col("n_violations") / lit(checked), 6).as("violation_frac"))
+          col("n_checked"),
+          dround(col("n_violations") / col("n_checked"), 6).as("violation_frac"))
     }
-    val nLi = li.count(); val nO = o.count()
+    val nLi = li.agg(count(lit(1)).as("n_checked"))
+    val nO = o.agg(count(lit(1)).as("n_checked"))
     check("lineitem_orphan_order",
         li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"), nLi)
       .unionByName(check("order_orphan_customer",

@@ -24,12 +24,10 @@ import graft.operators.Rounding.dround
   */
 object EventQueries {
 
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    // kept for int64-nanos testdata generations: without it Spark fails
-    // the TIMESTAMP(NANOS) footer outright; a no-op for µs timestamps
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    // int64-nanos footer readability is a session default
+    // (GraftConf.bootstrap) — query constructors stay conf-pure
     EventTime.withUs(Tables.events(s, dir))
-  }
 
   // ---------------------------------------------------------------- q18
   /** As-of join: for every purchase, the most recent click of the same

@@ -662,36 +662,37 @@ object VectorQueries {
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
     kmeansAssignFrom(embs(s, dir).select("vec_id", "vec", "nrm"), 8)
 
-  /** Frame-parameterized twin (tests plant duplicates): `e` carries
-    * (vec_id, vec, nrm); seeds are the k smallest vec_ids.
+  /** The per-row array of (rounded squared-L2 distance, cid) structs
+    * against the K driver-side centroids: the one expression every
+    * k-means consumer shares. Lexicographic struct order =
+    * (distance, cid), so `array_min` is the argmin with the
+    * smaller-centroid-id tiebreak inside the expression, and
+    * `array_sort` + `slice` is the top-P multi-probe list for the
+    * ANN-gated variants (qe15b/qe22b/qe25b). Rounding BEFORE the
+    * ordering keeps both engines' FP summation orders from flipping
+    * near-ties.
     */
-  private[graft] def kmeansAssignFrom(e: DataFrame, k: Int): DataFrame = {
-    // Assignment is MAP-ONLY: the K centroids are collected to the
-    // driver (K×dim doubles — the same scalar-frame class as the KPI
-    // collects and what qe5's ML model object holds internally) and the
-    // argmin is one array_min over K distance structs per row —
-    // lexicographic struct order = (distance, cid), so the tiebreak to
-    // the smaller centroid id is inside the expression. No join, no
-    // shuffle of corpus vectors, ever; squared L2 via dots with the
-    // |c|² term a driver-side scalar. Rounding BEFORE the argmin keeps
-    // both engines' FP summation orders from flipping near-ties.
-    def assign(cents: Array[(Int, Seq[Double])]): DataFrame = {
-      val cands = array(cents.map { case (cid, c) =>
-        struct(
-          dround(dot(col("vec"), col("vec"))
-            - lit(2.0) * dot(col("vec"), typedLit(c))
-            + lit(c.map(x => x * x).sum), 6).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      e.withColumn("cid", array_min(cands).getField("cid"))
-    }
+  private def centroidCands(cents: Array[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cid, c) =>
+      struct(
+        dround(dot(col("vec"), col("vec"))
+          - lit(2.0) * dot(col("vec"), typedLit(c))
+          + lit(c.map(x => x * x).sum), 6).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** Seeded-then-one-Lloyd-step centroids, collected to the driver
+    * (K×dim doubles — the same scalar-frame class as the KPI collects
+    * and what qe5's ML model object holds internally). Seeds are the k
+    * smallest vec_ids; the refit is a per-(cluster, dim) mean via
+    * posexplode feeding a partial-aggregable groupBy whose reduced
+    * size is K×dim cells regardless of corpus size.
+    */
+  private def kmeansCentroids(e: DataFrame, k: Int): Array[(Int, Seq[Double])] = {
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("vec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    // one Lloyd refit: per-(cluster, dim) mean — posexplode feeds a
-    // partial-aggregable groupBy whose reduced size is K×dim cells
-    // regardless of corpus size
-    val refit = assign(seeds)
+    e.withColumn("cid", array_min(centroidCands(seeds)).getField("cid"))
       .select(col("cid"), posexplode(col("vec")))
       .groupBy(col("cid"), col("pos"))
       .agg(dround(avg(col("col")), 6).as("m"))
@@ -699,8 +700,17 @@ object VectorQueries {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    assign(refit)
   }
+
+  /** Frame-parameterized twin (tests plant duplicates): `e` carries
+    * (vec_id, vec, nrm); seeds are the k smallest vec_ids.
+    * Assignment is MAP-ONLY: one array_min over K distance structs per
+    * row — no join, no shuffle of corpus vectors, ever; squared L2 via
+    * dots with the |c|² term a driver-side scalar.
+    */
+  private[graft] def kmeansAssignFrom(e: DataFrame, k: Int): DataFrame =
+    e.withColumn("cid",
+      array_min(centroidCands(kmeansCentroids(e, k))).getField("cid"))
 
   def qe9(s: SparkSession, dir: String): DataFrame = {
     // cluster sizes via a K-row broadcast join back onto the map-only
@@ -1287,19 +1297,16 @@ object VectorQueries {
     * (kNN-distance is the classic non-parametric density estimate).
     *
     * This is the exact all-pairs formulation — the oracle anchor, same
-    * role as qe4's exact twin. At 100 TB the k-th-NN distance comes from
-    * the ANN candidate stage (qe2 bands / qe5 lists / qe14 codes) with
-    * exact refinement on candidates only: a monotone upper bound on the
-    * true distance, never all-pairs. A cluster-gated variant (the qe10
-    * Σn_c² gating) was prototyped and MEASURED before shipping: its
-    * top-2% flag set agreed with the exact one at only 0.00/0.05
-    * (sf0.01/sf0.1), because this corpus's 5th-NN distances concentrate
-    * in [0.65, 0.76] (near-random 64-dim vectors) — there are no true
-    * outliers to preserve, so the flag is marginal-rank noise that no
-    * sub-quadratic gate can track. The variant was dropped rather than
-    * floored at a meaningless 0.05: candidate gating for kNN-density is
-    * only sound on clusterable embeddings, where in-cluster upper
-    * bounds leave genuinely isolated points separated. The 6dp-round-then-tiebreak
+    * role as qe4's exact twin. The production shape is [[qe15b]]:
+    * multi-probe IVF candidate gating (4 of 8 cells) with exact
+    * refinement on candidates only — a monotone upper bound on the
+    * true distance, never all-pairs. Single-probe gating (the qe10
+    * Σn_c² shape) was measured first and rejected for this operator:
+    * on near-random 64-dim vectors whose 5th-NN distances concentrate
+    * in [0.65, 0.76] a query's neighbors land in its own argmin cell
+    * too rarely (0.00/0.05 flag agreement at sf0.01/sf0.1); probing
+    * the 4 nearest cells recovers neighbor recall into the floored
+    * band — see the qe15b section doc. The 6dp-round-then-tiebreak
     * discipline makes the k-th-neighbor pick and the global top-2% rank
     * a total order on both engines → full hash-match oracle.
     */
@@ -1323,13 +1330,20 @@ object VectorQueries {
         cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .select("ida", "idb", "dist")
       .localCheckpoint()
-    val kth = half
+    oodFrom(half
       .unionByName(half.select(
         col("idb").as("ida"), col("ida").as("idb"), col("dist")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
       .filter(col("rnk") === DensityK)
-      .select(col("ida").as("vec_id"), col("dist").as("knn_dist"))
+      .select(col("ida").as("vec_id"), col("dist").as("knn_dist")))
+  }
+
+  /** Shared qe15/qe15b OOD tail: global top-2% rank over the per-vector
+    * K-th-neighbor distances (two-phase-capable rankBy, 1-row count
+    * broadcast).
+    */
+  private def oodFrom(kth: DataFrame): DataFrame = {
     val n = kth.agg(count(lit(1)).as("n_all"))
     graft.operators.Pareto.rankBy(
         kth, Seq(col("knn_dist").desc, col("vec_id").asc), "grnk")
@@ -1358,6 +1372,105 @@ object VectorQueries {
        |       (grnk - 1) * 50 // n_all = 0 AS ood
        |FROM (SELECT *, CAST(row_number() OVER (
        |        ORDER BY knn_dist DESC, vec_id) AS INT) AS grnk FROM kth), t""".stripMargin
+
+  // ------------------------------------------- qe15b / qe22b / qe25b
+  /** ANN-gated production twins of the three exact all-pairs corpus
+    * operators (kNN density qe15, mutual-NN bitext mining qe22,
+    * leave-one-out kNN confusion qe25). Candidate generation is
+    * multi-probe IVF over qe9's deterministic k-means cells: every
+    * vector is HOMED in its argmin cell (bit-identical to the qe9
+    * assignment) and PROBES its [[GateProbes]] nearest cells, and a
+    * directed candidate (a → b) exists iff b's home cell is among a's
+    * probed cells. That makes the pair join an equi-join on the cell
+    * id — a posting-list scan, never an `ida < idb` theta self-join —
+    * with per-query candidate volume P/K of the corpus here and
+    * Σ_probed n_c at scale, where K grows with n (√n-list IVF sizing)
+    * so the total work is ~P·n^1.5, not n². Single-probe gating (the
+    * qe10 SemDeDup shape) was measured first and rejected for THESE
+    * operators: near-random 64-dim vectors put a 5-NN in the query's
+    * own argmin cell too rarely (the r10-documented 0.00/0.05 flag
+    * agreement), while probing the 4 nearest of 8 cells lifts
+    * neighbor recall into the same band as the other floored ANN
+    * paths — the standard IVF nprobe trade (Jégou et al. 2011), tuned
+    * by the qe26 sweep artifact.
+    *
+    * The exact forms stay registered as the oracle anchors; the gated
+    * twins are recall-floored against them in RecallSpec/RECALL.json
+    * (neighbor recall for qe15b, pair recall for qe22b, per-vector
+    * prediction agreement for qe25b), and PlanSpec pins that none of
+    * the three plans contains a nested-loop or cartesian join.
+    */
+  private val GateK = 8
+  private val GateProbes = 4
+
+  /** Directed, labeled, cosine-scored candidate frame shared by the
+    * three gated twins: (ida, la, idb, lb, cos) where idb's home cell
+    * is among ida's probed cells. Map-only probe/home assignment
+    * (broadcast centroids), one equi-join on the cell id.
+    */
+  private def gatedSym(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = kmeansCentroids(e.select("vec_id", "vec", "nrm"), GateK)
+    val cands = centroidCands(cents)
+    val home = e.withColumn("cid", array_min(cands).getField("cid"))
+      .select(col("cid"), col("vec_id").as("idb"), col("label").as("lb"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+    val probes = e.withColumn("pc", explode(slice(array_sort(cands), 1, GateProbes)))
+      .select(col("pc").getField("cid").as("cid"), col("vec_id").as("ida"),
+        col("label").as("la"), col("vec").as("va"), col("nrm").as("na"))
+    probes.join(home, Seq("cid"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select("ida", "la", "idb", "lb", "cos")
+      .localCheckpoint()
+  }
+
+  /** qe15's production twin: K-th-NN distance + top-2% OOD flag over
+    * the gated candidates (the per-vector K-th distance is an upper
+    * bound on the true one — isolated vectors stay isolated).
+    */
+  def qe15b(s: SparkSession, dir: String): DataFrame =
+    oodFrom(gatedSym(s, dir)
+      .withColumn("dist", dround(lit(1.0) - col("cos"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
+      .filter(col("rnk") === DensityK)
+      .select(col("ida").as("vec_id"), col("dist").as("knn_dist")))
+
+  /** qe22's production twin: mutual-top-1 ratio-margin pairs over the
+    * gated candidates (both directions must survive the gate AND be
+    * each other's top-1 — the mutual check is unchanged).
+    */
+  def qe22b(s: SparkSession, dir: String): DataFrame =
+    mutualMarginFrom(gatedSym(s, dir).select("ida", "idb", "cos"))
+
+  /** qe25's production twin: leave-one-out majority-label confusion
+    * matrix voted over the gated candidate top-K.
+    */
+  def qe25b(s: SparkSession, dir: String): DataFrame =
+    confusionFrom(knnPredFrom(gatedSym(s, dir)))
+
+  /** Recall-spec probes: per-vector top-[[DensityK]] neighbor id pairs
+    * on the exact and gated paths (ida, idb), and the per-vector label
+    * predictions on both paths.
+    */
+  private[graft] def knnPairsExact(s: SparkSession, dir: String): DataFrame =
+    labeledSymExact(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+      .filter(col("rn") <= DensityK).select("ida", "idb")
+
+  private[graft] def knnPairsGated(s: SparkSession, dir: String): DataFrame =
+    gatedSym(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+      .filter(col("rn") <= DensityK).select("ida", "idb")
+
+  private[graft] def qe25PredExact(s: SparkSession, dir: String): DataFrame =
+    knnPredFrom(labeledSymExact(s, dir))
+
+  private[graft] def qe25PredGated(s: SparkSession, dir: String): DataFrame =
+    knnPredFrom(gatedSym(s, dir))
 
   // --------------------------------------------------------------- qe16
   /** Cluster-balanced diversity sampling: cap each k-means cluster at
@@ -1699,8 +1812,18 @@ object VectorQueries {
       .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .select("ida", "idb", "cos")
       .localCheckpoint()
-    val sym = half
-      .unionByName(half.select(col("idb").as("ida"), col("ida").as("idb"), col("cos")))
+    mutualMarginFrom(half
+      .unionByName(half.select(col("idb").as("ida"), col("ida").as("idb"), col("cos"))))
+  }
+
+  /** Shared qe22/qe22b tail: `scored` is a directed candidate frame
+    * (ida, idb, cos) — each row "idb is a scored candidate of ida".
+    * Ranks per ida, takes the top-K micro-cosine sums and the top-1,
+    * keeps pairs where each side is the other's top-1, and emits the
+    * ratio-margin score.
+    */
+  private def mutualMarginFrom(scored: DataFrame): DataFrame = {
+    val sym = scored
       .withColumn("micro", dround(col("cos") * 1e6, 0).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
@@ -1888,7 +2011,14 @@ object VectorQueries {
     * ANN candidate lists (qe2/qe5/qe14) and keeps the vote + matrix
     * layers unchanged. Votes and fractions are integer-exact.
     */
-  def qe25(s: SparkSession, dir: String): DataFrame = {
+  def qe25(s: SparkSession, dir: String): DataFrame =
+    confusionFrom(knnPredFrom(labeledSymExact(s, dir)))
+
+  /** Exact mirrored labeled candidate frame shared by qe25 and the
+    * qe25b recall measurement: each unordered pair scored once (the
+    * qe15 trick), mirrored to directed (ida, la, idb, lb, cos).
+    */
+  private def labeledSymExact(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
       col("vec").as("va"), col("nrm").as("na"))
@@ -1898,18 +2028,31 @@ object VectorQueries {
       .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .select("ida", "la", "idb", "lb", "cos")
       .localCheckpoint()
-    val sym = half.unionByName(half.select(
+    half.unionByName(half.select(
       col("idb").as("ida"), col("lb").as("la"),
       col("ida").as("idb"), col("la").as("lb"), col("cos")))
-    val knn = sym.withColumn("rn", row_number().over(
+  }
+
+  /** Shared qe25/qe25b vote stage: top-K by cosine per vector, majority
+    * label with the (votes desc, label asc) tiebreak. Keeps ida so the
+    * recall spec can compare per-vector predictions across the exact
+    * and gated paths.
+    */
+  private def knnPredFrom(sym: DataFrame): DataFrame =
+    sym.withColumn("rn", row_number().over(
         Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
       .filter(col("rn") <= K)
-    val pred = knn.groupBy("ida", "la", "lb")
+      .groupBy("ida", "la", "lb")
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(
         Window.partitionBy("ida").orderBy(col("votes").desc, col("lb").asc)))
       .filter(col("vr") === 1)
-      .select(col("la").as("true_label"), col("lb").as("pred_label"))
+      .select(col("ida"), col("la").as("true_label"), col("lb").as("pred_label"))
+
+  /** Shared qe25/qe25b matrix tail: true × predicted counts with row
+    * fractions (label-cardinality-sized frames, broadcast totals).
+    */
+  private def confusionFrom(pred: DataFrame): DataFrame = {
     val counts = pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("true_label").agg(sum("n").as("n_label"))
     counts.join(broadcast(totals), Seq("true_label"))
@@ -2357,6 +2500,7 @@ object VectorQueries {
     "qe14_pq_ann" -> (qe14 _),
     "qe14b_pq_probe" -> (qe14b _),
     "qe15_knn_density" -> (qe15 _),
+    "qe15b_gated_density" -> (qe15b _),
     "qe16_cluster_sample" -> (qe16 _),
     "qe17_retrieval_metrics" -> (qe17 _),
     "qe18_prototypes" -> (qe18 _),
@@ -2364,9 +2508,11 @@ object VectorQueries {
     "qe20_ivf_pq" -> (qe20 _),
     "qe21_rocchio_feedback" -> (qe21 _),
     "qe22_mutual_nn_pairs" -> (qe22 _),
+    "qe22b_gated_mutual_nn" -> (qe22b _),
     "qe23_centroid_matrix" -> (qe23 _),
     "qe24_segment_merge_topk" -> (qe24 _),
     "qe25_knn_confusion" -> (qe25 _),
+    "qe25b_gated_confusion" -> (qe25b _),
     "qe26_probe_sweep" -> (qe26 _),
     "qe27_embedding_health" -> (qe27 _),
     "qe28_pca_projection" -> (qe28 _),
@@ -2413,5 +2559,7 @@ object VectorQueries {
     // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
     // are engine-side k-means state — recall@K floored against the
     // exact qe1 twin in RecallSpec.
+    // qe15b/qe22b/qe25b omitted: approximate by design — recall floored
+    // against their exact all-pairs twins (qe15/qe22/qe25) in RecallSpec.
   )
 }

@@ -44,7 +44,8 @@ object EventsStreaming {
     * desyncs the stream from the files.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // int64-nanos footer readability is a session default
+    // (GraftConf.bootstrap) — stream constructors stay conf-pure
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
       .schema(fileSchema)
@@ -272,7 +273,8 @@ object EventsStreaming {
   /** Per-type running-anomaly state: open (not-yet-final) hour counts
     * plus the exact integer moments of every CLOSED hour so far.
     */
-  case class AnomalyState(open: Map[Long, Long], nh: Long, sx: Long, sxx: Long)
+  case class AnomalyState(open: Map[Long, Long], nh: Long, sx: Long, sxx: Long,
+      lastClosed: Long = Long.MinValue)
   case class HourAnomaly(event_type: String, hour_us: Long, n_events: Long,
       zscore: Double, is_anomaly: Boolean)
 
@@ -312,8 +314,17 @@ object EventsStreaming {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(AnomalyState(Map.empty, 0L, 0L, 0L))
           if (!state.hasTimedOut) {
+            // never re-open an emitted hour (it would close twice —
+            // duplicate append row AND a double fold into the Σx/Σx²
+            // moments; ADVICE r10). Spark's FlatMapGroupsWithStateExec
+            // already filters sub-watermark rows under EventTimeTimeout
+            // (verified: the late-replay spec passes with this guard
+            // disabled), so this is defense-in-depth making emit-once a
+            // STATE invariant rather than an engine behavior we inherit.
+            // Hours close in ascending order, so <= lastClosed is exact.
             val bumped = rows.foldLeft(st.open) { (m, r) =>
-              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+              if (r._2 <= st.lastClosed) m
+              else m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
             }
             st = st.copy(open = bumped)
           }
@@ -331,7 +342,7 @@ object EventsStreaming {
                   graft.operators.Rounding.droundD((n - mean) / math.sqrt(variance), 6)
                 else 0.0
               } else 0.0
-            st = AnomalyState(st.open - h, st.nh + 1, st.sx + n, st.sxx + n * n)
+            st = AnomalyState(st.open - h, st.nh + 1, st.sx + n, st.sxx + n * n, h)
             HourAnomaly(et, h, n, z, math.abs(z) > 3.0)
           }
           state.update(st)
@@ -351,7 +362,8 @@ object EventsStreaming {
   /** Per-type EWMA state: open hour counts + the closed-hour counts
     * still inside the 24 h baseline horizon (trimmed as hours close).
     */
-  case class EwmaState(open: Map[Long, Long], closed: Map[Long, Long])
+  case class EwmaState(open: Map[Long, Long], closed: Map[Long, Long],
+      lastClosed: Long = Long.MinValue)
   case class HourEwma(event_type: String, hr: Long, n_events: Long,
       ewma: Option[Double], hist: Long, is_spike: Boolean)
 
@@ -382,8 +394,11 @@ object EventsStreaming {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(EwmaState(Map.empty, Map.empty))
           if (!state.hasTimedOut) {
+            // same emit-once state invariant as anomalyStream: an hour
+            // that already closed and joined the baseline never re-opens
             val bumped = rows.foldLeft(st.open) { (m, r) =>
-              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+              if (r._2 <= st.lastClosed) m
+              else m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
             }
             st = st.copy(open = bumped)
           }

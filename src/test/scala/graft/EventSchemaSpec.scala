@@ -56,6 +56,37 @@ class EventSchemaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventTime.withUs(bad))
   }
 
+  test("q42 is conf-pure and agrees across both events.ts physical encodings") {
+    import spark.implicits._
+    // VERDICT r10 item 3: q42 used to conf.set nanosAsLong inside its
+    // builder — a session-wide side effect. The flag now lives in
+    // GraftConf.bootstrap; this case proves q42 (a) never touches
+    // session conf and (b) produces identical output whether events.ts
+    // arrives as TIMESTAMP micros or as int64 nanoseconds (LongType is
+    // exactly what a TIMESTAMP(NANOS) footer surfaces as under the
+    // bootstrap flag — Spark itself cannot write a nanos footer).
+    val base = java.nio.file.Files.createTempDirectory("q42enc")
+    val rows = (1 to 50).map(i => ((i % 7).toLong, 1709296496789012L + i * 1000000L))
+    val dirs = Seq("us", "ns").map { enc =>
+      val d = base.resolve(enc); java.nio.file.Files.createDirectories(d)
+      for (tbl <- Seq("lineitem", "orders", "documents"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/$tbl.parquet"), d.resolve(s"$tbl.parquet"))
+      val ev = rows.toDF("user_id", "usv")
+      val typed =
+        if (enc == "us") ev.select(col("user_id"), timestamp_micros(col("usv")).as("ts"))
+        else ev.select(col("user_id"), (col("usv") * 1000L).as("ts"))
+      typed.coalesce(1).write.parquet(d.resolve("events.parquet").toString)
+      d.toString
+    }
+    val confBefore = spark.conf.getAll
+    val Seq(us, ns) = dirs.map(d =>
+      queries.CoreQueries.q42(spark, d).collect().map(_.toString).sorted.toSeq)
+    assert(us == ns, "q42 output must not depend on the ts physical encoding")
+    assert(spark.conf.getAll == confBefore,
+      "q42 mutated session conf — query constructors must stay pure")
+  }
+
   test("int64 values below the nanosecond era fail loudly, not silently divided") {
     import spark.implicits._
     // a generator switch to int64 MILLIS would land ~1.7e12 — div 1000

@@ -128,6 +128,22 @@ object GraftProperties extends Properties("graft") {
       snap(two = false) == snap(two = true)
     }
 
+  property("denseRankBy: two-phase dense rank == global-window dense rank exactly") =
+    forAll(Gen.chooseNum(1, 80), Gen.chooseNum(0L, 500L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // few distinct values on purpose: dense groups MUST straddle
+      // range-partition boundaries for the offset reconstruction to be
+      // exercised (equal tuples land in one partition — that is the
+      // correctness precondition being tested)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(6).toDouble))
+      val df = rows.toDF("k", "v").repartition(4)
+      def snap(two: Boolean) =
+        operators.Pareto.denseRankBy(df, Seq(col("v").asc), "dr", twoPhase = Some(two))
+          .select("k", "dr").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      snap(two = false) == snap(two = true)
+    }
+
   property("rankBy: two-phase rank == global-window rank exactly") =
     forAll(Gen.chooseNum(1, 80), Gen.chooseNum(0L, 500L)) { (n, seed) =>
       val rnd = new scala.util.Random(seed)

@@ -258,6 +258,52 @@ class PlanSpec extends AnyFunSuite {
         "its candidate join must stay an equi-join on the cluster id")
   }
 
+  test("qe15b/qe22b/qe25b gated twins: cell-id equi-join, no all-pairs theta join") {
+    // the b-variants exist to replace the exact `ida < idb` self-joins
+    // of qe15/qe22/qe25 with a multi-probe posting-list equi-join on
+    // the IVF cell id — a nested-loop or cartesian anywhere in their
+    // plans means the gate regressed to the all-pairs shape
+    // qe15b's full plan carries ONE BroadcastNestedLoopJoin: the 1-row
+    // n_all count crossJoin(broadcast(...)) in the OOD tail — the
+    // scalar-broadcast idiom, scale-safe. Its CANDIDATE stage
+    // (knnPairsGated = the same gatedSym + rank) must be free of both.
+    for (q <- Seq(queries.VectorQueries.knnPairsGated(spark, sf),
+                  queries.VectorQueries.qe22b(spark, sf),
+                  queries.VectorQueries.qe25b(spark, sf))) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "gated twin candidate generation must stay an equi-join on the cell id")
+    }
+    assert(!finalPlan(queries.VectorQueries.qe15b(spark, sf)).contains("CartesianProduct"))
+  }
+
+  test("no undispatched unpartitioned window on the parity path (threshold 0)") {
+    // VERDICT r10 item 4: every global-order operator on the parity
+    // path (rank, Pareto cumsum, dense-rank band groups) must flow
+    // through the two-phase dispatch. Forcing the threshold to 0 makes
+    // every dispatch flip to the range-partitioned shape — any
+    // remaining `Exchange SinglePartition` means a global window
+    // bypassed the dispatch.
+    val prev = spark.conf.getOption(GraftConf.paretoTwoPhaseBytesKey)
+    spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, "0")
+    try {
+      for ((name, q) <- Seq(
+          "q07" -> queries.CoreQueries.q07(spark, sf),
+          "q08" -> queries.CoreQueries.q08(spark, sf),
+          "q12" -> queries.CoreQueries.q12(spark, sf),
+          "q13" -> queries.CoreQueries.q13(spark, sf))) {
+        val p = finalPlan(q)
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$name still funnels through a single-partition exchange at threshold 0")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, v)
+        case None => spark.conf.unset(GraftConf.paretoTwoPhaseBytesKey)
+      }
+    }
+  }
+
   test("qd20b folds HLL sketches map-side: one exchange, no Expand") {
     // the exact twin (qd20) must pay a two-distinct Expand + dedup
     // shuffle; the whole point of the sketch is that the approx path

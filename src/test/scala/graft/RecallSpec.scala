@@ -63,7 +63,18 @@ class RecallSpec extends AnyFunSuite {
     // r10: IVF-PQ composition — the list gate can only REMOVE qe14b
     // candidates, so its recall is bounded by qe14b's; the floor sits
     // under the measured values with the usual unlucky-corpus margin
-    ("qe20_ivf_pq", "sf0.01") -> 0.30, ("qe20_ivf_pq", "sf0.1") -> 0.30)
+    ("qe20_ivf_pq", "sf0.01") -> 0.30, ("qe20_ivf_pq", "sf0.1") -> 0.30,
+    // r11: ANN-gated twins of the three exact all-pairs corpus
+    // operators (VERDICT r10 item 2), multi-probe IVF gate (4 of 8
+    // cells). Measured 0.74/0.73 (qe15b), 0.64/0.59 (qe22b),
+    // 0.67/0.60 (qe25b) — random 64-dim vectors are the worst case
+    // for any cell gate (neighbors sit at cos 0.3-0.4, barely inside
+    // the probed cells); floors sit under measured with the usual
+    // one-unlucky-corpus margin. qe22b is structurally lowest: a
+    // mutual pair must survive the gate in BOTH directions
+    ("qe15b_gated_density", "sf0.01") -> 0.60, ("qe15b_gated_density", "sf0.1") -> 0.60,
+    ("qe22b_gated_mutual_nn", "sf0.01") -> 0.50, ("qe22b_gated_mutual_nn", "sf0.1") -> 0.50,
+    ("qe25b_gated_confusion", "sf0.01") -> 0.50, ("qe25b_gated_confusion", "sf0.1") -> 0.50)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()
@@ -237,6 +248,37 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(trunc, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe7_truncated_rerank", sf, hit.toDouble / n,
         "qe1 exact top-5, 16/64-dim coarse + n/5 rerank pool")
+    }
+
+    test(s"qe15b gated-density neighbor recall@5 vs exact all-pairs [${sf.label}]") {
+      val exact = queries.VectorQueries.knnPairsExact(spark, sf.dir)
+      val gated = queries.VectorQueries.knnPairsGated(spark, sf.dir)
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("ida", "idb"), "left_semi").count()
+      record("qe15b_gated_density", sf, hit.toDouble / n,
+        "qe15 exact 5-NN pairs, 4/8-probe IVF gate")
+    }
+
+    test(s"qe22b gated mutual-NN pair recall vs exact qe22 [${sf.label}]") {
+      val exact = queries.VectorQueries.qe22(spark, sf.dir).select("vec_a", "vec_b")
+      val gated = queries.VectorQueries.qe22b(spark, sf.dir).select("vec_a", "vec_b")
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("vec_a", "vec_b"), "left_semi").count()
+      record("qe22b_gated_mutual_nn", sf,
+        if (n == 0) 1.0 else hit.toDouble / n,
+        "qe22 exact mutual-top-1 pairs, 4/8-probe IVF gate")
+    }
+
+    test(s"qe25b gated kNN-vote prediction agreement vs exact qe25 [${sf.label}]") {
+      val exact = queries.VectorQueries.qe25PredExact(spark, sf.dir)
+        .select(col("ida"), col("pred_label").as("pe"))
+      val gated = queries.VectorQueries.qe25PredGated(spark, sf.dir)
+        .select(col("ida"), col("pred_label").as("pg"))
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("ida"))
+        .filter(col("pe") === col("pg")).count()
+      record("qe25b_gated_confusion", sf, hit.toDouble / n,
+        "qe25 exact per-vector kNN label votes, 4/8-probe IVF gate")
     }
   }
 

@@ -17,6 +17,7 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftConf.bootstrap(s)
     graft.functions.VectorFunctions.registerNative(s)
     s
   }

@@ -182,6 +182,62 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "an hour past the watermark horizon was never scored")
   }
 
+  test("anomaly/EWMA streams drop a late replay of an already-closed hour") {
+    // ADVICE r10: a row arriving past the watermark for an hour that
+    // already closed must be DISCARDED, or the hour would close a
+    // second time (duplicate append row) and double-fold into the
+    // anomaly moments. Two layers deliver this: Spark's own
+    // sub-watermark row filter under EventTimeTimeout, and the
+    // lastClosed guard in state (which keeps emit-once true even if
+    // the engine-level filter changes). This spec pins the CONTRACT,
+    // whichever layer enforces it.
+    // Three ordered microbatches: hours 0-6; then hour 9 (advances the
+    // watermark past hours 0-3's close); then a LATE hour-0 replay
+    // (arriving when hour 0 is already closed) plus hour 10.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("late_replay").toFile
+    val hourNs = 3600L * 1000000000L
+    val baseNs = 1709251200L * 1000000000L // 2024-03-01T00:00Z
+    def ev(ids: Seq[(Long, Long)]) = ids.map { case (id, h) =>
+      (id, baseNs + h * hourNs + 1000L, 1L, "x", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batches = Seq(
+      ev((0L to 6L).map(h => (h, h))),
+      ev(Seq((7L, 9L))),
+      ev(Seq((8L, 0L), (9L, 10L)))) // the late hour-0 replay
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$dir/b$i"
+      df.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"part$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 600000L)
+    }
+    val stream = EventTime.withUs(spark.readStream
+        .schema(EventsStreaming.eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/part*.parquet"))
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val anom = EventsStreaming.runToMemory(
+      spark, EventsStreaming.anomalyStream(spark, stream), "anomaly_late",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // hours 0..6 close exactly once each, all with n_events=1 — the
+    // replay neither duplicates hour 0 nor inflates its count
+    assert(anom.count() == 7, s"expected 7 closed hours, got ${anom.count()}")
+    assert(anom.groupBy("hour").count().filter(col("count") > 1).count() == 0,
+      "an hour was emitted twice after a late replay")
+    assert(anom.filter(col("n_events") =!= 1).count() == 0,
+      "a late replay was folded into a closed hour's count")
+    val ewma = EventsStreaming.runToMemory(
+      spark, EventsStreaming.ewmaStream(spark, stream), "ewma_late",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(ewma.count() == 7)
+    assert(ewma.groupBy("hr").count().filter(col("count") > 1).count() == 0,
+      "EWMA emitted an hour twice after a late replay")
+    assert(ewma.filter(col("n_events") =!= 1).count() == 0)
+  }
+
   test("closed sessions survive multi-batch streams: state carries across microbatches") {
     // split the events table into two time-halves, streamed as two
     // microbatches (maxFilesPerTrigger=1, modTimes force the order) —
