@@ -131,6 +131,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(GraftConf.contextDefaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.bootstrap(spark)

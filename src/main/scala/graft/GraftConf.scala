@@ -89,6 +89,19 @@ object GraftConf {
     */
   val checkpointDirKey = "graft.checkpoint.dir"
 
+  /** Conf that must reach the SparkContext BUILDER, not `bootstrap`:
+    * these keys are captured once at context construction, so setting
+    * them after `getOrCreate` is a silent no-op. `cleanCheckpoints`
+    * (default false) is what lets the ContextCleaner delete a GC'd
+    * RDD's reliable-checkpoint files — without it every iteration's
+    * `Checkpoints.cut` under `graft.checkpoint.dir` accumulates on
+    * HDFS/S3 for the app lifetime (ADVICE r11). Every graft entry
+    * point (Verify, Bench, RunCxcPipeline, the dev probes, the test
+    * session) passes this map to its builder.
+    */
+  val contextDefaults: Map[String, String] = Map(
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
+
   /** Session defaults every graft entry point applies ONCE at bootstrap
     * (Verify/Bench/PlanProbe/test base, after `getOrCreate`). Query
     * constructors are pure `DataFrame` builders and must never mutate

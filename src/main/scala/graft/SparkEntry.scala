@@ -33,8 +33,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (those
     * are covered by ScalaTest invariants instead).
     */
-  def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle ++
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** [[oracleSql]] plus the entries that can only be authored against
+    * runtime state of a concrete sf dir (qe28b inlines its persisted
+    * PCA basis) — Verify threads the dir it ran so the dumped
+    * oracle_sql.json carries them.
+    */
+  def oracleSqlFor(sfDir: Option[String]): Map[String, String] =
+    graft.queries.VectorQueries.qe28bOracle(sfDir) ++
+      graft.queries.CoreQueries.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.queries.KpiQueries.oracle ++
       graft.queries.TextQueries.oracle ++

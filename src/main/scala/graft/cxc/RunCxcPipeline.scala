@@ -35,8 +35,10 @@ object RunCxcPipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.GraftConf.contextDefaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftConf.bootstrap(spark)
 
     val raw = opt("--input")
       .map(spark.read.parquet(_))

@@ -25,12 +25,23 @@ import graft.GraftConf
   */
 object Checkpoints {
 
+  /** The `graft.checkpoint.dir` value LAST APPLIED per context.
+    * `SparkContext.getCheckpointDir` cannot serve as this memo: Spark
+    * stores the fs-qualified path of a fresh UUID *subdirectory* of
+    * whatever `setCheckpointDir` received, so an equality test against
+    * the configured dir never matches and `setCheckpointDir` (mkdirs +
+    * new UUID dir) would re-run on every single cut — once per
+    * PageRank/LPA/CC iteration (ADVICE r11).
+    */
+  private val applied =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   /** One lineage cut, placed per the session's `graft.checkpoint.dir`. */
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(GraftConf.checkpointDirKey) match {
       case Some(dir) if dir.trim.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (applied.put(sc, dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -170,7 +170,11 @@ object ConnectedComponents {
   }
 
   /** Unpersist a spent localCheckpoint's RDD blocks (no-op for a
-    * reliable checkpoint, whose files the ContextCleaner owns).
+    * reliable checkpoint, whose files the ContextCleaner deletes on
+    * RDD GC only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a
+    * context-startup conf, shipped in [[graft.GraftConf.contextDefaults]];
+    * without it they accumulate for the app lifetime).
     * `Dataset.unpersist`
     * only clears CacheManager entries; a checkpoint's blocks belong to
     * the `LogicalRDD`-wrapped RDD and otherwise live until the

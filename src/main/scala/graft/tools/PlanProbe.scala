@@ -17,8 +17,10 @@ object PlanProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.GraftConf.contextDefaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftConf.bootstrap(spark)
     for (name <- args.tail) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()

