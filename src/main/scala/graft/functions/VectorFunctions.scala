@@ -25,6 +25,17 @@ object VectorFunctions {
       "graft_dot", exprs => graft.functions.expr.DotProduct(exprs(0), exprs(1)),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_centroid_dists",
+      exprs => graft.functions.expr.CentroidDistances(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(4).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_word_ngrams",
       exprs => graft.functions.expr.WordNGrams(exprs(0), exprs(1)),
       "built-in")
@@ -79,6 +90,19 @@ object VectorFunctions {
     */
   def pqEncode(v: Column, codebook: Array[Double], m: Int, ks: Int): Column =
     call_function("graft_pq_encode", v, typedLit(codebook.toSeq), lit(m), lit(ks))
+
+  /** Native per-row `(rounded L2², cid)` struct array against constant
+    * centroids — the loop form of the literal centroidCands unroll,
+    * which janino stops compiling near K ≈ 100 (see CentroidDistances).
+    * |c|² is precomputed HERE with the same `map(x·x).sum` fold the
+    * literal form used, so the two are bit-identical (property-pinned).
+    */
+  def centroidDists(v: Column, cents: Array[(Int, Seq[Double])]): Column =
+    call_function("graft_centroid_dists", v,
+      typedLit(cents.flatMap(_._2).toSeq),
+      typedLit(cents.map(_._1).toSeq),
+      typedLit(cents.map(_._2.map(x => x * x).sum).toSeq),
+      lit(cents.head._2.length))
 
   /** Built-in-only fallback (interpreted HOF) — kept for parity tests. */
   def dotHof(a: Column, b: Column): Column =

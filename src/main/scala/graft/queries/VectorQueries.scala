@@ -671,8 +671,23 @@ object VectorQueries {
     * ANN-gated variants (qe15b/qe22b/qe25b). Rounding BEFORE the
     * ordering keeps both engines' FP summation orders from flipping
     * near-ties.
+    *
+    * r12: dispatches to the native loop expression
+    * ([[graft.functions.expr.CentroidDistances]]) — the literal
+    * `array(struct(...))` unroll stops whole-stage-compiling near
+    * K ≈ 100 (janino 64 KB method limit, hit by the ScaleSmoke
+    * 10×-corpus gate build at K = 142) and K = ⌈√n⌉ sizing needs
+    * arbitrary K. Bit-parity with the literal form (kept below for the
+    * pinned property) is guaranteed by identical operation order and
+    * the droundD≡dround property.
     */
   private def centroidCands(cents: Array[(Int, Seq[Double])]): Column =
+    centroidDists(col("vec"), cents)
+
+  /** The pre-r12 literal unroll — parity oracle for the native
+    * expression (GraftProperties), never on a query path.
+    */
+  private[graft] def centroidCandsLit(cents: Array[(Int, Seq[Double])]): Column =
     array(cents.map { case (cid, c) =>
       struct(
         dround(dot(col("vec"), col("vec"))

@@ -323,6 +323,28 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("native centroid distances equal the literal array(struct) formulation") = {
+    // the native loop expression exists because the literal unroll
+    // stops whole-stage-compiling near K ~ 100; below that ceiling the
+    // two must agree BIT-FOR-BIT (qe9/qe10's oracle hash-match rides
+    // on this arithmetic), including the (distance, cid) tie order
+    functions.VectorFunctions.registerNative(spark)
+    forAll(Gen.chooseNum(1, 20), Gen.chooseNum(2, 12), Gen.chooseNum(0L, 500L)) {
+      (k, dim, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val cents = (0 until k).map(c =>
+          (c * 3, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))).toArray
+        val df = Seq(Tuple1(Seq.fill(dim)(rnd.nextDouble() * 4 - 2))).toDF("vec")
+        val row = df.select(
+          queries.VectorQueries.centroidCandsLit(cents).as("lit"),
+          functions.VectorFunctions.centroidDists(col("vec"), cents).as("nat"))
+          .selectExpr("transform(lit, s -> struct(s.d, s.cid)) AS l",
+            "transform(nat, s -> struct(s.d, s.cid)) AS n")
+          .collect()(0)
+        row.getSeq[org.apache.spark.sql.Row](0) == row.getSeq[org.apache.spark.sql.Row](1)
+    }
+  }
+
   property("gate candidate set invariant to input partitioning") = {
     // VERDICT r11 item 7: the qe15b/qe22b/qe25b recall floors assume
     // the IVF gate fit is reproducible — the seed pick is an
