@@ -1433,6 +1433,143 @@ object CoreQueries {
       |FROM classes CROSS JOIN ks
       |GROUP BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Incremental aggregate maintenance: the per-customer order aggregate
+    * (count, revenue, average ticket) of the NEW snapshot, computed by
+    * folding the classified CDC delta into the OLD snapshot's
+    * materialized aggregate via [[graft.operators.DeltaAgg.maintain]] —
+    * the base facts are never rescanned. Snapshots reuse q39's
+    * deterministic presence/reprice rules (carrying o_custkey), so the
+    * delta has real inserts, deletes and updates; the oracle recomputes
+    * the new snapshot directly, proving the incremental path lands on
+    * the identical aggregate.
+    *
+    * Exactness: revenue flows as Long cents end to end (delta
+    * maintenance compounds run-over-run, so float drift is
+    * disqualifying); the only doubles are the final display divisions,
+    * in the same operation order as the oracle.
+    *
+    * Scale: see DeltaAgg — delta-sized shuffle + key-join against the
+    * keyspace-sized aggregate; at 100 TB the aggregate is bucketed by
+    * custkey on disk and the base side runs exchange-free.
+    */
+  private[graft] def q53Snaps(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cents = dround(col("o_totalprice") * 100, 0).cast("long")
+    val o = Tables.orders(s, dir)
+    val old = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+    val neu = o.filter(col("o_orderkey") % 13 =!= 5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 2,
+          dround(dround(col("o_totalprice") * 1.05, 2) * 100, 0).cast("long"))
+          .otherwise(cents).as("cents"))
+    (old, neu)
+  }
+
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val (snapOld, snapNew) = q53Snaps(s, dir)
+    val baseAgg = snapOld.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val delta = snapOld.select(col("o_orderkey"), col("o_custkey"),
+        col("cents").as("old_v"), lit(1).as("old_present"))
+      .join(snapNew.select(col("o_orderkey"),
+        col("o_custkey").as("new_custkey"), col("cents").as("new_v"),
+        lit(1).as("new_present")), Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_present").isNull, "insert")
+          .when(col("new_present").isNull, "delete")
+          .when(col("old_v") =!= col("new_v"), "update"))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("o_custkey"), col("new_custkey")).as("o_custkey"),
+        col("op"), col("old_v"), col("new_v"))
+    graft.operators.DeltaAgg.maintain(baseAgg, delta, "o_custkey")
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        (col("s") / 100.0).as("revenue"),
+        dround(col("s") / 100.0 / col("n"), 2).as("avg_order"))
+  }
+
+  private val q53Sql =
+    """WITH snap_new AS (
+      |  SELECT o_custkey,
+      |         CAST(round(CASE WHEN o_orderkey % 7 = 2
+      |                    THEN round(o_totalprice * 1.05, 2)
+      |                    ELSE o_totalprice END * 100, 0) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 != 5)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue,
+      |       round(CAST(sum(cents) AS BIGINT) / 100.0 / count(*), 2)
+      |         AS avg_order
+      |FROM snap_new GROUP BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Small-file compaction planner (the OPTIMIZE step of 100 TB table
+    * maintenance): per table partition (ship month), group lineitem's
+    * write units into "files" (supplier bucket grain), size them, and
+    * pack files into target-sized compaction bins by next-fit-
+    * decreasing — sort descending by size, walk the cumulative sum,
+    * open a new bin every `target` bytes. NFD is the member of the
+    * packing family expressible as one window pass (first-fit needs
+    * per-bin state); its 2·OPT bound is fine for compaction, where the
+    * target is a soft ceiling. The target adapts to the partition
+    * (4× the partition's mean file size, integer arithmetic so both
+    * engines agree bit-for-bit).
+    *
+    * Scale: file statistics are metadata — millions of rows, not
+    * billions — and the window partitions by table partition, so the
+    * plan never funnels through one task; the expensive part (the
+    * stats scan) is one partial-agged shuffle of the fact table, which
+    * production replaces with the table format's file manifest.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(s, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        (col("l_suppkey") % 16).cast("int").as("file_id"))
+      .agg((count(lit(1)) * 48L).as("file_bytes"))
+    val byMonth = Window.partitionBy("ship_month")
+    val packOrder = byMonth.orderBy(col("file_bytes").desc, col("file_id").asc)
+    val planned = files
+      .withColumn("target_bytes",
+        lit(4L) * floor(sum("file_bytes").over(byMonth)
+          / count(lit(1)).over(byMonth)).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum("file_bytes").over(packOrder.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / col("target_bytes")).cast("int"))
+    val byBin = Window.partitionBy("ship_month", "bin")
+    planned
+      .withColumn("bin_files", count(lit(1)).over(byBin))
+      .withColumn("bin_bytes", sum("file_bytes").over(byBin))
+      .select("ship_month", "file_id", "file_bytes", "target_bytes",
+        "bin", "bin_files", "bin_bytes")
+  }
+
+  private val q54Sql =
+    """WITH files AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |         CAST(l_suppkey % 16 AS INT) AS file_id,
+      |         CAST(count(*) * 48 AS BIGINT) AS file_bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT *,
+      |    4 * CAST(floor(sum(file_bytes) OVER (PARTITION BY ship_month)
+      |          / count(*) OVER (PARTITION BY ship_month)) AS BIGINT)
+      |      AS target_bytes,
+      |    COALESCE(sum(file_bytes) OVER (PARTITION BY ship_month
+      |        ORDER BY file_bytes DESC, file_id ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM files),
+      |binned AS (
+      |  SELECT ship_month, file_id, file_bytes, target_bytes,
+      |         CAST(floor(cum_before / target_bytes) AS INT) AS bin
+      |  FROM planned)
+      |SELECT ship_month, file_id, file_bytes, target_bytes, bin,
+      |       CAST(count(*) OVER (PARTITION BY ship_month, bin) AS BIGINT)
+      |         AS bin_files,
+      |       CAST(sum(file_bytes) OVER (PARTITION BY ship_month, bin) AS BIGINT)
+      |         AS bin_bytes
+      |FROM binned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1465,6 +1602,8 @@ object CoreQueries {
     "q49_yoy_growth" -> (q49 _),
     "q50_scd2_lookup" -> (q50 _),
     "q52_k_anonymity" -> (q52 _),
+    "q53_delta_agg" -> (q53 _),
+    "q54_compaction_plan" -> (q54 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1499,5 +1638,7 @@ object CoreQueries {
     "q49_yoy_growth" -> q49Sql,
     "q50_scd2_lookup" -> q50Sql,
     "q52_k_anonymity" -> q52Sql,
+    "q53_delta_agg" -> q53Sql,
+    "q54_compaction_plan" -> q54Sql,
   )
 }

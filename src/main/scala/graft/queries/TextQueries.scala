@@ -2949,6 +2949,70 @@ object TextQueries {
       |    AS cum_vocab
       |FROM per_bucket LEFT JOIN new_terms USING (bucket)""".stripMargin
 
+  // --------------------------------------------------------------- qd48
+  /** Train-order novelty per document: walking the corpus in training
+    * order (doc_id, the stream position proxy qd47 already uses), what
+    * fraction of each document's distinct word-3-grams has never been
+    * seen in any EARLIER document? The per-doc curve is the curation
+    * signal qd47's bucketed unigram view can't give: a near-duplicate
+    * of earlier data scores ~0 novelty wherever it lands, a fresh
+    * domain scores ~1 even late in the stream — the "is new data still
+    * adding content?" diagnostic read before extending a crawl, at the
+    * granularity mixing decisions are made (docs, not buckets).
+    *
+    * Exactness: "seen earlier" is min(doc_id) per gram — order-free,
+    * engine-agnostic, and tie-free (a gram's first doc counts it as
+    * novel exactly once). Docs with no 3-gram (< 3 tokens) are kept
+    * with ng=0 and novelty pinned 0.0 so the output stays corpus-sized.
+    *
+    * Scale: per-doc distinct gram sets are map-side; the only
+    * gram-cardinality shuffle is the min(doc_id) aggregate, whose
+    * output immediately collapses to doc cardinality (groupBy
+    * first-seen doc) — there is NO gram-level join back to the corpus,
+    * so the big side is touched once. The final doc↔doc join is
+    * keyspace-sized on both sides.
+    */
+  def qd48(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordGrams(tokens(col("text")), 3)).as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
+    val novelPerDoc = g
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    g.select(col("doc_id"), col("ng").cast("long").as("ng"))
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
+      .select(col("doc_id"), col("ng"), col("novel"),
+        when(col("ng") > 0,
+          dround(col("novel").cast("double") / col("ng"), 6))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
+  private val qd48Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |novel AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS novel FROM (
+      |    SELECT min(doc_id) AS doc_id
+      |    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+      |    GROUP BY gram)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS ng,
+      |       COALESCE(n.novel, 0) AS novel,
+      |       CASE WHEN len(g.grams) > 0
+      |            THEN round(CAST(COALESCE(n.novel, 0) AS DOUBLE)
+      |                       / len(g.grams), 6)
+      |            ELSE 0.0 END AS novelty
+      |FROM g LEFT JOIN novel n ON n.doc_id = g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -3001,6 +3065,7 @@ object TextQueries {
     "qd45_waterfill_mixture" -> (qd45 _),
     "qd46_dedup_survivorship" -> (qd46 _),
     "qd47_vocab_growth" -> (qd47 _),
+    "qd48_train_novelty" -> (qd48 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3049,6 +3114,7 @@ object TextQueries {
     "qd45_waterfill_mixture" -> qd45Sql,
     "qd46_dedup_survivorship" -> qd46Sql,
     "qd47_vocab_growth" -> qd47Sql,
+    "qd48_train_novelty" -> qd48Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
