@@ -1466,11 +1466,13 @@ object CoreQueries {
     (old, neu)
   }
 
-  def q53(s: SparkSession, dir: String): DataFrame = {
+  /** The classified change feed between the q53 snapshots — shared with
+    * the streaming maintenance spec (AggMaintenanceSpec), which replays
+    * it in micro-batches.
+    */
+  private[graft] def q53Delta(s: SparkSession, dir: String): DataFrame = {
     val (snapOld, snapNew) = q53Snaps(s, dir)
-    val baseAgg = snapOld.groupBy("o_custkey")
-      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
-    val delta = snapOld.select(col("o_orderkey"), col("o_custkey"),
+    snapOld.select(col("o_orderkey"), col("o_custkey"),
         col("cents").as("old_v"), lit(1).as("old_present"))
       .join(snapNew.select(col("o_orderkey"),
         col("o_custkey").as("new_custkey"), col("cents").as("new_v"),
@@ -1482,7 +1484,13 @@ object CoreQueries {
       .filter(col("op").isNotNull)
       .select(coalesce(col("o_custkey"), col("new_custkey")).as("o_custkey"),
         col("op"), col("old_v"), col("new_v"))
-    graft.operators.DeltaAgg.maintain(baseAgg, delta, "o_custkey")
+  }
+
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val (snapOld, _) = q53Snaps(s, dir)
+    val baseAgg = snapOld.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    graft.operators.DeltaAgg.maintain(baseAgg, q53Delta(s, dir), "o_custkey")
       .select(col("o_custkey"), col("n").as("n_orders"),
         (col("s") / 100.0).as("revenue"),
         dround(col("s") / 100.0 / col("n"), 2).as("avg_order"))
@@ -1570,6 +1578,110 @@ object CoreQueries {
       |         AS bin_bytes
       |FROM binned""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Data-layout study: zone-map file-skipping effectiveness of three
+    * physical orderings of the fact table — natural (insertion) order,
+    * single-key sort, and Morton/z-order interleave of two query
+    * dimensions — the OPTIMIZE ZORDER decision of 100 TB table
+    * maintenance, quantified. Rows are packed into ~128 equal files per
+    * layout; each file's per-dimension [min,max] is its zone map; the
+    * expected fraction of files a uniform point predicate must scan is
+    * exactly the mean normalized span (and, for a two-dimension
+    * conjunctive predicate, the mean normalized span PRODUCT). The
+    * output shows the trade the layout choice buys: single-key sort is
+    * ~1/n_files on its key but ~1 on the other — a suppkey-only query
+    * scans everything — while z-order bounds BOTH dims (~1/√n_files
+    * each at sf0.1: 0.125/0.173 vs sorted's 0.012/1.0). Sort still
+    * wins the conjunctive-point product (its one tiny dim prunes
+    * alone); interleave is the choice when the workload predicates on
+    * either dimension independently.
+    *
+    * Exactness: dimensions are 8-bit key buckets, the z-value is a pure
+    * 16-term bit interleave, and ranks come from the two-phase rankBy.
+    * Rank ties are interchangeable BY CONSTRUCTION: every ordering ends
+    * with (pb, sb), so rows tied on the full key agree on both measured
+    * columns and any tie resolution yields identical per-file min/max —
+    * the property that makes a row_number layout oracle-comparable.
+    * Span sums stay integer; the only divisions are the three final
+    * display means.
+    *
+    * Scale: three global sort-ranks of the fact table (each the
+    * exchange a real rewrite would pay anyway — this IS the shuffle
+    * OPTIMIZE executes), then file-count-sized aggregates. No
+    * all-pairs anything; the summary is 3 rows.
+    */
+  private def zInterleave8(pb: Column, sb: Column): Column =
+    (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      acc + shiftleft(shiftright(pb, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(sb, i).bitwiseAND(lit(1)), 2 * i)
+    }
+
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 256).cast("int").as("pb"),
+        (col("l_suppkey") % 256).cast("int").as("sb"))
+      .withColumn("z", zInterleave8(col("pb"), col("sb")))
+    val nRow = base.agg(count(lit(1)).as("n"))
+    def spans(layout: String, keys: Seq[Column]): DataFrame =
+      graft.operators.Pareto.rankBy(base, keys, "r")
+        .crossJoin(broadcast(nRow))
+        .withColumn("file_id", expr("(r - 1) div ((n + 127) div 128)"))
+        .groupBy("file_id")
+        .agg((max("pb") - min("pb") + 1).as("pspan"),
+          (max("sb") - min("sb") + 1).as("sspan"))
+        .agg(count(lit(1)).as("n_files"), sum("pspan").as("ps"),
+          sum("sspan").as("ss"),
+          sum(col("pspan").cast("long") * col("sspan")).as("xs"))
+        .select(lit(layout).as("layout"), col("n_files"),
+          dround(col("ps") / (col("n_files") * 256.0), 6).as("avg_part_span"),
+          dround(col("ss") / (col("n_files") * 256.0), 6).as("avg_supp_span"),
+          dround(col("xs") / (col("n_files") * 65536.0), 6).as("avg_point_scan"))
+    spans("natural", Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("pb").asc, col("sb").asc))
+      .unionByName(spans("partkey_sorted", Seq(col("pb").asc, col("sb").asc)))
+      .unionByName(spans("zorder", Seq(col("z").asc, col("pb").asc, col("sb").asc)))
+  }
+
+  private val q55Sql = {
+    val zExpr = (0 until 8).map(i =>
+      s"(((pb >> $i) & 1) << ${2 * i + 1}) + (((sb >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CAST(l_partkey % 256 AS INT) AS pb,
+       |         CAST(l_suppkey % 256 AS INT) AS sb
+       |  FROM lineitem),
+       |zb AS (SELECT *, $zExpr AS z FROM base),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |lay AS (
+       |  SELECT 'natural' AS layout, pb, sb,
+       |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, pb, sb) AS r
+       |  FROM zb
+       |  UNION ALL
+       |  SELECT 'partkey_sorted', pb, sb, row_number() OVER (ORDER BY pb, sb)
+       |  FROM zb
+       |  UNION ALL
+       |  SELECT 'zorder', pb, sb, row_number() OVER (ORDER BY z, pb, sb)
+       |  FROM zb),
+       |files AS (
+       |  SELECT layout, (r - 1) // ((n + 127) // 128) AS file_id, pb, sb
+       |  FROM lay, nn),
+       |spans AS (
+       |  SELECT layout, file_id,
+       |         max(pb) - min(pb) + 1 AS pspan,
+       |         max(sb) - min(sb) + 1 AS sspan
+       |  FROM files GROUP BY 1, 2)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |       round(CAST(sum(pspan) AS BIGINT) / (count(*) * 256.0), 6)
+       |         AS avg_part_span,
+       |       round(CAST(sum(sspan) AS BIGINT) / (count(*) * 256.0), 6)
+       |         AS avg_supp_span,
+       |       round(CAST(sum(CAST(pspan AS BIGINT) * sspan) AS BIGINT)
+       |             / (count(*) * 65536.0), 6) AS avg_point_scan
+       |FROM spans GROUP BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1604,6 +1716,7 @@ object CoreQueries {
     "q52_k_anonymity" -> (q52 _),
     "q53_delta_agg" -> (q53 _),
     "q54_compaction_plan" -> (q54 _),
+    "q55_zorder_layout" -> (q55 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1640,5 +1753,6 @@ object CoreQueries {
     "q52_k_anonymity" -> q52Sql,
     "q53_delta_agg" -> q53Sql,
     "q54_compaction_plan" -> q54Sql,
+    "q55_zorder_layout" -> q55Sql,
   )
 }
