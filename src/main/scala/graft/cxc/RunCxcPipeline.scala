@@ -22,7 +22,7 @@ object RunCxcPipeline {
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--skip")).toSet ++
-      args.filter(a => a == "--no-cache" || a == "--no-xlsx")
+      args.filter(a => a == "--no-cache" || a == "--no-xlsx" || a == "--no-pdf")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) if !v.startsWith("--") => v }
 
@@ -55,6 +55,13 @@ object RunCxcPipeline {
     // run (main.py exportar_tres_exceles) — skip with --no-xlsx
     if (!flags.contains("--no-xlsx"))
       CxcWorkbooks.export(views, out).foreach(p => println(s"[cxc] workbook -> $p"))
+    // PASO 4b — the executive PDF (main.py:587-597 generar_reporte_pdf)
+    if (!flags.contains("--no-pdf")) {
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+        .format(java.time.LocalDateTime.now())
+      val n = CxcPdf.export(views, s"$out/dashboard_cxc.pdf", ts)
+      println(s"[cxc] pdf ($n pages) -> $out/dashboard_cxc.pdf")
+    }
     views.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(s"[cxc] $name: ${df.count()} rows -> $out/$name")
     }
