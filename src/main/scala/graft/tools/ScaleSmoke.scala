@@ -57,7 +57,12 @@ object ScaleSmoke {
       "q43_copurchase_pagerank" -> (graft.queries.CoreQueries.q43 _),
       "q44_triangle_count" -> (graft.queries.CoreQueries.q44 _),
       "q45_lpa_communities" -> (graft.queries.CoreQueries.q45 _),
-      "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _))
+      "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _),
+      // r12 additions: the CDC/layout/novelty operators
+      "q53_delta_agg" -> (graft.queries.CoreQueries.q53 _),
+      "q54_compaction_plan" -> (graft.queries.CoreQueries.q54 _),
+      "q55_zorder_layout" -> (graft.queries.CoreQueries.q55 _),
+      "qd48_train_novelty" -> (graft.queries.TextQueries.qd48 _))
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     for ((name, fn) <- qs) {
       var best = Double.MaxValue

@@ -518,6 +518,58 @@ class PlanSpec extends AnyFunSuite {
       "SortMergeJoin \\[hour_ts".r.findAllMatchIn(p).nonEmpty)
   }
 
+  test("q53 delta maintenance map-combines both aggregates, joins keyed only") {
+    val p = finalPlan(queries.CoreQueries.q53(spark, sf))
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "base and delta aggregates must map-side combine before their shuffles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("Join \\[o_custkey|Join \\[o_orderkey".r.findAllMatchIn(p).nonEmpty,
+      "delta classification and maintenance must ride key equi-joins")
+  }
+
+  test("q54 compaction windows all partition by the table partition") {
+    val p = finalPlan(queries.CoreQueries.q54(spark, sf))
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("ship_month")),
+      s"a window without the ship_month partition funnels the plan:\n$p")
+    assert(p.contains("partial_count"), "file stats must map-side combine")
+  }
+
+  test("q55 layout ranks stay two-phase under the threshold-0 sweep") {
+    // force auto-dispatch onto the two-phase path (the sf0.001 frame is
+    // below the default size threshold) — the 100×-scale shape is what
+    // the pin freezes
+    val prev = spark.conf.getOption(GraftConf.paretoTwoPhaseBytesKey)
+    spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, "0")
+    try {
+      val p = finalPlan(queries.CoreQueries.q55(spark, sf))
+      // two-phase rank = range-partitioned sort + a LOCAL row_number
+      // window partitioned on _pid; the global-window fallback would
+      // plan an UNpartitioned row_number over a single-partition sort
+      // of the full fact table. (The file-count-sized final aggregates
+      // legitimately go through SinglePartition exchanges.)
+      // (the range-partitioning exchange itself is behind the
+      // lineage-cutting localCheckpoint and does not print here)
+      val ranks = "row_number\\(\\) windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+      assert(ranks.nonEmpty && ranks.forall(_.contains("_pid")),
+        s"every layout rank must be a _pid-partitioned local window:\n$ranks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(GraftConf.paretoTwoPhaseBytesKey, v)
+      case None => spark.conf.unset(GraftConf.paretoTwoPhaseBytesKey)
+    }
+  }
+
+  test("qd48 shuffles gram-cardinality data exactly once, never joins it back") {
+    val p = finalPlan(queries.TextQueries.qd48(spark, sf))
+    val gramEx = "Exchange hashpartitioning\\(gram".r.findAllMatchIn(p).size
+    assert(gramEx == 1,
+      s"the min-first-seen aggregate is the ONLY gram shuffle (got $gramEx)")
+    assert(p.contains("partial_min"), "first-seen min must map-side combine")
+    assert(!"Join \\[gram".r.findAllMatchIn(p).hasNext,
+      "novelty joins on doc_id; a gram-keyed join re-touches the big side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
