@@ -3013,6 +3013,99 @@ object TextQueries {
       |            ELSE 0.0 END AS novelty
       |FROM g LEFT JOIN novel n ON n.doc_id = g.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- qd50
+  /** Full BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterated
+    * closure of qd42's single round: [[BpeRounds]] merge rounds, each
+    * counting adjacent token-pair frequencies over the corpus word
+    * table, accepting the argmax (ties → lexicographically smallest
+    * pair, deterministic), and re-segmenting every word against the
+    * accepted merge before the next round. Output is the merge TABLE —
+    * the artifact a tokenizer ships.
+    *
+    * Exactness: a word is a separator-wrapped string of its character
+    * tokens (unit separator U+001F) and a merge is the plain string
+    * replacement SEP+u+SEP+v+SEP → SEP+uv+SEP — leftmost,
+    * non-overlapping, boundary-safe (the pattern's flanking separators
+    * mean u and v only match FULL tokens, and consecutive overlapping
+    * pairs can't both fire because the shared separator is consumed) —
+    * which is exactly BPE's simultaneous left-to-right merge, and both
+    * engines run the IDENTICAL replace call. Counts weight word
+    * occurrences via the type-frequency table, like qd42.
+    *
+    * Scale: training iterates over the word-TYPE table (vocab-sized,
+    * built by one corpus shuffle), never the corpus: each round is one
+    * map-side pair explode + a pair-key partial-agged shuffle + a
+    * driver-sized argmax collect (the accepted merge is the only thing
+    * that leaves the cluster). Lineage is cut per round so round k
+    * doesn't replay k-1 replaces.
+    */
+  private val BpeRounds = 8
+
+  def qd50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Sep = "\u001f"
+    var w = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(Sep),
+        regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ws"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to BpeRounds) {
+      val top = w
+        .select(filter(split(col("ws"), Sep), t => t =!= "").as("toks"), col("freq"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] as u, toks[i] as v))")).as("p"), col("freq"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("u").asc, col("v").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (u, v, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, u, v, n))
+        w = w.select(replace(col("ws"), lit(Sep + u + Sep + v + Sep),
+          lit(Sep + u + v + Sep)).as("ws"), col("freq")).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("round", "u", "v", "n")
+      .select(col("round").cast("int"), col("u"), col("v"), col("n"))
+  }
+
+  private val qd50Sql = {
+    // unrolled rounds (the qe31 precedent): w0 → p1/t1 → w1 → … each
+    // round replays the SAME pair count + argmax + boundary-safe replace
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""x$r AS (
+         |  SELECT toks, freq, unnest(range(1, len(toks))) AS i
+         |  FROM (SELECT list_filter(string_split(ws, chr(31)), t -> t <> '') AS toks,
+         |               freq
+         |        FROM w${r - 1})),
+         |p$r AS (
+         |  SELECT toks[i] AS u, toks[i + 1] AS v, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM x$r GROUP BY 1, 2),
+         |t$r AS (SELECT u, v, n FROM p$r ORDER BY n DESC, u, v LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(ws, chr(31) || u || chr(31) || v || chr(31),
+         |                 chr(31) || u || v || chr(31)) AS ws, freq
+         |  FROM w${r - 1}, t$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, u, v, n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 1
+       |  GROUP BY 1),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd1_dedup_exact" -> (qd1 _),
     "qd2_token_stats" -> (qd2 _),
@@ -3066,6 +3159,7 @@ object TextQueries {
     "qd46_dedup_survivorship" -> (qd46 _),
     "qd47_vocab_growth" -> (qd47 _),
     "qd48_train_novelty" -> (qd48 _),
+    "qd50_bpe_train" -> (qd50 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3115,6 +3209,7 @@ object TextQueries {
     "qd46_dedup_survivorship" -> qd46Sql,
     "qd47_vocab_growth" -> qd47Sql,
     "qd48_train_novelty" -> qd48Sql,
+    "qd50_bpe_train" -> qd50Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
