@@ -3041,9 +3041,13 @@ object TextQueries {
     */
   private val BpeRounds = 8
 
-  def qd50(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val Sep = "\u001f"
+  private val BpeSep = "\u001f"
+
+  /** The training loop shared by qd50 (merge table) and qd51 (corpus
+    * encode): returns the accepted merges in round order.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val Sep = BpeSep
     var w = docs(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
@@ -3070,13 +3074,21 @@ object TextQueries {
           lit(Sep + u + v + Sep)).as("ws"), col("freq")).localCheckpoint()
       }
     }
-    merges.toSeq.toDF("round", "u", "v", "n")
+    merges.toSeq
+  }
+
+  def qd50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF("round", "u", "v", "n")
       .select(col("round").cast("int"), col("u"), col("v"), col("n"))
   }
 
-  private val qd50Sql = {
-    // unrolled rounds (the qe31 precedent): w0 → p1/t1 → w1 → … each
-    // round replays the SAME pair count + argmax + boundary-safe replace
+  /** The shared training CTE chain (w0 → p1/t1 → w1 → …): each round
+    * replays the SAME pair count + argmax + boundary-safe replace —
+    * unrolled rounds, the qe31 precedent. Used by both qd50 (merge
+    * table) and qd51 (encode against the derived merges).
+    */
+  private val bpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""x$r AS (
          |  SELECT toks, freq, unnest(range(1, len(toks))) AS i
@@ -3092,18 +3104,76 @@ object TextQueries {
          |                 chr(31) || u || v || chr(31)) AS ws, freq
          |  FROM w${r - 1}, t$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS round, u, v, n FROM t$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |        FROM documents)
        |  WHERE len(w) >= 1
        |  GROUP BY 1),
-       |$rounds
-       |$sel""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private val qd50Sql = {
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, u, v, n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $bpeCtes\n$sel"
+  }
+
+  // --------------------------------------------------------------- qd51
+  /** Tokenizer ENCODE with the trained merge table — the serving half
+    * of qd50: every corpus word occurrence is re-segmented by the
+    * accepted merges in round order (map-only: [[BpeRounds]] string
+    * replaces per occurrence, no shuffle until the per-source rollup),
+    * and the output is the per-source fertility study a mixture owner
+    * reads before committing a tokenizer (BPE tokens per whitespace
+    * word; cf. qd35's fixed-tokenizer fertility). The oracle re-derives
+    * the SAME merges through the shared CTE chain and applies them as
+    * nested scalar-subquery replaces — train→encode consistency is
+    * hash-checked end to end.
+    *
+    * Scale: training iterates the vocab-sized type table (see qd50);
+    * encoding touches the corpus ONCE, map-only; the rollup is one
+    * partial-agged shuffle on the source key.
+    */
+  def qd51(s: SparkSession, dir: String): DataFrame = {
+    val Sep = BpeSep
+    val wrapped = concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep))
+    val encoded = bpeMerges(s, dir).foldLeft(wrapped) { case (c, (_, u, v, _)) =>
+      replace(c, lit(Sep + u + Sep + v + Sep), lit(Sep + u + v + Sep))
+    }
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("source"),
+        size(filter(split(encoded, Sep), t => t =!= "")).as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        dround(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+  }
+
+  private val qd51Sql = {
+    val enc = (1 to BpeRounds).foldLeft("ws") { (inner, r) =>
+      s"replace($inner, (SELECT chr(31) || u || chr(31) || v || chr(31) FROM t$r), " +
+        s"(SELECT chr(31) || u || v || chr(31) FROM t$r))"
+    }
+    s"""WITH $bpeCtes,
+       |occ AS (
+       |  SELECT source,
+       |         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws
+       |  FROM (SELECT source,
+       |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 1),
+       |enc AS (SELECT source, $enc AS ws FROM occ)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(list_filter(string_split(ws, chr(31)), t -> t <> '')))
+       |    AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(len(list_filter(string_split(ws, chr(31)), t -> t <> '')))
+       |    AS BIGINT) / count(*), 6) AS fertility
+       |FROM enc GROUP BY source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3160,6 +3230,7 @@ object TextQueries {
     "qd47_vocab_growth" -> (qd47 _),
     "qd48_train_novelty" -> (qd48 _),
     "qd50_bpe_train" -> (qd50 _),
+    "qd51_bpe_encode" -> (qd51 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3210,6 +3281,7 @@ object TextQueries {
     "qd47_vocab_growth" -> qd47Sql,
     "qd48_train_novelty" -> qd48Sql,
     "qd50_bpe_train" -> qd50Sql,
+    "qd51_bpe_encode" -> qd51Sql,
     // qd6/qd7 intentionally omitted: xxhash64-based, not SQL-expressible;
     // covered by ScalaTest invariants (TextQueriesSpec).
     // qd20b omitted: HLL++ registers are engine-specific — SketchSpec
