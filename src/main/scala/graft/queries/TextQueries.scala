@@ -3022,12 +3022,13 @@ object TextQueries {
     * accepted merge before the next round. Output is the merge TABLE —
     * the artifact a tokenizer ships.
     *
-    * Exactness: a word is a separator-wrapped string of its character
-    * tokens (unit separator U+001F) and a merge is the plain string
-    * replacement SEP+u+SEP+v+SEP → SEP+uv+SEP — leftmost,
-    * non-overlapping, boundary-safe (the pattern's flanking separators
-    * mean u and v only match FULL tokens, and consecutive overlapping
-    * pairs can't both fire because the shared separator is consumed) —
+    * Exactness: a word wraps EVERY token in its own separators
+    * (unit separator U+001F) and a merge is the plain string
+    * replacement SEP+u+SEP+SEP+v+SEP → SEP+uv+SEP — leftmost,
+    * non-overlapping, boundary-safe: the pattern's flanking separators
+    * mean u and v only match FULL tokens, and per-token separator PAIRS
+    * mean back-to-back occurrences ("abab") share no boundary byte, so
+    * simultaneous merges all fire while overlaps ("aaa") cannot —
     * which is exactly BPE's simultaneous left-to-right merge, and both
     * engines run the IDENTICAL replace call. Counts weight word
     * occurrences via the type-frequency table, like qd42.
@@ -3052,8 +3053,8 @@ object TextQueries {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(Sep),
-        regexp_replace(col("w"), "(.)", "$1" + Sep)).as("ws"), col("freq"))
+      .select(regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("ws"),
+        col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to BpeRounds) {
@@ -3070,7 +3071,7 @@ object TextQueries {
       if (top.nonEmpty) {
         val (u, v, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, u, v, n))
-        w = w.select(replace(col("ws"), lit(Sep + u + Sep + v + Sep),
+        w = w.select(replace(col("ws"), lit(Sep + u + Sep + Sep + v + Sep),
           lit(Sep + u + v + Sep)).as("ws"), col("freq")).localCheckpoint()
       }
     }
@@ -3100,12 +3101,12 @@ object TextQueries {
          |  FROM x$r GROUP BY 1, 2),
          |t$r AS (SELECT u, v, n FROM p$r ORDER BY n DESC, u, v LIMIT 1),
          |w$r AS (
-         |  SELECT replace(ws, chr(31) || u || chr(31) || v || chr(31),
+         |  SELECT replace(ws, chr(31) || u || chr(31) || chr(31) || v || chr(31),
          |                 chr(31) || u || v || chr(31)) AS ws, freq
          |  FROM w${r - 1}, t$r)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS (
-       |  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
+       |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |        FROM documents)
@@ -3139,9 +3140,9 @@ object TextQueries {
     */
   def qd51(s: SparkSession, dir: String): DataFrame = {
     val Sep = BpeSep
-    val wrapped = concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep))
+    val wrapped = regexp_replace(col("w"), "(.)", Sep + "$1" + Sep)
     val encoded = bpeMerges(s, dir).foldLeft(wrapped) { case (c, (_, u, v, _)) =>
-      replace(c, lit(Sep + u + Sep + v + Sep), lit(Sep + u + v + Sep))
+      replace(c, lit(Sep + u + Sep + Sep + v + Sep), lit(Sep + u + v + Sep))
     }
     docs(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
@@ -3156,13 +3157,13 @@ object TextQueries {
 
   private val qd51Sql = {
     val enc = (1 to BpeRounds).foldLeft("ws") { (inner, r) =>
-      s"replace($inner, (SELECT chr(31) || u || chr(31) || v || chr(31) FROM t$r), " +
+      s"replace($inner, (SELECT chr(31) || u || chr(31) || chr(31) || v || chr(31) FROM t$r), " +
         s"(SELECT chr(31) || u || v || chr(31) FROM t$r))"
     }
     s"""WITH $bpeCtes,
        |occ AS (
        |  SELECT source,
-       |         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws
+       |         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws
        |  FROM (SELECT source,
        |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |        FROM documents)

@@ -462,4 +462,46 @@ object GraftProperties extends Properties("graft") {
         .map(r => r.getString(0) -> r.getLong(2)).toMap
       got == Map("s00" -> 1L, "s01" -> 0L)
     }
+
+  property("BPE string-replace merge == simultaneous leftmost model merge") = {
+    // qd50/qd51's merge is a plain string replacement on words whose
+    // tokens each carry their OWN separators (SEP+u+SEP+SEP+v+SEP →
+    // SEP+uv+SEP); this pins
+    // that trick — through the SPARK replace expression, not just JVM
+    // String.replace — against a transparent recursive model of BPE's
+    // simultaneous left-to-right non-overlapping merge, including the
+    // overlap ("aaa" with merge (a,a) → [aa, a]) and back-to-back
+    // ("abab" → [ab, ab]) cases — the latter falsified the original
+    // single-boundary-separator encoding, where the replace consumed
+    // the shared separator and missed every second occurrence.
+    val Sep = "\u001f"
+    def model(toks: List[String], u: String, v: String): List[String] = toks match {
+      case a :: b :: rest if a == u && b == v => (u + v) :: model(rest, u, v)
+      case a :: rest => a :: model(rest, u, v)
+      case Nil => Nil
+    }
+    val tok: Gen[String] = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val word: Gen[List[String]] = Gen.choose(1, 8).flatMap(Gen.listOfN(_, tok))
+    val cse: Gen[(List[String], String, String)] =
+      for { w <- word; u <- tok; v <- tok } yield (w, u, v)
+    forAll(Gen.listOfN(60, cse)) { cases =>
+      cases.isEmpty || {
+        val df = cases.zipWithIndex
+          .map { case ((w, u, v), i) =>
+            (i, w.map(t => Sep + t + Sep).mkString,
+              Sep + u + Sep + Sep + v + Sep, Sep + u + v + Sep)
+          }
+          .toDF("i", "ws", "pat", "rep")
+        val got = df
+          .select(col("i"),
+            filter(split(replace(col("ws"), col("pat"), col("rep")), Sep),
+              t => t =!= "").as("toks"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+        cases.zipWithIndex.forall { case ((w, u, v), i) =>
+          got(i) == model(w, u, v)
+        }
+      }
+    }
+  }
 }
