@@ -27,7 +27,8 @@ object SparkEntry {
         "qm5_shot_boundaries" -> ((s, d) => graft.multimodal.Multimodal.shotBoundaries(s, d)),
         "qm6_audio_energy" -> ((s, d) => graft.multimodal.Multimodal.audioEnergy(s, d)),
         "qm7_image_phash" -> ((s, d) => graft.multimodal.Multimodal.imagePhash(s, d)),
-        "qm8_corruption_scan" -> ((s, d) => graft.multimodal.Multimodal.mediaCorruption(s, d)))
+        "qm8_corruption_scan" -> ((s, d) => graft.multimodal.Multimodal.mediaCorruption(s, d)),
+        "qm9_phash_neardup" -> ((s, d) => graft.multimodal.Multimodal.imagePhashNeardup(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -55,5 +56,6 @@ object SparkEntry {
         "qm5_shot_boundaries" -> graft.multimodal.Multimodal.shotBoundariesSql,
         "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql,
         "qm7_image_phash" -> graft.multimodal.Multimodal.imagePhashSql,
-        "qm8_corruption_scan" -> graft.multimodal.Multimodal.mediaCorruptionSql)
+        "qm8_corruption_scan" -> graft.multimodal.Multimodal.mediaCorruptionSql,
+        "qm9_phash_neardup" -> graft.multimodal.Multimodal.imagePhashNeardupSql)
 }

@@ -432,6 +432,34 @@ object Multimodal {
     * window on a 16-byte key — the qd1 exact-dedup shape, applied to
     * pixels instead of text.
     */
+  /** Block-mean 64-bit perceptual hash of a decoded raster (the qm7
+    * kernel, shared with qm9's rendition pipeline).
+    */
+  private def phashOf(img: BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val row = new Array[Int](w * bands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      raster.getPixels(0, y, w, 1, row)
+      var i = 0
+      while (i < row.length) { sum += row(i); i += 1 }
+      y += 1
+    }
+    val mean = sum.toDouble / (w.toLong * h * bands)
+    val bits = new StringBuilder(64)
+    var k = 0
+    while (k < 64) {
+      val px = (k % 8) * w / 8
+      val py = (k / 8) * h / 8
+      bits.append(if (raster.getSample(px, py, 0) > mean) '1' else '0')
+      k += 1
+    }
+    bits.toString
+  }
+
   def imagePhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -439,29 +467,7 @@ object Multimodal {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
-          val img = ImageIO.read(new ByteArrayInputStream(pngPayload(id)))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val raster = img.getRaster
-          val bands = raster.getNumBands
-          val row = new Array[Int](w * bands)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            raster.getPixels(0, y, w, 1, row)
-            var i = 0
-            while (i < row.length) { sum += row(i); i += 1 }
-            y += 1
-          }
-          val mean = sum.toDouble / (w.toLong * h * bands)
-          val bits = new StringBuilder(64)
-          var k = 0
-          while (k < 64) {
-            val px = (k % 8) * w / 8
-            val py = (k / 8) * h / 8
-            bits.append(if (raster.getSample(px, py, 0) > mean) '1' else '0')
-            k += 1
-          }
-          (id, bits.toString)
+          (id, phashOf(ImageIO.read(new ByteArrayInputStream(pngPayload(id)))))
         }
       }.toDF("media_id", "phash")
     val w = Window.partitionBy("phash")
@@ -470,19 +476,142 @@ object Multimodal {
       .withColumn("keep", col("media_id") === min("media_id").over(w))
   }
 
-  val imagePhashSql: String =
-    """SELECT media_id, phash,
-      | CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash,
-      | media_id = min(media_id) OVER (PARTITION BY phash) AS keep
-      |FROM (
-      |  SELECT doc_id AS media_id,
+  /** The closed-form phash of the synthetic raster (shared by the qm7
+    * and qm9 oracles).
+    */
+  private val phashCoreSql: String =
+    """SELECT doc_id AS media_id,
       |    array_to_string(list_transform(range(0, 64), k ->
       |      CASE WHEN (CASE WHEN ((((k % 8) * (16 + (doc_id % 16) * 2)) // 8)
       |                            + (((k // 8) * (8 + doc_id % 8)) // 8)) % 2 = 0
       |                      THEN doc_id % 256 ELSE (doc_id * 7) % 256 END)
       |                 > ((doc_id % 256) + ((doc_id * 7) % 256)) / 2.0
       |            THEN '1' ELSE '0' END), '') AS phash
-      |  FROM documents)""".stripMargin
+      |  FROM documents""".stripMargin
+
+  val imagePhashSql: String =
+    s"""SELECT media_id, phash,
+       | CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash,
+       | media_id = min(media_id) OVER (PARTITION BY phash) AS keep
+       |FROM (
+       |  $phashCoreSql)""".stripMargin
+
+  /** qm9: perceptual NEAR-duplicate pairs — qm7's bucket dedup only
+    * sees bit-identical hashes; re-encodes and light edits land 1-3
+    * bits away and survive it. The media lake here holds each original
+    * PLUS a re-encoded rendition produced by a REAL raster edit
+    * (decode → repaint the sampled pixel of 1-3 hash cells to the
+    * opposite tone → rehash), so the near relation is genuine decoded-
+    * pixel distance, while staying closed-form for the oracle: pixel
+    * values remain in the original two-tone set, the block mean stays
+    * strictly between the tones, and exactly the repainted cells flip
+    * (ids with a degenerate single-tone raster, id % 128 == 0, yield a
+    * bit-identical rendition and correctly produce no near pair).
+    *
+    * The exact→near cascade collapses exact-duplicate classes to their
+    * canonical FIRST (qm7 owns exact classes — and the synthetic
+    * corpus has large ones, which would otherwise explode the join
+    * quadratically), then generates candidates by multi-index Hamming
+    * blocking (Norouzi et al., "Fast Search in Hamming Space with
+    * Multi-Index Hashing"): the 64-bit hash splits into 4 bands of 16
+    * bits, and by pigeonhole ANY pair within Hamming distance 3 agrees
+    * on at least one whole band — the band equi-join has STRUCTURAL
+    * recall 1.0 at the [[PhashMaxHamming]]=3 threshold, so the oracle
+    * can use the identical blocking without losing pairs.
+    *
+    * Scale: the inverted band index is one hash shuffle on (band,
+    * 16-bit value) over DISTINCT hashes; candidate volume is bounded
+    * by band-bucket sizes (the qd6b/qd34 inverted-index discipline),
+    * never all-pairs; the decode+edit runs once, partition-local.
+    */
+  private val PhashMaxHamming = 3
+  private val RendOffset = 1000000000L
+
+  def imagePhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val img = ImageIO.read(new ByteArrayInputStream(pngPayload(id)))
+          val orig = phashOf(img)
+          // rendition: repaint the sampled pixel of bits
+          // (id%64 + j) % 64, j ≤ id%3, to the opposite tone — a REAL
+          // raster edit on the decoded image, then rehash
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (a, b) = ((id % 256).toInt, ((id * 7) % 256).toInt)
+          var j = 0L
+          while (j <= id % 3) {
+            val k = ((id % 64 + j) % 64).toInt
+            val px = (k % 8) * w / 8
+            val py = (k / 8) * h / 8
+            val v = img.getRaster.getSample(px, py, 0)
+            val o = a + b - v
+            img.setRGB(px, py, (o << 16) | (o << 8) | o)
+            j += 1
+          }
+          Seq((id, orig), (id + RendOffset, phashOf(img)))
+        }
+      }.toDF("media_id", "phash")
+    // exact→near cascade: collapse exact-duplicate classes to their
+    // canonical first (qm7 owns exact classes), then band-join the
+    // DISTINCT hashes
+    val canon = assets.groupBy("phash").agg(min("media_id").as("media_id"))
+    val bands = canon.select(col("media_id"), col("phash"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b as band, " +
+        "substring(phash, b * 16 + 1, 16) as bv))")).as("bd"))
+      .select(col("media_id"), col("phash"), col("bd.band").as("band"),
+        col("bd.bv").as("bv"))
+    val l = bands.select(col("band"), col("bv"),
+      col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val r = bands.select(col("band"), col("bv"),
+      col("media_id").as("media_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), " +
+          "i -> substring(ph_a, i, 1) <> substring(ph_b, i, 1)))").cast("int"))
+      .filter(col("hamming") >= 1 && col("hamming") <= PhashMaxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
+  val imagePhashNeardupSql: String =
+    s"""WITH orig AS (
+       |  $phashCoreSql),
+       |rend AS (
+       |  SELECT orig.media_id + $RendOffset AS media_id,
+       |    array_to_string(list_transform(range(0, 64), k ->
+       |      CASE WHEN orig.media_id % 256 <> (orig.media_id * 7) % 256
+       |                AND ((k - orig.media_id % 64) % 64 + 64) % 64
+       |                    <= orig.media_id % 3
+       |           THEN (CASE substring(phash, CAST(k + 1 AS INT), 1)
+       |                 WHEN '1' THEN '0' ELSE '1' END)
+       |           ELSE substring(phash, CAST(k + 1 AS INT), 1) END), '') AS phash
+       |  FROM orig),
+       |assets AS (SELECT media_id, phash FROM rend
+       |           UNION ALL SELECT media_id, phash FROM orig),
+       |canon AS (SELECT min(media_id) AS media_id, phash
+       |          FROM assets GROUP BY phash),
+       |bands AS (
+       |  SELECT media_id, phash, unnest(range(0, 4)) AS band FROM canon),
+       |bv AS (
+       |  SELECT media_id, phash, band,
+       |         substring(phash, CAST(band * 16 + 1 AS INT), 16) AS bval
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |         a.phash AS ph_a, b.phash AS ph_b
+       |  FROM bv a JOIN bv b ON a.band = b.band AND a.bval = b.bval
+       |   AND a.media_id < b.media_id),
+       |scored AS (
+       |  SELECT media_a, media_b,
+       |    CAST(len(list_filter(range(1, 65),
+       |      i -> substring(ph_a, CAST(i AS INT), 1)
+       |           <> substring(ph_b, CAST(i AS INT), 1))) AS INT) AS hamming
+       |  FROM cand)
+       |SELECT media_a, media_b, hamming FROM scored
+       |WHERE hamming BETWEEN 1 AND $PhashMaxHamming""".stripMargin
 
   /** qm8: corruption quarantine — every payload is pushed through the
     * REAL codec and classified healthy/corrupt by whether decode
