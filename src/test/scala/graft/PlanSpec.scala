@@ -570,6 +570,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("qd51 BPE encode touches the corpus map-only: one rollup shuffle, no join") {
+    // (qd50's returned frame is a driver-built local relation — the
+    // training rounds' shapes are exercised through this encode plan,
+    // which embeds the same replace chain)
+    val p = finalPlan(queries.TextQueries.qd51(spark, sf))
+    assert(!p.contains("Join"), "encode is a map-side replace chain")
+    assert(p.contains("partial_count"), "source rollup must map-side combine")
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(ex == 1 && p.contains("hashpartitioning(source"),
+      s"exactly one shuffle, keyed on source (got $ex)")
+  }
+
+  test("qm9 near-dup joins stay banded equi-joins over canonical hashes") {
+    val p = finalPlan(
+      multimodal.Multimodal.imagePhashNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the 4x16-bit band equi-join, never all-pairs")
+    assert(p.contains("partial_min"),
+      "canonical collapse (min media_id per hash) must map-side combine")
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
