@@ -2972,22 +2972,35 @@ object TextQueries {
     * so the big side is touched once. The final doc↔doc join is
     * keyspace-sized on both sides.
     */
-  def qd48(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
-      .select(col("doc_id"),
+  /** Per-doc distinct gram sets (doc_id, grams, ng) — the single gram
+    * definition shared by qd48 and the streaming noveltyBatch (the
+    * signaturesOf discipline: batch and stream cannot drift).
+    */
+  private[graft] def gramSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         array_distinct(wordGrams(tokens(col("text")), 3)).as("grams"))
-      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
-    val novelPerDoc = g
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(min("doc_id").as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
-    g.select(col("doc_id"), col("ng").cast("long").as("ng"))
+      .select(col("doc_id"), col("grams"),
+        size(col("grams")).cast("long").as("ng"))
+
+  /** (doc_id, ng, novel, novelty) from gram sets + per-doc novel-gram
+    * counts — the shared output shape of qd48 and its streaming twin.
+    */
+  private[graft] def noveltyRollup(g: DataFrame, novelPerDoc: DataFrame): DataFrame =
+    g.select("doc_id", "ng")
       .join(novelPerDoc, Seq("doc_id"), "left")
       .withColumn("novel", coalesce(col("novel"), lit(0L)))
       .select(col("doc_id"), col("ng"), col("novel"),
         when(col("ng") > 0,
           dround(col("novel").cast("double") / col("ng"), 6))
           .otherwise(lit(0.0)).as("novelty"))
+
+  def qd48(s: SparkSession, dir: String): DataFrame = {
+    val g = gramSets(docs(s, dir))
+    val novelPerDoc = g
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    noveltyRollup(g, novelPerDoc)
   }
 
   private val qd48Sql =

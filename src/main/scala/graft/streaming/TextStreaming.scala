@@ -169,6 +169,52 @@ object TextStreaming {
     } finally newSigs.unpersist(blocking = false)
   }
 
+  /** Streaming train-order novelty — qd48's stream twin: what fraction
+    * of each incoming document's distinct word-3-grams has never been
+    * seen in any EARLIER arrival? Same state argument as dedup: the
+    * seen-gram set grows with the corpus and nothing ever expires, so
+    * it lives in a disk-backed [[BatchIndex]] gram set, not executor
+    * memory. Per batch: within-batch first occurrences (min doc_id, the
+    * qd48 rule batch-locally) anti-join the strictly-prior gram
+    * history; verdicts land in `outPath/batch=<id>` and only the
+    * batch's UNSEEN grams append to the index (set membership is all
+    * later batches need — the index is bounded by corpus-distinct
+    * grams, not corpus volume). batchId-keyed overwrites + the
+    * strictly-prior history bound make at-least-once replays no-ops.
+    *
+    * Parity contract (pinned by the spec): over batches arriving in
+    * doc_id order, the union of verdicts equals batch qd48 exactly;
+    * under out-of-order arrival the semantics are "first seen in
+    * ARRIVAL order" — the honest streaming reading of train order.
+    */
+  def noveltyBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
+      outPath: String, batchId: Long): Unit = {
+    graft.functions.VectorFunctions.registerNative(spark)
+    val gramDir = s"$indexPath/grams"
+    // persist: grams feed the verdict rollup AND the index write (the
+    // processBatch persist/unpersist discipline, ADVICE r6)
+    val g = TextQueries.gramSets(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      g.count()
+      val firstInBatch = g
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(min("doc_id").as("doc_id"))
+      val fresh = BatchIndex.historyBefore(spark, gramDir, batchId)
+        .map(h => firstInBatch.join(h.select("gram"), Seq("gram"), "left_anti"))
+        .getOrElse(firstInBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        fresh.count()
+        val novel = fresh.groupBy("doc_id").agg(count(lit(1)).as("novel"))
+        TextQueries.noveltyRollup(g, novel)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        fresh.select("gram")
+          .write.mode("overwrite").parquet(s"$gramDir/batch=$batchId")
+      } finally fresh.unpersist(blocking = false)
+    } finally g.unpersist(blocking = false)
+  }
+
   /** Stateless streaming decontamination: probe every incoming doc's
     * grams against the persisted eval-suite Bloom filter (qd13b's
     * artifact, rebuilt offline per eval-suite release). The filter is

@@ -577,6 +577,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/signatures").count() == 14)
   }
 
+  test("streaming novelty over doc-ordered batches == batch qd48 exactly; replay no-op") {
+    import graft.streaming.TextStreaming
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_snov").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val all = graft.Tables.documents(spark, dir)
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      all.filter(col("doc_id") <= c1),
+      all.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      all.filter(col("doc_id") > c2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TextStreaming.noveltyBatch(spark, b, idx, out, i)
+    }
+    def snap(): Seq[String] =
+      spark.read.parquet(out).select("doc_id", "ng", "novel", "novelty")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = snap()
+    val batch = queries.TextQueries.qd48(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      "doc-ordered streaming novelty must equal the batch operator row-for-row")
+    // at-least-once replay of the last batch: verdicts and index
+    // unchanged (strictly-prior history + batchId-keyed overwrite)
+    TextStreaming.noveltyBatch(spark, batches(2), idx, out, 2)
+    assert(snap() == batch, "replay changed the novelty verdicts")
+    // the index holds exactly the corpus-distinct gram set
+    assert(spark.read.parquet(s"$idx/grams").distinct().count() ==
+      queries.TextQueries.gramSets(all)
+        .select(explode(col("grams"))).distinct().count())
+  }
+
   test("streaming dedup end-to-end via the file source and foreachBatch") {
     import graft.streaming.TextStreaming
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup2").toString
