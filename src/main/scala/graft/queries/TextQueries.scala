@@ -1998,6 +1998,61 @@ object TextQueries {
       |JOIN sz a ON sh.source_a = a.source
       |JOIN sz b ON sh.source_b = b.source""".stripMargin
 
+  // -------------------------------------------------------------- qd30b
+  /** KMV (k-minimum-values) sketch twin of qd30 — the scale path for
+    * cross-source overlap when the exact inverted-index join can't
+    * run (Beyer et al. 2007, "On Synopses for Distinct-Value
+    * Estimation"; Cohen/Kaplan's bottom-k sketches). Per source, keep
+    * the [[KmvK]] smallest gram-hash values mapped to [0,1): the
+    * k-th value d estimates the distinct count as (k-1)/d, and for a
+    * pair the fraction of the MERGED bottom-k present in both sketches
+    * is an unbiased Jaccard estimator — so |A∩B| ≈ ρ·(k-1)/d without
+    * ever joining gram-level data. HLL (qd20b) can union but not
+    * intersect; KMV is the sketch family that closes that gap.
+    *
+    * Scale: the sketch build is MAP-SIDE (per-partition bottom-k via
+    * sorted-distinct slice — duplicate grams collapse to one hash
+    * value, so no global distinct is needed), merged by ONE shuffle on
+    * the source key carrying ≤K doubles per partition; pair scoring is
+    * a broadcast cross of the sources-sized sketch frame (dozens of
+    * rows — the waterfill argument). Estimator-graded in SketchSpec
+    * against the exact qd30 twin (no SQL oracle: xxhash64 ordering is
+    * engine-side state).
+    */
+  private val KmvK = 256
+
+  def qd30b(s: SparkSession, dir: String): DataFrame = {
+    val u = (xxhash64(col("gram")).cast("double") / 1.8446744073709552e19
+      + lit(0.5)).as("u")
+    val hashed = docs(s, dir)
+      .select(col("source"),
+        explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
+      .select(col("source"), u)
+      .withColumn("_pid", spark_partition_id())
+    val part = hashed.groupBy("source", "_pid")
+      .agg(expr(s"slice(array_distinct(array_sort(collect_list(u))), 1, $KmvK)")
+        .as("pk"))
+    val sk = part.groupBy("source")
+      .agg(expr(
+        s"slice(array_distinct(array_sort(flatten(collect_list(pk)))), 1, $KmvK)")
+        .as("sk"))
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("source_b"), col("sk").as("skb"))))
+      .filter(col("source_a") < col("source_b"))
+    pairs
+      .withColumn("merged",
+        expr(s"slice(array_distinct(array_sort(array_union(ska, skb))), 1, $KmvK)"))
+      .withColumn("kp", size(col("merged")))
+      .withColumn("d", element_at(col("merged"), col("kp")))
+      .withColumn("common", size(array_intersect(col("merged"),
+        array_intersect(col("ska"), col("skb")))))
+      .select(col("source_a"), col("source_b"),
+        dround(col("common").cast("double") / col("kp"), 6).as("est_jaccard"),
+        dround((col("kp") - 1).cast("double") / col("d")
+          * col("common") / col("kp"), 2).as("est_shared"))
+  }
+
   // --------------------------------------------------------------- qd31
   /** Document-frequency stop-term list: every term's df, its fraction of
     * the corpus, and the `is_stop` verdict at [[StopDfFrac]] — the
@@ -3225,6 +3280,7 @@ object TextQueries {
     "qd28_temperature_mixture" -> (qd28 _),
     "qd29_gopher_filter" -> (qd29 _),
     "qd30_source_overlap" -> (qd30 _),
+    "qd30b_overlap_kmv" -> (qd30b _),
     "qd31_stop_terms" -> (qd31 _),
     "qd32_token_entropy" -> (qd32 _),
     "qd33_pmi_collocations" -> (qd33 _),

@@ -213,4 +213,54 @@ class SketchSpec extends AnyFunSuite {
     assert(last.getAs[Double]("scanned_frac") == 1.0,
       "nprobe = nlist must scan the whole corpus")
   }
+
+  test("qd30b KMV overlap: jaccard within the bottom-k envelope of exact qd30") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exact = queries.TextQueries.qd30(spark, dir)
+        .select("source_a", "source_b", "shared_grams", "jaccard")
+      val est = queries.TextQueries.qd30b(spark, dir)
+      val joined = est.join(exact, Seq("source_a", "source_b"), "full_outer").collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        // qd30b scores EVERY pair; exact qd30 omits zero-overlap pairs —
+        // a null exact side means true jaccard 0. The est side is never
+        // null (the sketch frame is the cross of all sources).
+        assert(!r.isNullAt(r.fieldIndex("est_jaccard")),
+          s"pair ${r.get(0)}-${r.get(1)}: missing from the sketch frame")
+        val exactNull = r.isNullAt(r.fieldIndex("jaccard"))
+        val j = if (exactNull) 0.0 else r.getAs[Double]("jaccard")
+        val sh = if (exactNull) 0L else r.getAs[Long]("shared_grams")
+        val ej = r.getAs[Double]("est_jaccard")
+        // k=256 → σ ≈ sqrt(j(1-j)/k) ≤ 0.031; 0.1 is a >3σ envelope
+        assert(math.abs(ej - j) <= 0.1,
+          s"pair ${r.get(0)}-${r.get(1)}: |$ej - $j| > 0.1")
+        val es = r.getAs[Double]("est_shared")
+        if (sh >= 200)
+          assert(math.abs(es - sh) / sh <= 0.35,
+            s"pair ${r.get(0)}-${r.get(1)}: est_shared $es vs $sh rel err > 0.35")
+      }
+    }
+  }
+
+  test("qd30b is partitioning-independent: any repartition yields the same sketch") {
+    // bottom-k of a seedless hash is a set function of the input — the
+    // per-partition slice / merge decomposition must be invisible
+    // (same argument as qd20b; a sketch that drifts under AQE is not a
+    // 100 TB primitive)
+    import org.apache.spark.sql.functions.col
+    val base = queries.TextQueries.qd30b(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val re = {
+      // same operator over a differently-partitioned docs scan: rebuild
+      // through the registered query on a repartitioned temp view is
+      // not possible (queries read the dir), so approximate by checking
+      // determinism across two runs with different shuffle partitioning
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      try queries.TextQueries.qd30b(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(base == re, "KMV sketch drifted under a different partitioning")
+  }
 }
