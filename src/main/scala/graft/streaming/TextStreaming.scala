@@ -243,6 +243,11 @@ object TextStreaming {
       keepLast: Int = 3, minEligible: Int = 8): Unit =
     BatchIndex.compact(spark, s"$indexPath/signatures", keepLast, minEligible)
 
+  /** Same bound for the novelty gram set ([[noveltyBatch]]'s index). */
+  def compactNoveltyIndex(spark: SparkSession, indexPath: String,
+      keepLast: Int = 3, minEligible: Int = 8): Unit =
+    BatchIndex.compact(spark, s"$indexPath/grams", keepLast, minEligible)
+
   /** Start the continuous dedup query (AvailableNow for drain-and-stop
     * runs; drop the trigger for a long-lived stream).
     */

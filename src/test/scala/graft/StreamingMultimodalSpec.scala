@@ -605,9 +605,17 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     TextStreaming.noveltyBatch(spark, batches(2), idx, out, 2)
     assert(snap() == batch, "replay changed the novelty verdicts")
     // the index holds exactly the corpus-distinct gram set
-    assert(spark.read.parquet(s"$idx/grams").distinct().count() ==
-      queries.TextQueries.gramSets(all)
-        .select(explode(col("grams"))).distinct().count())
+    val distinctGrams = queries.TextQueries.gramSets(all)
+      .select(explode(col("grams"))).distinct().count()
+    assert(spark.read.parquet(s"$idx/grams").distinct().count() == distinctGrams)
+    // compaction folds old batches into a base segment; a replay of the
+    // newest batch still sees its exact prior history through the base
+    TextStreaming.compactNoveltyIndex(spark, idx, keepLast = 1, minEligible = 1)
+    TextStreaming.noveltyBatch(spark, batches(2), idx, out, 2)
+    assert(snap() == batch, "replay over the compacted index drifted")
+    assert(spark.read.parquet(s"$idx/grams_base").distinct().count() +
+      spark.read.parquet(s"$idx/grams/batch=2").distinct().count() == distinctGrams,
+      "compacted base + live batch must still cover the gram set")
   }
 
   test("streaming dedup end-to-end via the file source and foreachBatch") {
