@@ -1682,6 +1682,74 @@ object CoreQueries {
        |FROM spans GROUP BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+  /** ANALYZE-style column statistics for the fact table — the metadata
+    * pass a cost-based optimizer (join reorder, broadcast decisions)
+    * and the q54/q55 layout planners feed on: per column, row count,
+    * null count, exact NDV, min and max. One scan: Spark plans the
+    * multi-column distinct set via one Expand (the documented
+    * multi-distinct shape — data fans out ×K columns map-side, then
+    * partial-aggregates), and the per-column rows come from exploding
+    * a built struct array over the single aggregate row.
+    *
+    * Exactness: min/max are computed on the NATIVE type and cast to
+    * string afterwards (lexicographic min of stringified numbers would
+    * be wrong); bigint→string and date→string render identically in
+    * both engines. At 100 TB the exact NDVs swap for HLL sketches
+    * (qd20b's dispatch argument) — here exact is the oracle anchor.
+    */
+  private val q56Cols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_shipdate", "l_returnflag")
+
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // pass 1 (cheap, no distinct): counts, nulls, native-typed min/max
+    val aggs = count(lit(1)).as("n_rows") +: q56Cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val basic = one.select(col("n_rows"), explode(array(q56Cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"nn_$c").as("n_nulls"),
+        col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value"))): _*))
+        .as("st"))
+      .select(col("st.column_name").as("column_name"), col("n_rows"),
+        col("st.n_nulls").as("n_nulls"),
+        col("st.min_value").as("min_value"), col("st.max_value").as("max_value"))
+    // pass 2: exact NDVs via unpivot + two-phase distinct — the map-side
+    // partial collapses repeated values per column before the shuffle,
+    // which the one-agg multi-distinct Expand cannot (measured 7.5 s →
+    // ~2 s at sf0.1); string casting is injective for these types
+    val ndv = li.select(explode(array(q56Cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("cv"))
+      .select(col("cv.c").as("column_name"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+      .groupBy("column_name").agg(count(lit(1)).as("ndv"))
+    basic.join(ndv, Seq("column_name"), "left")
+      .withColumn("ndv", coalesce(col("ndv"), lit(0L)))
+      .select("column_name", "n_rows", "n_nulls", "ndv",
+        "min_value", "max_value")
+  }
+
+  private val q56Sql = {
+    val aggs = q56Cols.map(c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+         |    CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c,
+         |    CAST(min($c) AS VARCHAR) AS mn_$c,
+         |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin).mkString(",\n    ")
+    val rows = q56Cols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, nn_$c AS n_nulls, nd_$c AS ndv, " +
+        s"mn_$c AS min_value, mx_$c AS max_value FROM a").mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    $aggs
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_star_join" -> (q02 _),
@@ -1717,6 +1785,7 @@ object CoreQueries {
     "q53_delta_agg" -> (q53 _),
     "q54_compaction_plan" -> (q54 _),
     "q55_zorder_layout" -> (q55 _),
+    "q56_column_stats" -> (q56 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1754,5 +1823,6 @@ object CoreQueries {
     "q53_delta_agg" -> q53Sql,
     "q54_compaction_plan" -> q54Sql,
     "q55_zorder_layout" -> q55Sql,
+    "q56_column_stats" -> q56Sql,
   )
 }

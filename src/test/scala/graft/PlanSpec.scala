@@ -591,6 +591,16 @@ class PlanSpec extends AnyFunSuite {
       "canonical collapse (min media_id per hash) must map-side combine")
   }
 
+  test("q56 stats avoid the multi-distinct Expand (the 4x-slower shape)") {
+    val p = finalPlan(queries.CoreQueries.q56(spark, sf))
+    assert(!p.contains("Expand"),
+      "NDVs must go through the unpivot two-phase distinct, not one " +
+        "agg with K count(distinct)s — Expand fans the scan out xK " +
+        "with no map-side value collapse")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 6-row stats join must broadcast")
+  }
+
   test("qe16 cluster sampling shuffles once, on the cluster key") {
     val p = finalPlan(queries.VectorQueries.qe16(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
