@@ -46,7 +46,7 @@ object CxcPdf {
     val words = body.split(" ")
     var (line, y) = (new StringBuilder, PageH - Margin - 34)
     words.foreach { w =>
-      if (line.length + w.length > 110) {
+      if (line.length + 1 + w.length > 110) {
         p.text(Margin, y, 9, line.toString); y -= 13; line = new StringBuilder
       }
       if (line.nonEmpty) line.append(' ')

@@ -33,15 +33,19 @@ object Checkpoints {
     * new UUID dir) would re-run on every single cut — once per
     * PageRank/LPA/CC iteration (ADVICE r11).
     */
+  // keyed by applicationId, NOT the SparkContext itself: an object-level
+  // strong reference would pin every stopped context (and everything it
+  // retains) for the JVM's lifetime in session-cycling harnesses
+  // (review r12 finding)
   private val applied =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One lineage cut, placed per the session's `graft.checkpoint.dir`. */
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(GraftConf.checkpointDirKey) match {
       case Some(dir) if dir.trim.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        if (applied.put(sc, dir) != dir) sc.setCheckpointDir(dir)
+        if (applied.put(sc.applicationId, dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

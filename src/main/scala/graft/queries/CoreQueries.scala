@@ -1686,11 +1686,12 @@ object CoreQueries {
   /** ANALYZE-style column statistics for the fact table — the metadata
     * pass a cost-based optimizer (join reorder, broadcast decisions)
     * and the q54/q55 layout planners feed on: per column, row count,
-    * null count, exact NDV, min and max. One scan: Spark plans the
-    * multi-column distinct set via one Expand (the documented
-    * multi-distinct shape — data fans out ×K columns map-side, then
-    * partial-aggregates), and the per-column rows come from exploding
-    * a built struct array over the single aggregate row.
+    * null count, exact NDV, min and max. Two passes by design: a cheap
+    * no-distinct aggregate (counts/nulls/min/max, per-column rows via
+    * exploding a struct array over the one aggregate row), then NDVs
+    * through an unpivot + two-phase distinct — NOT the one-agg
+    * multi-count(distinct) Expand, whose ×K fan-out has no map-side
+    * value collapse (measured 4× slower; PlanSpec pins Expand absent).
     *
     * Exactness: min/max are computed on the NATIVE type and cast to
     * string afterwards (lexicographic min of stringified numbers would

@@ -3224,9 +3224,13 @@ object TextQueries {
   }
 
   private val qd51Sql = {
+    // COALESCE to a never-occurring sentinel: on a corpus that exhausts
+    // its pair vocabulary before round 8, t_r is empty and the scalar
+    // subquery is NULL — a bare replace would NULL every word, while
+    // the Spark side simply folds fewer merges (review r12 finding)
     val enc = (1 to BpeRounds).foldLeft("ws") { (inner, r) =>
-      s"replace($inner, (SELECT chr(31) || u || chr(31) || chr(31) || v || chr(31) FROM t$r), " +
-        s"(SELECT chr(31) || u || v || chr(31) FROM t$r))"
+      s"replace($inner, COALESCE((SELECT chr(31) || u || chr(31) || chr(31) || v || chr(31) FROM t$r), chr(1)), " +
+        s"COALESCE((SELECT chr(31) || u || v || chr(31) FROM t$r), chr(1)))"
     }
     s"""WITH $bpeCtes,
        |occ AS (

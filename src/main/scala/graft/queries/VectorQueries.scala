@@ -1467,8 +1467,11 @@ object VectorQueries {
     * parameterized so the partitioning-invariance property and the
     * PlanSpec build-plan pin can run it on planted corpora.
     */
-  private[graft] def gateCandsFrom(e: DataFrame, k: Int, probes: Int): DataFrame = {
-    val n = e.count()
+  private[graft] def gateCandsFrom(e: DataFrame, k: Int, probes: Int,
+      nHint: Long = -1L): DataFrame = {
+    // nHint: gateCands already counted the table to size K — threading
+    // it avoids a second full count job per index build (review r12)
+    val n = if (nHint >= 0L) nHint else e.count()
     val stride = math.max(1L, n / (GateFitPerCell.toLong * k))
     val fit =
       if (stride == 1L) e else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -1492,7 +1495,8 @@ object VectorQueries {
     */
   private[graft] def gateCands(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    gateCandsFrom(e, gateK(Tables.embeddings(s, dir).count()), GateProbes)
+    val n = Tables.embeddings(s, dir).count()
+    gateCandsFrom(e, gateK(n), GateProbes, n)
   }
 
   /** Offline build of the shared gate index (one fit + one scored
@@ -1516,16 +1520,25 @@ object VectorQueries {
     * candidates keeps its max-rank candidate distance instead of
     * silently dropping out (ADVICE r11: a dropped vector would shrink
     * the top-2% denominator relative to exact qe15 — every vector
-    * stays in the census with its best available distance estimate).
+    * stays in the census with its best available distance estimate),
+    * and a vector with ZERO gated candidates — possible on degenerate
+    * corpora where its probed cells hold no other vector — enters at
+    * the maximum cosine distance 2.0, i.e. maximally OOD, via the
+    * left join from the full vector list (review r12: the max-rank fix
+    * alone still lost the zero-candidate case from the denominator).
     */
-  def qe15b(s: SparkSession, dir: String): DataFrame =
-    oodFrom(gatedSym(s, dir)
+  def qe15b(s: SparkSession, dir: String): DataFrame = {
+    val kth = gatedSym(s, dir)
       .withColumn("dist", dround(lit(1.0) - col("cos"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
       .withColumn("mxr", max(col("rnk")).over(Window.partitionBy("ida")))
       .filter(col("rnk") === least(lit(DensityK), col("mxr")))
-      .select(col("ida").as("vec_id"), col("dist").as("knn_dist")))
+      .select(col("ida").as("vec_id"), col("dist").as("knn_dist"))
+    oodFrom(embs(s, dir).select(col("vec_id"))
+      .join(kth, Seq("vec_id"), "left")
+      .withColumn("knn_dist", coalesce(col("knn_dist"), lit(2.0))))
+  }
 
   /** qe22's production twin: mutual-top-1 ratio-margin pairs over the
     * gated candidates (both directions must survive the gate AND be

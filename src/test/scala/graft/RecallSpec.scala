@@ -263,7 +263,7 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(gated, Seq("ida", "idb"), "left_semi").count()
       record("qe15b_gated_density", sf, hit.toDouble / n,
-        "qe15 exact 5-NN pairs, 4/8-probe IVF gate")
+        "qe15 exact 5-NN pairs, sqrt(n)-cell 8-probe IVF gate")
     }
 
     test(s"qe22b gated mutual-NN pair recall vs exact qe22 [${sf.label}]") {
@@ -273,7 +273,7 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(gated, Seq("vec_a", "vec_b"), "left_semi").count()
       record("qe22b_gated_mutual_nn", sf,
         if (n == 0) 1.0 else hit.toDouble / n,
-        "qe22 exact mutual-top-1 pairs, 4/8-probe IVF gate")
+        "qe22 exact mutual-top-1 pairs, sqrt(n)-cell 8-probe IVF gate")
     }
 
     test(s"qe25b gated kNN-vote prediction agreement vs exact qe25 [${sf.label}]") {
@@ -285,7 +285,7 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(gated, Seq("ida"))
         .filter(col("pe") === col("pg")).count()
       record("qe25b_gated_confusion", sf, hit.toDouble / n,
-        "qe25 exact per-vector kNN label votes, 4/8-probe IVF gate")
+        "qe25 exact per-vector kNN label votes, sqrt(n)-cell 8-probe IVF gate")
     }
   }
 
