@@ -56,9 +56,9 @@ object PdfSink {
     case '(' => "\\("
     case ')' => "\\)"
     case '\\' => "\\\\"
-    case '—' => "" // em dash
-    case '–' => "" // en dash
-    case '…' => "" // ellipsis
+    case '\u2014' => "\u0097" // em dash
+    case '\u2013' => "\u0096" // en dash
+    case '\u2026' => "\u0085" // ellipsis
     case c if c.toInt < 32 => " "
     case c if c.toInt > 255 => "?"
     case c => c.toString

@@ -1535,7 +1535,14 @@ object VectorQueries {
       .withColumn("mxr", max(col("rnk")).over(Window.partitionBy("ida")))
       .filter(col("rnk") === least(lit(DensityK), col("mxr")))
       .select(col("ida").as("vec_id"), col("dist").as("knn_dist"))
-    oodFrom(embs(s, dir).select(col("vec_id"))
+      // cut lineage here: oodFrom consumes its input TWICE (the ranked
+      // path and the broadcast n_all count) — without the cut each
+      // consumer re-runs the two windows over the full candidate frame
+      // (~n^1.5 rows; measured +3-5 s at the 10x smoke)
+      .localCheckpoint()
+    // census base: the RAW table pruned to vec_id (embs()'s vec/nrm
+    // projection would drag the embedding column through the scan)
+    oodFrom(Tables.embeddings(s, dir).select(col("vec_id"))
       .join(kth, Seq("vec_id"), "left")
       .withColumn("knn_dist", coalesce(col("knn_dist"), lit(2.0))))
   }

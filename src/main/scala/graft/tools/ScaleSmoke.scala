@@ -62,7 +62,10 @@ object ScaleSmoke {
       "q53_delta_agg" -> (graft.queries.CoreQueries.q53 _),
       "q54_compaction_plan" -> (graft.queries.CoreQueries.q54 _),
       "q55_zorder_layout" -> (graft.queries.CoreQueries.q55 _),
-      "qd48_train_novelty" -> (graft.queries.TextQueries.qd48 _))
+      "qd48_train_novelty" -> (graft.queries.TextQueries.qd48 _),
+      "qd30b_overlap_kmv" -> (graft.queries.TextQueries.qd30b _),
+      "qd50_bpe_train" -> (graft.queries.TextQueries.qd50 _),
+      "q56_column_stats" -> (graft.queries.CoreQueries.q56 _))
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     for ((name, fn) <- qs) {
       var best = Double.MaxValue

@@ -97,6 +97,46 @@ class PdfSinkSpec extends AnyFunSuite {
       cells.contains("100.00%"), "reference formatting rules")
   }
 
+  test("pdfStr escape round-trips through the Tj extraction for hostile strings") {
+    // the structural tests read text back with the same regex a parser
+    // uses; this pins that WRITE(escape) → READ(unescape) is identity
+    // for the characters that could break a PDF string literal
+    val hostile = Seq(
+      "a(b(c))d", ")" * 5, "\\", "\\\\(", "mix )( \\ end\\",
+      "tabs\tand\nnewlines", "unicode ☃ snowman", "acentos áéíóúñü",
+      "em—dash en–dash … ellipsis", "")
+    hostile.foreach { in =>
+      val p = new PdfSink.Page
+      p.text(100, 100, 10, in)
+      val dir = Files.createTempDirectory("graft_pdf3").toString
+      PdfSink.write(Seq(p), s"$dir/e.pdf", "e")
+      val t = new String(Files.readAllBytes(Paths.get(s"$dir/e.pdf")),
+        StandardCharsets.ISO_8859_1)
+      // the rendered regex can't read a literal ending in an escaped
+      // backslash — walk the string like a real parser instead
+      val start = t.indexOf(" Tm (") + 5
+      val sb = new StringBuilder
+      var i = start
+      while (t(i) != ')' || (i > start && {
+        // count the run of preceding backslashes: odd ⇒ this ')' is escaped
+        var b = i - 1; var nb = 0
+        while (b >= start && t(b) == '\\') { nb += 1; b -= 1 }
+        nb % 2 == 1
+      })) { sb.append(t(i)); i += 1 }
+      val got = unescape(sb.toString)
+      // expected = the documented sanitization of the input
+      val expect = in.flatMap {
+        case c if c == '(' || c == ')' || c == '\\' => c.toString
+        case '\u2014' => "\u0097"; case '\u2013' => "\u0096"; case '\u2026' => "\u0085"
+        case c if c.toInt < 32 => " "
+        case c if c.toInt > 255 => "?"
+        case c => c.toString
+      }
+      assert(got == expect || (in.isEmpty && got == ""),
+        s"round-trip broke for ${in.take(20)}: got '$got' expect '$expect'")
+    }
+  }
+
   test("cell formatting mirrors reporte_pdf.py rules") {
     assert(PdfSink.fmtCell("PCT_DEL_TOTAL", 0.1234) == "12.34%")
     assert(PdfSink.fmtCell("VALOR", 0.5) == "50.00%")
