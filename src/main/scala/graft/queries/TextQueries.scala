@@ -437,7 +437,7 @@ object TextQueries {
     * driver records the rows-only check like qd6/qe2.
     */
   def bloomIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_bloom_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("bloom", dir, 5, 50, "1e-6")
 
   /** Offline build: aggregate the eval slice's grams into a Bloom
     * filter and persist it (one-row binary parquet — FS-agnostic,
@@ -1155,7 +1155,7 @@ object TextQueries {
     * determinism + agreement with qd6's candidates asserted in tests.
     */
   def minhashIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_minhash_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("minhash", dir, 3, 64, 16, 4)
 
   /** Write-once signature index shared by qd6 (fused verify, reads
     * grams) and qd6b (index-only probe, column-pruned to sig/bands —
@@ -2049,8 +2049,13 @@ object TextQueries {
         array_intersect(col("ska"), col("skb")))))
       .select(col("source_a"), col("source_b"),
         dround(col("common").cast("double") / col("kp"), 6).as("est_jaccard"),
-        dround((col("kp") - 1).cast("double") / col("d")
-          * col("common") / col("kp"), 2).as("est_shared"))
+        // an under-full merged sketch (kp < K) holds EVERY distinct gram
+        // of the union, so it is exhaustive, not a sample: `common` IS
+        // |A∩B| and the (k-1)/d estimator would only add bias (ADVICE
+        // r12). The estimator applies exactly when the sketch saturates.
+        when(col("kp") < KmvK, col("common").cast("double"))
+          .otherwise(dround((col("kp") - 1).cast("double") / col("d")
+            * col("common") / col("kp"), 2)).as("est_shared"))
   }
 
   // --------------------------------------------------------------- qd31

@@ -556,7 +556,7 @@ object VectorQueries {
     * not write into the read-only data roots).
     */
   def ivfIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("ivf", dir, IVF_NLIST, 42L, 5, "random")
 
   def ivfBuild(s: SparkSession, dir: String, path: String): Unit = {
     val (assigned, centDf) = ivfFit(s, dir)
@@ -1234,7 +1234,7 @@ object VectorQueries {
     * no Lloyd rounds, no corpus re-encode.
     */
   def pqIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("pq", dir, PqM, PqKs, PqSubDim)
 
   def pqBuild(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
@@ -1286,7 +1286,7 @@ object VectorQueries {
     * gate can only remove candidates; what it buys is the scan cut).
     */
   def ivfPqIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivfpq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("ivfpq", dir, IVF_NLIST, PqM, PqKs)
 
   def qe20(s: SparkSession, dir: String): DataFrame = {
     registerNative(s)
@@ -1448,17 +1448,24 @@ object VectorQueries {
   private val GateFitPerCell = 64
 
   /** √n-list IVF sizing: candidate volume per query is P·n/K, so
-    * K ~ √n holds total work at P·n^1.5. Floor 8 keeps tiny corpora
-    * probing a strict subset of cells.
+    * K ~ √n holds total work at P·n^1.5. Floor 8 keeps the quantizer
+    * meaningful on tiny corpora; when K ≤ [[GateProbes]] the gate
+    * probes EVERY cell and degenerates to the exact all-pairs set —
+    * correct (recall 1.0), just not sub-quadratic, which a ≤64-vector
+    * corpus doesn't need (ADVICE r12: the old comment claimed a strict
+    * subset).
     */
   private[graft] def gateK(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Persisted gate-index location for a data dir (tmpdir-keyed — the
-    * engine must not write into the read-only data roots).
+    * engine must not write into the read-only data roots; parameter-
+    * fingerprinted so a GateProbes/fit-parameter change forces a
+    * rebuild instead of silently serving an old index, ADVICE r12).
     */
   def gateIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath(
+      "gate", dir, GateProbes, GateFitIters, GateFitPerCell, "sqrtK")
 
   /** Directed, labeled, cosine-scored candidate frame shared by the
     * three gated twins: (ida, la, idb, lb, cos) where idb's home cell
@@ -2222,14 +2229,14 @@ object VectorQueries {
       .localCheckpoint()
     val nExact = exact.count() // NQUERIES * K
     val corpus = cached.count()
+    // loop-invariant: the number of query vectors present is the same at
+    // every sweep point (VERDICT r12 item 6 — was re-counted per probe)
+    val scanned = cached.filter(col("vec_id") < NQUERIES).count()
     Seq(1, 2, 4, IVF_NPROBE * 2, IVF_NLIST).distinct.sorted.map { p =>
       val ann = ivfProbe(cached, centDf, p)
         .select(col("query_id"), col("neighbor_id"))
       val hits = ann.join(exact, Seq("query_id", "neighbor_id")).count()
       // scanned fraction: probed-list sizes summed over queries
-      val scanned = cached.select(col("vec_id").as("query_id"), col("vec"), col("nrm"))
-        .filter(col("query_id") < NQUERIES)
-        .select(col("query_id")).count() // queries present
       val listRows = ivfProbeListRows(cached, centDf, p)
       val s2 = s
       import s2.implicits._
@@ -2383,7 +2390,7 @@ object VectorQueries {
     * projection (8 codegen'd dot products per row) — no shuffle at all.
     */
   def pcaIndexPath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_pca_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.HadoopFs.indexPath("pca", dir, 8)
 
   def pcaBuild(s: SparkSession, dir: String, path: String): Unit = {
     val basis = pcaModel(s, dir).pc.colIter.zipWithIndex

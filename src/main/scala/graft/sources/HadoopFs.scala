@@ -77,6 +77,25 @@ object HadoopFs {
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
+  /** Parameter-fingerprinted tmpdir location for a persisted index
+    * family (ADVICE r12): the directory name embeds a hash of every
+    * BUILD parameter, so a code/parameter change can never silently
+    * serve an artifact built by an older configuration —
+    * [[indexStale]]'s mtime check only protects against SOURCE changes,
+    * not against the builder itself changing. Distinct
+    * parameterizations get distinct directories (they coexist; the
+    * orphaned one ages out with the tmpdir). Concurrent writers of the
+    * SAME parameterization still share a path — acceptable because the
+    * build is deterministic (both produce identical bytes) and the
+    * `_SUCCESS`-last commit means a reader never sees a torn write as
+    * fresh.
+    */
+  def indexPath(family: String, dir: String, params: Any*): String = {
+    val fp = (scala.util.hashing.MurmurHash3.stringHash(
+      params.mkString("|")) & 0x7fffffff).toHexString
+    s"${sys.props("java.io.tmpdir")}/graft_${family}_${fp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
+
   /** True when a persisted index at `indexDir` is missing or NOT NEWER
     * than its source data — the rebuild trigger for qd6b / qe5b
     * artifacts (a stale index keyed only by path must not silently
