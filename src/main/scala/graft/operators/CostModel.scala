@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ANALYZE-backed join planning — the CBO hook q56's scaladoc gestures
+  * at, wired into a real decision (VERDICT r12 item 8): pick
+  * broadcast-vs-shuffle for a dimension join from MEASURED table
+  * statistics instead of Spark's file-size heuristic.
+  *
+  * Why not just let `spark.sql.autoBroadcastJoinThreshold` decide: that
+  * heuristic compares the dim's COMPRESSED on-disk footprint against
+  * the budget, but what a broadcast actually costs every executor is
+  * the DECOMPRESSED in-memory relation — columnar parquet with
+  * dictionary/RLE routinely compresses 3-5×, so a "9 MB" dim can
+  * materialize at 40 MB per executor and a wide-string dim can do far
+  * worse. [[analyze]] measures the quantity that matters: exact row
+  * count and a schema-driven byte estimate with MEASURED average
+  * string widths (the q56 pass-1 shape, reduced to the two numbers a
+  * join planner needs). The default budget (32 MB in-memory) sits at
+  * the same decision boundary as Spark's 10 MB-compressed default
+  * under a typical 3× ratio, so adopting the model flips no plan that
+  * was healthy — it guards exactly the compression-skewed cases.
+  *
+  * Scale: `analyze` is ONE aggregate over the dim (the candidate
+  * broadcast side — small by hypothesis; a fact-side analyze is q56
+  * itself). Callers memoize per (dir, table): statistics are catalog
+  * state, computed once per table version, not per query — see
+  * [[graft.queries.CoreQueries.statsOf]].
+  */
+object CostModel {
+
+  /** The two numbers a broadcast decision needs. `bytes` is the
+    * estimated DECOMPRESSED relation size: fixed widths for primitive
+    * types, measured average lengths for strings, plus per-field and
+    * per-row object overheads (deliberately on the conservative side —
+    * an oversized estimate degrades to a shuffle join, an undersized
+    * one OOMs executors).
+    */
+  final case class TableStats(rows: Long, bytes: Long)
+
+  /** Default in-memory broadcast budget: 32 MB (see class doc). */
+  val DefaultBroadcastBudget: Long = 32L << 20
+
+  private def fixedWidth(dt: DataType): Int = dt match {
+    case LongType | DoubleType | TimestampType | DateType => 8
+    case IntegerType | FloatType => 4
+    case ShortType => 2
+    case BooleanType | ByteType => 1
+    case _: DecimalType => 16
+    case _ => 0 // strings/arrays measured or overhead-bucketed below
+  }
+
+  /** One-pass ANALYZE of a frame: exact row count + byte estimate. */
+  def analyze(df: DataFrame): TableStats = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      strCols.map(c => avg(length(col(c))).as(s"len_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    val fixed = df.schema.fields.map(f => fixedWidth(f.dataType)).sum
+    // string payload + per-string object overhead; null avg (empty
+    // table / all-null column) contributes only the overhead
+    val strBytes = strCols.indices.map { i =>
+      (if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)) + 24.0
+    }.sum
+    val perRow = fixed + strBytes + 16.0 // row object overhead
+    TableStats(n, math.ceil(n * perRow).toLong)
+  }
+
+  /** Stats-driven dimension join: broadcast when the ANALYZE estimate
+    * fits the budget, EXPLICIT shuffle (merge hint) otherwise — both
+    * branches are pinned decisions, so the plan is a function of the
+    * statistics, not of whatever file-size estimate the session
+    * happens to see (PlanSpec pins the flip on planted frames).
+    */
+  def dimJoin(fact: DataFrame, dim: DataFrame, joinExpr: Column,
+      stats: TableStats,
+      budgetBytes: Long = DefaultBroadcastBudget): DataFrame =
+    if (stats.bytes <= budgetBytes) fact.join(broadcast(dim), joinExpr)
+    else fact.join(dim.hint("merge"), joinExpr)
+}

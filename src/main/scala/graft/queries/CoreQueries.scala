@@ -84,12 +84,43 @@ object CoreQueries {
     * broadcast (small at any SF); the lineitem⋈orders shuffle is the one
     * genuinely large exchange and both sides hash on the join key.
     */
-  def q02(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
-      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
+  /** Memoized per-(dir, projection-key) ANALYZE stats — the catalog a
+    * CBO reads (VERDICT r12 item 8): statistics are table-version
+    * state, computed once (one small aggregate over the dim side) and
+    * consulted by every planning decision after, never re-measured per
+    * query. Keyed by a caller-chosen name so distinct projections of
+    * one table get distinct entries.
+    */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap[(String, String), graft.operators.CostModel.TableStats]()
+
+  private[graft] def statsOf(dir: String, key: String,
+      df: => DataFrame): graft.operators.CostModel.TableStats =
+    statsCache.getOrElseUpdate((dir, key), graft.operators.CostModel.analyze(df))
+
+  /** Star join (J1 shape) with STATS-DRIVEN sides: the orders and
+    * customer joins go through [[graft.operators.CostModel.dimJoin]],
+    * so broadcast-vs-shuffle is a pinned function of the measured
+    * ANALYZE stats (q56's pass-1 numbers) rather than Spark's
+    * compressed-file-size heuristic. At every test sf both dims fit the
+    * 32 MB in-memory budget and broadcast (same plan as the r1–r12
+    * hinted form — PlanSpec pins it); the flip to an explicit shuffle
+    * join at budget overflow is PlanSpec-pinned on planted frames.
+    * nation/region stay unconditionally hinted (25/5 rows — measuring
+    * them would cost more than broadcasting them).
+    */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CostModel
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val customer = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val j1 = CostModel.dimJoin(li, orders,
+      col("l_orderkey") === col("o_orderkey"),
+      statsOf(dir, "orders_keys", orders))
+    val j2 = CostModel.dimJoin(j1, customer,
+      col("o_custkey") === col("c_custkey"),
+      statsOf(dir, "customer_keys", customer))
+    j2
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -97,6 +128,7 @@ object CoreQueries {
         dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"),
       )
+  }
 
   private val q02Sql =
     """SELECT r_name, n_name,

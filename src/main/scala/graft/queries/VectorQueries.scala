@@ -1443,7 +1443,15 @@ object VectorQueries {
     * agreement for qe25b), and PlanSpec pins that candidate generation
     * never contains a nested-loop or cartesian join.
     */
-  private val GateProbes = 8
+  // r13 re-measure (tools/GateSweep, VERDICT r12 item 2): the probe/
+  // recall curve over the SAME persisted-fit machinery reads, at sf0.1
+  // (K=45): P=8 → 0.57/0.41/0.45, P=12 → 0.68/0.56/0.54, P=16 →
+  // 0.78/0.71/0.65, P=24 → 0.89/0.85/0.81, with candidate volume
+  // linear in P (713k/1.07M/1.43M/2.14M rows). P=16 is the knee that
+  // clears the r11 floor levels (0.60/0.50/0.50) on ALL three twins
+  // while keeping the scanned fraction P/√n — at n=10⁹ that is 0.05%
+  // of the corpus, the same complexity class as P=8.
+  private val GateProbes = 16
   private val GateFitIters = 3
   private val GateFitPerCell = 64
 
@@ -1479,11 +1487,28 @@ object VectorQueries {
     // nHint: gateCands already counted the table to size K — threading
     // it avoids a second full count job per index build (review r12)
     val n = if (nHint >= 0L) nHint else e.count()
+    gateCandsWithCents(e, gateFitCents(e, k, n), probes)
+  }
+
+  /** The gate's quantizer fit alone (strided sample + Lloyd refits) —
+    * split from the probe stage so the probe-budget sweep
+    * ([[gateProbeSweep]]) fits ONCE and re-probes at each budget (the
+    * fit does not depend on the probe count).
+    */
+  private[graft] def gateFitCents(e: DataFrame, k: Int,
+      n: Long): Array[(Int, Seq[Double])] = {
     val stride = math.max(1L, n / (GateFitPerCell.toLong * k))
     val fit =
       if (stride == 1L) e else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    val cents = kmeansCentroids(
-      fit.select("vec_id", "vec", "nrm"), k, GateFitIters)
+    kmeansCentroids(fit.select("vec_id", "vec", "nrm"), k, GateFitIters)
+  }
+
+  /** Probe stage over a fitted quantizer: home every vector in its
+    * argmin cell, probe each vector's `probes` nearest cells, equi-join
+    * on the cell id, score candidates by 6dp cosine.
+    */
+  private def gateCandsWithCents(e: DataFrame,
+      cents: Array[(Int, Seq[Double])], probes: Int): DataFrame = {
     val cands = centroidCands(cents)
     val home = e.withColumn("cid", array_min(cands).getField("cid"))
       .select(col("cid"), col("vec_id").as("idb"), col("label").as("lb"),
@@ -1495,6 +1520,53 @@ object VectorQueries {
       .filter(col("ida") =!= col("idb"))
       .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
       .select("ida", "la", "idb", "lb", "cos")
+  }
+
+  /** Probe-budget / recall trade for the gated trio (VERDICT r12 item
+    * 2): ONE quantizer fit at the production K = ⌈√n⌉, then for each
+    * probe budget the three twin-level recall measures RecallSpec
+    * floors — qe15b neighbor-pair recall, qe22b mutual-pair recall,
+    * qe25b per-vector prediction agreement — plus the scored-candidate
+    * row count (the cost the budget buys them with). The sweep is the
+    * measurement that PICKS GateProbes; qe26 is the same artifact for
+    * qe5's fixed-K IVF.
+    */
+  private[graft] def gateProbeSweep(s: SparkSession, dir: String,
+      budgets: Seq[Int]): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val cents = gateFitCents(e, gateK(n), n)
+    val exact15 = knnPairsExact(s, dir).localCheckpoint()
+    val exact22 = qe22(s, dir).select("vec_a", "vec_b").localCheckpoint()
+    val exact25 = qe25PredExact(s, dir)
+      .select(col("ida"), col("pred_label").as("pe")).localCheckpoint()
+    val n15 = exact15.count()
+    val n22 = exact22.count()
+    val n25 = exact25.count()
+    val s2 = s
+    import s2.implicits._
+    budgets.map { p =>
+      val cands = gateCandsWithCents(e, cents, p).localCheckpoint()
+      val rows = cands.count()
+      val g15 = cands
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+        .filter(col("rn") <= DensityK).select("ida", "idb")
+      val r15 = exact15.join(g15, Seq("ida", "idb"), "left_semi").count().toDouble /
+        math.max(n15, 1L)
+      val g22 = mutualMarginFrom(cands.select("ida", "idb", "cos"))
+        .select("vec_a", "vec_b")
+      val r22 = exact22.join(g22, Seq("vec_a", "vec_b"), "left_semi").count().toDouble /
+        math.max(n22, 1L)
+      val g25 = knnPredFrom(cands).select(col("ida"), col("pred_label").as("pg"))
+      val r25 = exact25.join(g25, Seq("ida"))
+        .filter(col("pe") === col("pg")).count().toDouble / math.max(n25, 1L)
+      Seq((p, rows,
+        graft.operators.Rounding.droundD(r15, 4),
+        graft.operators.Rounding.droundD(r22, 4),
+        graft.operators.Rounding.droundD(r25, 4)))
+        .toDF("probes", "cand_rows", "recall15", "recall22", "agree25")
+    }.reduce(_.unionByName(_))
   }
 
   /** The corpus gate at its production sizing (K = ⌈√n⌉, P probes) —
@@ -1588,6 +1660,146 @@ object VectorQueries {
 
   private[graft] def qe25PredGated(s: SparkSession, dir: String): DataFrame =
     knnPredFrom(gatedSym(s, dir))
+
+  /** DuckDB CTE chain replicating [[gateCands]] bit-for-bit — the r13
+    * upgrade that moves the three gated twins from sketch-graded to
+    * HASH-MATCHED (VERDICT r12 item 7, the qm9 "structural oracle"
+    * discipline): the gate's quantizer is the same deterministic
+    * seeded-Lloyd fit the qe9/qe10 oracles already replicate
+    * ([[kmeansCtes]]), just at K = ⌈√n⌉ with [[GateFitIters]] refits —
+    * so the ENTIRE candidate-generation path (seeds → Lloyd loop →
+    * argmin homes → top-[[GateProbes]] probed cells → cell equi-join →
+    * 6dp cosine) is expressible as SQL over the same parquet, and each
+    * twin's tail is its exact anchor's oracle tail verbatim. Ends at
+    * `gcand` = (ida, la, idb, lb, cos), the directed candidate frame.
+    *
+    * Two assumptions, both true at every oracle scale (sf0.001/0.01/
+    * 0.1) and asserted nowhere else, so recorded here: the fit stride
+    * is 1 (n ≤ [[GateFitPerCell]]·K ⇔ n ≤ 64·⌈√n⌉ ⇔ n ≤ ~4.2M — the
+    * strided fit only engages beyond that), and seed relabeling is by
+    * vec_id order (exact for any ids; the row_number form below
+    * replicates it generally).
+    */
+  private[graft] lazy val gateCtes: String = {
+    def d2(v: String, c: String) =
+      s"""round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c)
+         |        + list_dot_product($c, $c), 6)""".stripMargin
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, vec,
+         |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+         |kp AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k
+         |       FROM e),
+         |c0 AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cid, cvec FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, vec AS cvec
+         |    FROM e)
+         |  WHERE rn <= (SELECT k FROM kp))""".stripMargin
+    val iters = (1 to GateFitIters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, cid, vec, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${d2("vec", "cvec")} ASC, cid ASC) AS rk
+         |  FROM e, c${i - 1}),
+         |c$i AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec
+         |  FROM (SELECT cid, i, round(avg(x), 6) AS m
+         |        FROM (SELECT cid, unnest(range(1, len(vec) + 1)) AS i,
+         |                     unnest(vec) AS x
+         |              FROM a$i WHERE rk = 1)
+         |        GROUP BY cid, i)
+         |  GROUP BY cid)""".stripMargin
+    }
+    val tail =
+      s"""af AS (
+         |  SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${d2("e.vec", "cvec")} ASC, cid ASC) AS rk
+         |  FROM e, c$GateFitIters),
+         |home AS (
+         |  SELECT n.vec_id AS idb, n.label AS lb, n.vec AS vb, n.nrm AS nb, af.cid
+         |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk = 1),
+         |probed AS (
+         |  SELECT n.vec_id AS ida, n.label AS la, n.vec AS va, n.nrm AS na, af.cid
+         |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk <= $GateProbes),
+         |gcand AS (
+         |  SELECT ida, la, idb, lb,
+         |         round(list_dot_product(va, vb) / (na * nb), 6) AS cos
+         |  FROM probed JOIN home USING (cid) WHERE ida <> idb)""".stripMargin
+    (head +: iters :+ tail).mkString(",\n")
+  }
+
+  /** qe15b oracle: the gate chain + qe15's density/OOD tail, with the
+    * twin's own census semantics (max-rank fallback when a vector has
+    * fewer than [[DensityK]] gated candidates; distance 2.0 when it has
+    * none).
+    */
+  private lazy val qe15bSql =
+    s"""$gateCtes,
+       |gd AS (SELECT ida, idb, round(1.0 - cos, 6) AS dist FROM gcand),
+       |rk2 AS (
+       |  SELECT ida, dist,
+       |         row_number() OVER (PARTITION BY ida
+       |           ORDER BY dist ASC, idb ASC) AS rnk,
+       |         count(*) OVER (PARTITION BY ida) AS mxr
+       |  FROM gd),
+       |kth AS (SELECT ida AS vec_id, dist AS knn_dist FROM rk2
+       |        WHERE rnk = least($DensityK, mxr)),
+       |census AS (
+       |  SELECT e.vec_id, coalesce(k.knn_dist, CAST(2.0 AS DOUBLE)) AS knn_dist
+       |  FROM e LEFT JOIN kth k ON e.vec_id = k.vec_id),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM census)
+       |SELECT vec_id, knn_dist,
+       |       (grnk - 1) * 50 // n_all = 0 AS ood
+       |FROM (SELECT *, CAST(row_number() OVER (
+       |        ORDER BY knn_dist DESC, vec_id) AS INT) AS grnk FROM census), t""".stripMargin
+
+  /** qe22b oracle: the gate chain + qe22's mutual-top-1 ratio-margin
+    * tail over the directed candidates.
+    */
+  private lazy val qe22bSql =
+    s"""$gateCtes,
+       |rk2 AS (
+       |  SELECT ida, idb, cos, CAST(round(cos * 1000000) AS BIGINT) AS micro,
+       |         row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rn
+       |  FROM gcand),
+       |top AS (SELECT ida, CAST(sum(micro) AS BIGINT) AS s,
+       |               CAST(count(*) AS BIGINT) AS k
+       |        FROM rk2 WHERE rn <= $K GROUP BY ida),
+       |nn AS (SELECT ida, idb, cos, micro FROM rk2 WHERE rn = 1),
+       |mutual AS (
+       |  SELECT f.ida AS vec_a, f.idb AS vec_b, f.cos AS cosine, f.micro AS micro
+       |  FROM nn f JOIN nn g ON f.ida = g.idb AND f.idb = g.ida AND f.ida < f.idb)
+       |SELECT vec_a, vec_b, cosine,
+       |  round(CAST(2 * micro * ta.k * tb.k AS DOUBLE)
+       |        / NULLIF(ta.s * tb.k + tb.s * ta.k, 0), 6) AS margin
+       |FROM mutual
+       |JOIN top ta ON vec_a = ta.ida
+       |JOIN top tb ON vec_b = tb.ida""".stripMargin
+
+  /** qe25b oracle: the gate chain + qe25's vote/confusion tail. */
+  private lazy val qe25bSql =
+    s"""$gateCtes,
+       |knn AS (
+       |  SELECT * FROM (
+       |    SELECT ida, la, lb,
+       |           row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rn
+       |    FROM gcand) WHERE rn <= $K),
+       |pred AS (
+       |  SELECT la AS true_label, lb AS pred_label FROM (
+       |    SELECT ida, la, lb, count(*) AS votes,
+       |           row_number() OVER (PARTITION BY ida
+       |             ORDER BY count(*) DESC, lb) AS vr
+       |    FROM knn GROUP BY ida, la, lb) WHERE vr = 1),
+       |counts AS (
+       |  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |totals AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS n_label
+       |           FROM counts GROUP BY 1)
+       |SELECT counts.true_label AS true_label, pred_label, n,
+       |       round(n / n_label, 6) AS frac
+       |FROM counts JOIN totals ON counts.true_label = totals.true_label""".stripMargin
 
   // --------------------------------------------------------------- qe16
   /** Cluster-balanced diversity sampling: cap each k-means cluster at
@@ -2735,6 +2947,12 @@ object VectorQueries {
     "qe12_mmr_topk" -> qe12Sql,
     "qe13_hard_negatives" -> qe13Sql,
     "qe15_knn_density" -> qe15Sql,
+    // r13 (VERDICT r12 item 7): the gated twins' quantizer is the same
+    // deterministic seeded-Lloyd fit the qe9 oracle replicates, so the
+    // whole gate is SQL-expressible — sketch-graded no more
+    "qe15b_gated_density" -> qe15bSql,
+    "qe22b_gated_mutual_nn" -> qe22bSql,
+    "qe25b_gated_confusion" -> qe25bSql,
     "qe16_cluster_sample" -> qe16Sql,
     "qe17_retrieval_metrics" -> qe17Sql,
     "qe18_prototypes" -> qe18Sql,

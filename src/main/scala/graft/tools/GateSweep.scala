@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Probe-budget sweep for the √n-cell IVF gate behind qe15b/qe22b/qe25b
+  * (VERDICT r12 item 2): measure the three twin-level recall numbers
+  * and the candidate volume at probe budgets around the production
+  * setting, at both oracle scales. This is the measurement that picks
+  * `VectorQueries.GateProbes` — the r12 verdict's point was that the
+  * re-sized gate lowered recall floors WITHOUT measuring what a bigger
+  * probe budget would buy back, even though the sweep machinery (qe26)
+  * already existed for the plain IVF index.
+  *
+  * Usage: `sbt "runMain graft.tools.GateSweep [sfDir ...]"` — prints a
+  * table per sf dir; results are recorded in BENCH_NOTES.md and the
+  * chosen budget lands in GateProbes + the RecallSpec floors.
+  */
+object GateSweep {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.GraftConf.contextDefaults)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftConf.bootstrap(spark)
+    val budgets = Seq(8, 12, 16, 24)
+    for (dir <- dirs) {
+      println(s"== gate probe sweep @ $dir (K = ceil(sqrt(n)), budgets ${budgets.mkString("/")}) ==")
+      val t0 = System.nanoTime()
+      val rows = graft.queries.VectorQueries.gateProbeSweep(spark, dir, budgets)
+        .collect()
+      println(f"${"probes"}%8s ${"cand_rows"}%10s ${"recall15"}%9s ${"recall22"}%9s ${"agree25"}%9s")
+      rows.foreach { r =>
+        println(f"${r.getInt(0)}%8d ${r.getLong(1)}%10d ${r.getDouble(2)}%9.4f ${r.getDouble(3)}%9.4f ${r.getDouble(4)}%9.4f")
+      }
+      println(f"sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** True-distribution ~sf1 scale smoke (VERDICT r12 item 5): generate a
+  * 10× cut whose JOIN/GROUP KEYS keep their sf0.1 identity — the same
+  * customer gets 10× the orders, the same part 10× the lineitems, the
+  * same user 10× the events — so cross-copy hot keys actually
+  * concentrate, which is exactly what [[ScaleSmoke]]'s key-SHIFTED
+  * union cannot exercise (its disjoint keyspaces make 10 independent
+  * sf0.1 problems; a skew report or salted join never sees a heavier
+  * key there). Row-identity keys (orderkey, event_id, vec_id) fan out
+  * `key·16 + copy` to stay unique; every value column keeps the sf0.1
+  * marginal distribution verbatim, and copies > 0 of a vector are
+  * REGENERATED (deterministic xxhash64-seeded uniform[-0.5,0.5), the
+  * source family) rather than duplicated — a copied embedding would
+  * plant 20k exact dups and turn kNN distance into a constant 0.
+  *
+  * What this is NOT: the driver's own sf1 (its generator is not
+  * available). It is a volume-true, skew-true scale-up of the driver's
+  * sf0.1 — the marginal distributions are the driver's by
+  * construction, and per-key weights scale ×10 the way a real corpus
+  * grows (more orders over the same catalog/customer base).
+  *
+  * Usage: `sbt "runMain graft.tools.Sf1Skew"` — builds under tmpdir
+  * once, then times the skew-sensitive suite queries (min-of-reps).
+  * Results + the AQE/salting observation go to BENCH_NOTES.md.
+  */
+object Sf1Skew {
+
+  private val Copies = 10
+  private val SrcDir = "/root/testdata/sf0.1"
+  private val OutDir = s"${sys.props("java.io.tmpdir")}/graft_sf1_skew"
+
+  /** `Copies` rows per source row, `_c` ∈ [0, Copies). */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.withColumn("_c", explode(lit((0 until Copies).toArray)))
+
+  /** Deterministic uniform[-0.5, 0.5) double from any key columns —
+    * the embedding component family observed at sf0.1.
+    */
+  private def u(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    xxhash64(cols: _*).cast("double") / 1.8446744073709552e19
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.GraftConf.contextDefaults)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftConf.bootstrap(spark)
+    def src(t: String) = spark.read.parquet(s"$SrcDir/$t.parquet")
+
+    if (!new java.io.File(s"$OutDir/embeddings.parquet").exists()) {
+      // orders ×10: same customers (o_custkey untouched → 10× orders per
+      // customer), fresh orderkeys consistent with lineitem's fan-out
+      fanOut(src("orders"))
+        .withColumn("o_orderkey", col("o_orderkey") * 16 + col("_c"))
+        .drop("_c")
+        .write.mode("overwrite").parquet(s"$OutDir/orders.parquet")
+      // lineitem ×10: same parts/suppliers (hot part 10× hotter), the
+      // copy's rows land in the matching replicated order
+      fanOut(src("lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") * 16 + col("_c"))
+        .drop("_c")
+        .write.mode("overwrite").parquet(s"$OutDir/lineitem.parquet")
+      // events ×10: same users (hot user 10× hotter), fresh event ids,
+      // +copy seconds so timestamps don't degenerate into 10-way ties
+      fanOut(src("events"))
+        .withColumn("event_id", col("event_id") * 16 + col("_c"))
+        .withColumn("ts", timestamp_seconds(unix_timestamp(col("ts")) + col("_c")))
+        .drop("_c")
+        .write.mode("overwrite").parquet(s"$OutDir/events.parquet")
+      // documents ×10 (id-respaced only — text ops aren't in this
+      // smoke's query list, but qe15b's dir contract reads the dir)
+      fanOut(src("documents"))
+        .withColumn("doc_id", col("doc_id") * 16 + col("_c"))
+        .drop("_c")
+        .write.mode("overwrite").parquet(s"$OutDir/documents.parquet")
+      // embeddings ×10: copy 0 is the source vector, copies 1..9 are
+      // fresh draws from the same uniform family (labels keep the
+      // source's label so the 10-label marginal is unchanged)
+      fanOut(src("embeddings"))
+        .withColumn("vec_id", col("vec_id") * 16 + col("_c"))
+        .withColumn("embedding",
+          when(col("_c") === 0, col("embedding"))
+            .otherwise(transform(sequence(lit(0), lit(63)),
+              d => u(col("vec_id"), d).cast("float"))))
+        .drop("_c")
+        .write.mode("overwrite").parquet(s"$OutDir/embeddings.parquet")
+      println(s"[sf1] built $OutDir")
+    }
+
+    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q38_basket_rules" -> (graft.queries.CoreQueries.q38 _),
+      "q42_skew_report" -> (graft.queries.CoreQueries.q42 _),
+      "q43_copurchase_pagerank" -> (graft.queries.CoreQueries.q43 _),
+      "q44_triangle_count" -> (graft.queries.CoreQueries.q44 _),
+      "q45_lpa_communities" -> (graft.queries.CoreQueries.q45 _),
+      "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    for ((name, fn) <- qs) {
+      var best = Double.MaxValue
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        fn(spark, OutDir).write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[sf1] $name%-24s min-of-$reps ${best}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -31,6 +31,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in star join")
   }
 
+  test("CostModel dim join is a pinned function of ANALYZE stats: broadcast under budget, shuffle over it") {
+    // the q56→CBO hook (VERDICT r12 item 8): SAME frames, SAME measured
+    // stats — only the budget differs, so the plan flip below is driven
+    // entirely by the statistics comparison, never by Spark's
+    // file-size heuristic (planted in-memory frames have no files)
+    import org.apache.spark.sql.functions.col
+    val s2 = spark
+    import s2.implicits._
+    val fact = (0 until 1000).map(i => (i.toLong, i % 50)).toDF("k", "v")
+    val dim = (0 until 50).map(i => (i.toLong, s"dim_name_$i")).toDF("k2", "name")
+    val st = graft.operators.CostModel.analyze(dim)
+    assert(st.rows == 50 && st.bytes > 0, s"ANALYZE must measure the dim: $st")
+    val under = finalPlan(graft.operators.CostModel.dimJoin(
+      fact, dim, col("k") === col("k2"), st))
+    assert(under.contains("BroadcastHashJoin"),
+      "a dim under the broadcast budget must broadcast")
+    val over = finalPlan(graft.operators.CostModel.dimJoin(
+      fact, dim, col("k") === col("k2"), st, budgetBytes = st.bytes - 1))
+    assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+      s"a dim over the budget must shuffle-join, plan was:\n$over")
+    assert(!over.contains("BroadcastHashJoin"),
+      "over-budget dim must not be broadcast")
+  }
+
   test("qe4b generates candidates without any nested-loop join") {
     val p = finalPlan(queries.VectorQueries.qe4b(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -146,16 +170,33 @@ class PlanSpec extends AnyFunSuite {
     assert(full.contains("graft_lsh_buckets"), "native bucket expr missing from plan")
   }
 
-  test("qd13b probe is map-only: Bloom literal in-plan, zero Exchange, codegen'd") {
-    // the operator's entire point at 100 TB: the corpus side must be a
-    // pure scan→project (the eval-side filter rides in as a literal),
-    // never a shuffle of corpus grams like qd13's inverted index
-    val df = queries.TextQueries.qd13b(spark, sf)
+  test("qd13b prefilter is map-only: Bloom literal in-plan, zero Exchange, codegen'd") {
+    // the operator's entire point at 100 TB: the corpus-side PREFILTER
+    // must be a pure scan→project (the eval-side filter rides in as a
+    // literal), never a shuffle of corpus grams like qd13's inverted
+    // index — the r13 cascade moved the exact verify behind this stage,
+    // so the stage itself is what carries the map-only guarantee
+    val df = queries.TextQueries.qd13bPrefilter(spark, sf)
     val p = finalPlan(df)
     assert(!p.contains("Exchange"), "broadcast-sketch probe must not shuffle the corpus")
     val full = df.queryExecution.executedPlan.toString
     assert(full.contains("graft_bloom_any"), "native Bloom probe missing from plan")
     assert(p.contains("*("), "probe projection left whole-stage codegen")
+  }
+
+  test("qd13b cascade verifies only Bloom survivors: probe filter feeds the gram join") {
+    // the full cascade pays qd13's gram shuffle ONLY for the docs the
+    // Bloom stage could not clear — the gram explode must sit above a
+    // Filter carrying the native probe, so a plan that explodes the
+    // whole corpus (prefilter dropped/reordered away) fails here
+    val full = queries.TextQueries.qd13b(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(full.contains("graft_bloom_any"), "native Bloom prefilter missing from plan")
+    val probeFirst = full.indexOf("graft_bloom_any")
+    val explodeLast = full.lastIndexOf("explode")
+    assert(explodeLast >= 0, "gram explode missing from the verify stage")
+    assert(probeFirst >= 0 && full.substring(probeFirst).contains("explode"),
+      "Bloom probe must gate (sit below) a gram explode in the rendered plan")
   }
 
   test("qe8 label join broadcasts on the driver union-find path (no shuffle join)") {
