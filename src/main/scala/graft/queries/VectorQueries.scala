@@ -481,42 +481,52 @@ object VectorQueries {
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
     * into nlist inverted lists; queries probe the nprobe nearest
     * centroids and rank only those lists. The corpus-side assignment is
-    * one ML fit + one projection; the probe join is an equi-join on
-    * centroid id — the standard big-corpus ANN shape (vs qe2's sign-LSH).
-    * No SQL oracle (k-means is engine-side); recall vs qe1 asserted in
-    * tests.
+    * one fit + one map-only projection; the probe join is an equi-join
+    * on centroid id — the standard big-corpus ANN shape (vs qe2's
+    * sign-LSH).
+    *
+    * r13: the quantizer is the DETERMINISTIC seeded-Lloyd fit
+    * ([[kmeansCentroids]] — the qe9/gate machinery) instead of an ML
+    * KMeans model. Same algorithm, two production wins: the index
+    * build is bit-reproducible across runs/partitionings (an offline
+    * artifact that re-builds identically is diffable and auditable),
+    * and the whole fit+assign+probe path becomes SQL-expressible — so
+    * qe5/qe5b graduate from recall-graded to FULL DuckDB hash-match
+    * (the r12-item-7 discipline, same move as the gated trio). Probe
+    * distances use the identical rounded v·v − 2v·c + |c|² form as the
+    * assignment so both engines rank cells on the same 6dp numbers.
     */
   private val IVF_NLIST = 16
   private val IVF_NPROBE = 4
+  private val IvfFitIters = 3
 
   /** Fit the coarse quantizer and return (assignments, centroids). */
   private def ivfFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = embs(s, dir).withColumn("fvec", array_to_vector(col("vec")))
-    val km = new KMeans().setK(IVF_NLIST).setSeed(42L).setMaxIter(5)
-      .setInitMode("random") // seeded; skips the kmeans|| init passes —
-      // quantizer quality is secondary to list balance for IVF
-      .setFeaturesCol("fvec").setPredictionCol("list_id")
-    val model = km.fit(e)
-    val assigned = model.transform(e).select("vec_id", "label", "vec", "nrm", "list_id")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    (assigned, s.createDataFrame(centroids).toDF("cent_id", "cent"))
+    val e = embs(s, dir)
+    val cents = kmeansCentroids(
+      e.select("vec_id", "vec", "nrm"), IVF_NLIST, IvfFitIters)
+    val assigned = e
+      .withColumn("list_id", array_min(centroidCands(cents)).getField("cid"))
+      .select("vec_id", "label", "vec", "nrm", "list_id")
+    (assigned,
+      s.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c) })
+        .toDF("cent_id", "cent"))
   }
 
   /** Probe stage shared by qe5/qe5b: queries probe their nprobe nearest
-    * centroids (by euclidean on the quantizer geometry), then rank only
-    * those inverted lists via the equi-join on list id.
+    * centroids (6dp-rounded squared-L2 on the quantizer geometry — the
+    * same algebraic form as the assignment, so the oracle ranks the
+    * same numbers), then rank only those inverted lists via the
+    * equi-join on list id.
     */
   private def ivfProbe(assigned: DataFrame, centDf: DataFrame,
       nprobe: Int = IVF_NPROBE): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("d2", dround(dot(col("qvec"), col("qvec"))
+        - lit(2.0) * dot(col("qvec"), col("cent"))
+        + dot(col("cent"), col("cent")), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
       .filter(col("pr") <= nprobe)
@@ -556,7 +566,7 @@ object VectorQueries {
     * not write into the read-only data roots).
     */
   def ivfIndexPath(dir: String): String =
-    graft.sources.HadoopFs.indexPath("ivf", dir, IVF_NLIST, 42L, 5, "random")
+    graft.sources.HadoopFs.indexPath("ivf", dir, IVF_NLIST, IvfFitIters, "lloyd6dp")
 
   def ivfBuild(s: SparkSession, dir: String, path: String): Unit = {
     val (assigned, centDf) = ivfFit(s, dir)
@@ -1162,7 +1172,8 @@ object VectorQueries {
     */
   private def pqProbe(s: SparkSession, dir: String,
       cb: Array[Array[Seq[Double]]], codes: DataFrame,
-      gate: Option[DataFrame] = None): DataFrame = {
+      gate: Option[DataFrame] = None,
+      shortN: Int = PqShort): DataFrame = {
     import s.implicits._
     val e = embs(s, dir)
     // per-query ADC lookup tables, computed driver-side from the
@@ -1196,7 +1207,7 @@ object VectorQueries {
             element_at(col("codes"), i + 1) + 1)), 6))
       .withColumn("arnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("vec_id").asc)))
-      .filter(col("arnk") <= PqShort)
+      .filter(col("arnk") <= shortN)
       .select("query_id", "vec_id")
     // full-precision rerank of the ADC shortlist (the IVF-PQ refine
     // step): only PqShort float vectors per query are touched
@@ -1286,7 +1297,14 @@ object VectorQueries {
     * gate can only remove candidates; what it buys is the scan cut).
     */
   def ivfPqIndexPath(dir: String): String =
-    graft.sources.HadoopFs.indexPath("ivfpq", dir, IVF_NLIST, PqM, PqKs)
+    // the merged layout is DERIVED from the ivf assignments, so its
+    // identity must include the quantizer's build params too — a
+    // quantizer change with a same-named merged dir would silently pair
+    // NEW probe centroids with OLD list ids (exactly the r13 bug the
+    // fingerprints exist to kill: measured 0.16 recall until this line
+    // carried the upstream identity)
+    graft.sources.HadoopFs.indexPath(
+      "ivfpq", dir, IVF_NLIST, IvfFitIters, "lloyd6dp", PqM, PqKs)
 
   def qe20(s: SparkSession, dir: String): DataFrame = {
     registerNative(s)
@@ -1306,13 +1324,23 @@ object VectorQueries {
     val probes = embs(s, dir).filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       .crossJoin(broadcast(centDf))
-      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("d2", dround(dot(col("qvec"), col("qvec"))
+        - lit(2.0) * dot(col("qvec"), col("cent"))
+        + dot(col("cent"), col("cent")), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
       .filter(col("pr") <= IVF_NPROBE)
       .select(col("query_id"), col("cent_id"))
-    pqProbe(s, dir, cb, s.read.parquet(s"$merged/codes"), Some(probes))
+    // r13: the deterministic quantizer balances the inverted lists, so
+    // a 4/16 probe now pools ~25% of the corpus — at the old fixed
+    // shortlist (50 ≈ 10% of the pool) ADC noise crowded true
+    // neighbors out of the rerank (measured 0.16 recall at sf0.1, was
+    // 0.56 on the skew-listed ML quantizer whose probed pools were
+    // smaller). The gated path reranks 2·PqShort: still ~100 float
+    // rows/query — the scan-cut economics are unchanged, and recall
+    // re-earns its floor instead of the floor chasing recall down.
+    pqProbe(s, dir, cb, s.read.parquet(s"$merged/codes"), Some(probes),
+      shortN = 2 * PqShort)
   }
 
   // --------------------------------------------------------------- qe15
@@ -1680,10 +1708,19 @@ object VectorQueries {
     * vec_id order (exact for any ids; the row_number form below
     * replicates it generally).
     */
-  private[graft] lazy val gateCtes: String = {
-    def d2(v: String, c: String) =
-      s"""round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c)
-         |        + list_dot_product($c, $c), 6)""".stripMargin
+  private def d2Sql(v: String, c: String) =
+    s"""round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c)
+       |        + list_dot_product($c, $c), 6)""".stripMargin
+
+  /** Shared seeded-Lloyd CTE generator ([[kmeansCentroids]] in SQL):
+    * `kpBody` yields the 1-row cell-count table `kp(k)`, `iters` Lloyd
+    * refits follow, and the chain ends at `af` — every vector's rank
+    * over the FINAL centroids by the 6dp-rounded squared-L2 (rk = 1 is
+    * the argmin home; rk ≤ P is the multi-probe list). Used by the
+    * gate oracle (K = ⌈√n⌉, [[GateFitIters]]) and the IVF oracle
+    * (K = [[IVF_NLIST]], [[IvfFitIters]]).
+    */
+  private def lloydCtes(kpBody: String, iters: Int): String = {
     val head =
       s"""WITH e AS (
          |  SELECT vec_id, label,
@@ -1691,17 +1728,16 @@ object VectorQueries {
          |  FROM embeddings),
          |n AS (SELECT vec_id, label, vec,
          |             sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
-         |kp AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k
-         |       FROM e),
+         |kp AS ($kpBody),
          |c0 AS (
          |  SELECT CAST(rn - 1 AS INT) AS cid, cvec FROM (
          |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, vec AS cvec
          |    FROM e)
          |  WHERE rn <= (SELECT k FROM kp))""".stripMargin
-    val iters = (1 to GateFitIters).map { i =>
+    val its = (1 to iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, cid, vec, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${d2("vec", "cvec")} ASC, cid ASC) AS rk
+         |    ORDER BY ${d2Sql("vec", "cvec")} ASC, cid ASC) AS rk
          |  FROM e, c${i - 1}),
          |c$i AS (
          |  SELECT cid, list(m ORDER BY i) AS cvec
@@ -1712,22 +1748,54 @@ object VectorQueries {
          |        GROUP BY cid, i)
          |  GROUP BY cid)""".stripMargin
     }
-    val tail =
+    val af =
       s"""af AS (
          |  SELECT e.vec_id, cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${d2("e.vec", "cvec")} ASC, cid ASC) AS rk
-         |  FROM e, c$GateFitIters),
-         |home AS (
-         |  SELECT n.vec_id AS idb, n.label AS lb, n.vec AS vb, n.nrm AS nb, af.cid
-         |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk = 1),
-         |probed AS (
-         |  SELECT n.vec_id AS ida, n.label AS la, n.vec AS va, n.nrm AS na, af.cid
-         |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk <= $GateProbes),
-         |gcand AS (
-         |  SELECT ida, la, idb, lb,
-         |         round(list_dot_product(va, vb) / (na * nb), 6) AS cos
-         |  FROM probed JOIN home USING (cid) WHERE ida <> idb)""".stripMargin
-    (head +: iters :+ tail).mkString(",\n")
+         |    ORDER BY ${d2Sql("e.vec", "cvec")} ASC, cid ASC) AS rk
+         |  FROM e, c$iters)""".stripMargin
+    (head +: its :+ af).mkString(",\n")
+  }
+
+  private[graft] lazy val gateCtes: String = {
+    val fit = lloydCtes(
+      "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e",
+      GateFitIters)
+    s"""$fit,
+       |home AS (
+       |  SELECT n.vec_id AS idb, n.label AS lb, n.vec AS vb, n.nrm AS nb, af.cid
+       |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk = 1),
+       |probed AS (
+       |  SELECT n.vec_id AS ida, n.label AS la, n.vec AS va, n.nrm AS na, af.cid
+       |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk <= $GateProbes),
+       |gcand AS (
+       |  SELECT ida, la, idb, lb,
+       |         round(list_dot_product(va, vb) / (na * nb), 6) AS cos
+       |  FROM probed JOIN home USING (cid) WHERE ida <> idb)""".stripMargin
+  }
+
+  /** qe5/qe5b oracle (r13): the deterministic IVF — fixed-K Lloyd fit,
+    * argmin inverted lists, queries probe their [[IVF_NPROBE]] nearest
+    * cells by the same rounded distance, exact cosine rank inside the
+    * probed lists. qe5b reads the persisted build of the SAME fit, so
+    * one SQL covers both registrations.
+    */
+  private lazy val qe5Sql = {
+    val fit = lloydCtes(s"SELECT $IVF_NLIST AS k", IvfFitIters)
+    s"""$fit,
+       |home AS (SELECT vec_id, cid FROM af WHERE rk = 1),
+       |probed AS (SELECT vec_id AS query_id, cid FROM af
+       |           WHERE vec_id < $NQUERIES AND rk <= $IVF_NPROBE)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT p.query_id, h.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |           round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) DESC,
+       |           h.vec_id) AS INT) AS rnk
+       |  FROM probed p
+       |  JOIN home h ON h.cid = p.cid AND h.vec_id <> p.query_id
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN n d ON d.vec_id = h.vec_id)
+       |WHERE rnk <= $K""".stripMargin
   }
 
   /** qe15b oracle: the gate chain + qe15's density/OOD tail, with the
@@ -2465,8 +2533,9 @@ object VectorQueries {
     val q = assigned.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val probes = q.crossJoin(broadcast(centDf))
-      .withColumn("d2", aggregate(zip_with(col("qvec"), col("cent"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("d2", dround(dot(col("qvec"), col("qvec"))
+        - lit(2.0) * dot(col("qvec"), col("cent"))
+        + dot(col("cent"), col("cent")), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent_id").asc)))
       .filter(col("pr") <= nprobe)
@@ -2953,6 +3022,10 @@ object VectorQueries {
     "qe15b_gated_density" -> qe15bSql,
     "qe22b_gated_mutual_nn" -> qe22bSql,
     "qe25b_gated_confusion" -> qe25bSql,
+    // r13: the IVF quantizer moved to the same deterministic fit, so
+    // the fused and persisted-probe paths hash-match one oracle
+    "qe5_ann_ivf" -> qe5Sql,
+    "qe5b_ann_ivf_probe" -> qe5Sql,
     "qe16_cluster_sample" -> qe16Sql,
     "qe17_retrieval_metrics" -> qe17Sql,
     "qe18_prototypes" -> qe18Sql,

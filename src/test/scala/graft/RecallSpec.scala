@@ -29,7 +29,11 @@ class RecallSpec extends AnyFunSuite {
   // floor must track what the operator actually delivers there
   private val floors: Map[(String, String), Double] = Map(
     ("qe2_ann_lsh", "sf0.01") -> 0.70, ("qe2_ann_lsh", "sf0.1") -> 0.70,
-    ("qe5_ann_ivf", "sf0.01") -> 0.40, ("qe5_ann_ivf", "sf0.1") -> 0.40,
+    // r13: the IVF quantizer moved to the deterministic seeded-Lloyd
+    // fit (3 refits) — measured recall jumped 0.58/0.70 -> 0.88/0.92
+    // (balanced lists put far more of the true top-5 inside a 4/16
+    // probe), so the floors rise off the old ML-quantizer margin
+    ("qe5_ann_ivf", "sf0.01") -> 0.70, ("qe5_ann_ivf", "sf0.1") -> 0.70,
     ("qe4b_embedding_dedup_lsh", "sf0.01") -> 0.90,
     ("qe4b_embedding_dedup_lsh", "sf0.1") -> 0.90,
     ("qd6_minhash_lsh", "sf0.01") -> 0.90, ("qd6_minhash_lsh", "sf0.1") -> 0.90,
@@ -46,7 +50,7 @@ class RecallSpec extends AnyFunSuite {
     // must carry probe-path evidence of its own — same floors as the
     // fused operators they share machinery with
     ("qd6b_minhash_probe", "sf0.01") -> 0.90, ("qd6b_minhash_probe", "sf0.1") -> 0.90,
-    ("qe5b_ann_ivf_probe", "sf0.01") -> 0.40, ("qe5b_ann_ivf_probe", "sf0.1") -> 0.40,
+    ("qe5b_ann_ivf_probe", "sf0.01") -> 0.70, ("qe5b_ann_ivf_probe", "sf0.1") -> 0.70,
     // r9: PQ-ADC 8×16 codebooks + exact rerank of the 50-deep ADC
     // shortlist. Unstructured random vectors are PQ's worst case
     // (measured 0.24/0.30 WITHOUT the rerank stage); the refine step
@@ -60,10 +64,13 @@ class RecallSpec extends AnyFunSuite {
     // Hamming shortlist retains (random vectors again the worst case —
     // sign bits carry angle/π of the signal)
     ("qe19_binary_ann", "sf0.01") -> 0.40, ("qe19_binary_ann", "sf0.1") -> 0.40,
-    // r10: IVF-PQ composition — the list gate can only REMOVE qe14b
-    // candidates, so its recall is bounded by qe14b's; the floor sits
-    // under the measured values with the usual unlucky-corpus margin
-    ("qe20_ivf_pq", "sf0.01") -> 0.30, ("qe20_ivf_pq", "sf0.1") -> 0.30,
+    // r13: the Lloyd quantizer's balanced lists pool ~25% of the corpus
+    // per 4/16 probe, so the gated path reranks a 2·PqShort ADC
+    // shortlist (~100 float rows/query — scan-cut economics unchanged);
+    // measured 0.54/0.56 -> 0.88/0.80. NB the gate no longer binds via
+    // qe14b's shortlist (different depths), so the old ≤-qe14b note is
+    // retired with the ML quantizer.
+    ("qe20_ivf_pq", "sf0.01") -> 0.60, ("qe20_ivf_pq", "sf0.1") -> 0.60,
     // r13 re-earn (VERDICT r12 item 2): r12's scale-true resizing
     // (K = ⌈√n⌉ cells) bought the n^1.5 complexity class by LOWERING
     // the sf0.1 floors to 0.48/0.33/0.38 at a fixed 8-probe budget.
