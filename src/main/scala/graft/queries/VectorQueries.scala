@@ -2527,6 +2527,58 @@ object VectorQueries {
     }.reduce(_.unionByName(_))
   }
 
+  /** qe26 oracle (r13): with the quantizer deterministic, the whole
+    * sweep is SQL — one Lloyd chain, the probe budgets as a VALUES
+    * dimension (generated from the same Scala list as the Spark loop so
+    * the sweep points can never drift), per-budget top-K recall against
+    * the exact all-pairs top-K, and the probed-list-size accounting.
+    */
+  private lazy val qe26Sql = {
+    val fit = lloydCtes(s"SELECT $IVF_NLIST AS k", IvfFitIters)
+    val pts = Seq(1, 2, 4, IVF_NPROBE * 2, IVF_NLIST).distinct.sorted
+      .map(p => s"($p)").mkString(", ")
+    s"""$fit,
+       |home AS (SELECT vec_id, cid FROM af WHERE rk = 1),
+       |lsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM home GROUP BY cid),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e WHERE vec_id < $NQUERIES),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) DESC,
+       |             d.vec_id) AS rnk
+       |    FROM n q, n d
+       |    WHERE q.vec_id < $NQUERIES AND d.vec_id <> q.vec_id)
+       |  WHERE rnk <= $K),
+       |nex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact),
+       |ps(p) AS (VALUES $pts),
+       |probed AS (
+       |  SELECT ps.p, af.vec_id AS query_id, af.cid
+       |  FROM af, ps WHERE af.vec_id < $NQUERIES AND af.rk <= ps.p),
+       |ann AS (
+       |  SELECT p, query_id, neighbor_id FROM (
+       |    SELECT pr.p, pr.query_id, h.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY pr.p, pr.query_id ORDER BY
+       |             round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) DESC,
+       |             h.vec_id) AS rnk
+       |    FROM probed pr
+       |    JOIN home h ON h.cid = pr.cid AND h.vec_id <> pr.query_id
+       |    JOIN n q ON q.vec_id = pr.query_id
+       |    JOIN n d ON d.vec_id = h.vec_id)
+       |  WHERE rnk <= $K),
+       |hits AS (SELECT p, CAST(count(*) AS BIGINT) AS h
+       |         FROM ann JOIN exact USING (query_id, neighbor_id) GROUP BY p),
+       |lrows AS (SELECT p, CAST(sum(sz) AS BIGINT) AS lr
+       |          FROM probed JOIN lsz USING (cid) GROUP BY p)
+       |SELECT ps.p AS nprobe,
+       |       round(coalesce(h.h, 0) / nex.n, 6) AS recall,
+       |       round(coalesce(r.lr, 0) / (nq.n * corpus.n), 6) AS scanned_frac
+       |FROM ps
+       |LEFT JOIN hits h ON ps.p = h.p
+       |LEFT JOIN lrows r ON ps.p = r.p, nex, nq, corpus""".stripMargin
+  }
+
   /** Rows a probe pass would score: Σ over queries of probed list sizes. */
   private def ivfProbeListRows(assigned: DataFrame, centDf: DataFrame,
       nprobe: Int): Long = {
@@ -3023,9 +3075,11 @@ object VectorQueries {
     "qe22b_gated_mutual_nn" -> qe22bSql,
     "qe25b_gated_confusion" -> qe25bSql,
     // r13: the IVF quantizer moved to the same deterministic fit, so
-    // the fused and persisted-probe paths hash-match one oracle
+    // the fused and persisted-probe paths hash-match one oracle, and
+    // even the probe-sweep tuning curve is SQL-checkable
     "qe5_ann_ivf" -> qe5Sql,
     "qe5b_ann_ivf_probe" -> qe5Sql,
+    "qe26_probe_sweep" -> qe26Sql,
     "qe16_cluster_sample" -> qe16Sql,
     "qe17_retrieval_metrics" -> qe17Sql,
     "qe18_prototypes" -> qe18Sql,
