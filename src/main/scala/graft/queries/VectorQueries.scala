@@ -1145,7 +1145,12 @@ object VectorQueries {
         .select(col("sub"), col("code"), posexplode(
           slice(col("uvec"), col("sub") * PqSubDim + 1, lit(PqSubDim)))
           .as(Seq("dim", "x")))
-        .groupBy("sub", "code", "dim").agg(avg("x").as("m"))
+        // 6dp-rounded means (r13, the kmeansCentroids discipline): the
+        // fit is reproducible across partitionings AND engines, which
+        // is what lets qe14/qe14b/qe20 carry full DuckDB oracles — an
+        // unrounded mean drifts with aggregation order and every
+        // downstream argmin would inherit the drift
+        .groupBy("sub", "code", "dim").agg(dround(avg(col("x")), 6).as("m"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
         .select(col("sub"), col("code"),
@@ -1235,6 +1240,133 @@ object VectorQueries {
     }
   }
 
+  /** PQ Lloyd-chain CTEs (r13): [[pqFit]]+[[pqEnc]] in SQL — the r13
+    * 6dp-rounded means make the codebooks engine-identical, every
+    * other number in the chain (uvec = x/nrm, per-subspace Σdiff²
+    * argmin with the code-asc first-win tiebreak, ADC dot tables) is
+    * deterministic binary64 arithmetic in the SAME evaluation order on
+    * both engines (list_reduce left-folds exactly like the engine
+    * loops), so the SQL replicates the fit bit-for-bit. Prototyped
+    * against an imperative reference model before wiring (BENCH_NOTES
+    * r13). Requires CTEs `e`/`n` upstream; ends at `cl` (per-vector
+    * code lists) and `lutl` (per-query ADC tables).
+    */
+  private lazy val pqChainCtes: String = {
+    def d2sub(u: String, cb: String) =
+      s"""list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+         |               j -> ($u.uvec[$cb.sub*$PqSubDim+j] - $cb.cent[j])
+         |                  * ($u.uvec[$cb.sub*$PqSubDim+j] - $cb.cent[j])),
+         |             (a,b) -> a+b)""".stripMargin
+    val subsVals = (0 until PqM).map(s => s"($s)").mkString(", ")
+    val head =
+      s"""u AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS uvec FROM n),
+         |subs(sub) AS (VALUES $subsVals),
+         |pcb0 AS (
+         |  SELECT sub, CAST(vec_id AS INT) AS code,
+         |         uvec[(sub*$PqSubDim+1):(sub*$PqSubDim+$PqSubDim)] AS cent
+         |  FROM u, subs WHERE vec_id < $PqKs)""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      s"""pa$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT u.vec_id, cb.sub, cb.code,
+         |           row_number() OVER (PARTITION BY u.vec_id, cb.sub
+         |             ORDER BY ${d2sub("u", "cb")} ASC, cb.code ASC) AS rk
+         |    FROM u, pcb${i - 1} cb) WHERE rk = 1),
+         |pm$i AS (
+         |  SELECT sub, code, list(m ORDER BY j) AS cent FROM (
+         |    SELECT a.sub, a.code, js.j,
+         |           round(avg(u.uvec[a.sub*$PqSubDim+js.j]), 6) AS m
+         |    FROM pa$i a JOIN u ON u.vec_id = a.vec_id
+         |    CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS j) js
+         |    GROUP BY a.sub, a.code, js.j)
+         |  GROUP BY sub, code),
+         |pcb$i AS (SELECT o.sub, o.code, coalesce(m.cent, o.cent) AS cent
+         |          FROM pcb${i - 1} o LEFT JOIN pm$i m USING (sub, code))""".stripMargin
+    }
+    val tail =
+      s"""paf AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT u.vec_id, cb.sub, cb.code,
+         |           row_number() OVER (PARTITION BY u.vec_id, cb.sub
+         |             ORDER BY ${d2sub("u", "cb")} ASC, cb.code ASC) AS rk
+         |    FROM u, pcb$PqIters cb) WHERE rk = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM paf GROUP BY vec_id),
+         |lut AS (
+         |  SELECT u.vec_id AS query_id, cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+         |           j -> u.uvec[cb.sub*$PqSubDim+j] * cb.cent[j]), (a,b) -> a+b) AS v
+         |  FROM u, pcb$PqIters cb WHERE u.vec_id < $NQUERIES),
+         |lutl AS (
+         |  SELECT query_id, list(lv ORDER BY sub) AS lut FROM (
+         |    SELECT query_id, sub, list(v ORDER BY code) AS lv
+         |    FROM lut GROUP BY query_id, sub)
+         |  GROUP BY query_id)""".stripMargin
+    (head +: iters :+ tail).mkString(",\n")
+  }
+
+  /** Shared rerank tail: exact 6dp cosine top-[[K]] over a `short`
+    * CTE of (query_id, vec_id).
+    */
+  private lazy val pqRerankSql =
+    s"""SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |           round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) DESC,
+       |           s.vec_id) AS INT) AS rnk
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n d ON d.vec_id = s.vec_id)
+       |WHERE rnk <= $K""".stripMargin
+
+  /** qe14/qe14b oracle: the PQ chain, full-corpus ADC shortlist
+    * ([[PqShort]]), exact rerank.
+    */
+  private lazy val qe14Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |$pqChainCtes,
+       |approx AS (
+       |  SELECT l.query_id, c.vec_id,
+       |         round(list_reduce(list_transform(range(1, ${PqM + 1}),
+       |           s -> l.lut[s][c.codes[s] + 1]), (a,b) -> a+b), 6) AS ac
+       |  FROM lutl l, cl c WHERE c.vec_id <> l.query_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, vec_id) AS arnk
+       |    FROM approx)
+       |  WHERE arnk <= $PqShort)
+       |$pqRerankSql""".stripMargin
+
+  /** qe20 oracle: the IVF Lloyd chain gates which vectors each query
+    * ADC-scores (home list ∈ probed cells), shortlist 2·[[PqShort]],
+    * exact rerank — the full IVFADC composition in SQL.
+    */
+  private lazy val qe20Sql = {
+    val fit = lloydCtes(s"SELECT $IVF_NLIST AS k", IvfFitIters)
+    s"""$fit,
+       |$pqChainCtes,
+       |home AS (SELECT vec_id, cid FROM af WHERE rk = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cid FROM af
+       |           WHERE vec_id < $NQUERIES AND rk <= $IVF_NPROBE),
+       |approx AS (
+       |  SELECT l.query_id, h.vec_id,
+       |         round(list_reduce(list_transform(range(1, ${PqM + 1}),
+       |           s -> l.lut[s][c.codes[s] + 1]), (a,b) -> a+b), 6) AS ac
+       |  FROM lutl l
+       |  JOIN qprobe p ON p.query_id = l.query_id
+       |  JOIN home h ON h.cid = p.cid AND h.vec_id <> l.query_id
+       |  JOIN cl c ON c.vec_id = h.vec_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, vec_id) AS arnk
+       |    FROM approx)
+       |  WHERE arnk <= ${2 * PqShort})
+       |$pqRerankSql""".stripMargin
+  }
+
   // -------------------------------------------------------------- qe14b
   /** PQ with a PERSISTED index (the qe5b/qd6b lifecycle): at corpus
     * scale the codebook fit and the encode are offline artifacts —
@@ -1245,7 +1377,7 @@ object VectorQueries {
     * no Lloyd rounds, no corpus re-encode.
     */
   def pqIndexPath(dir: String): String =
-    graft.sources.HadoopFs.indexPath("pq", dir, PqM, PqKs, PqSubDim)
+    graft.sources.HadoopFs.indexPath("pq", dir, PqM, PqKs, PqSubDim, PqIters, "m6dp")
 
   def pqBuild(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
@@ -1304,7 +1436,7 @@ object VectorQueries {
     // fingerprints exist to kill: measured 0.16 recall until this line
     // carried the upstream identity)
     graft.sources.HadoopFs.indexPath(
-      "ivfpq", dir, IVF_NLIST, IvfFitIters, "lloyd6dp", PqM, PqKs)
+      "ivfpq", dir, IVF_NLIST, IvfFitIters, "lloyd6dp", PqM, PqKs, PqIters, "m6dp")
 
   def qe20(s: SparkSession, dir: String): DataFrame = {
     registerNative(s)
@@ -3080,6 +3212,13 @@ object VectorQueries {
     "qe5_ann_ivf" -> qe5Sql,
     "qe5b_ann_ivf_probe" -> qe5Sql,
     "qe26_probe_sweep" -> qe26Sql,
+    // r13: 6dp-rounded PQ fit means make the codebooks engine-identical
+    // and the rest of the chain is order-matched binary64 — so the PQ
+    // family (fused, persisted-probe, and the IVFADC composition) all
+    // hash-match SQL replications
+    "qe14_pq_ann" -> qe14Sql,
+    "qe14b_pq_probe" -> qe14Sql,
+    "qe20_ivf_pq" -> qe20Sql,
     "qe16_cluster_sample" -> qe16Sql,
     "qe17_retrieval_metrics" -> qe17Sql,
     "qe18_prototypes" -> qe18Sql,
