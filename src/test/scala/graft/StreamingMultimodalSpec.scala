@@ -657,12 +657,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     // the streaming stage probes EVERY incoming doc (eval membership is
     // a batch-construction artifact); corpus docs must agree with the
-    // batch operator flag-for-flag, and eval-slice docs — whose grams
-    // are all IN the filter — must flag by definition
-    val batch = queries.TextQueries.qd13b(spark, dir).collect()
+    // batch PREFILTER stage flag-for-flag (r13: batch qd13b is now the
+    // prefilter + exact-verify cascade — the stream is the stateless
+    // probe, i.e. the prefilter; a streaming verify would need the
+    // eval gram table as a stream-static join, which is batch qd13b's
+    // job), and eval-slice docs — whose grams are all IN the filter —
+    // must flag by definition
+    val batch = queries.TextQueries.qd13bPrefilter(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(batch.nonEmpty && batch.forall { case (id, f) =>
-      streamed.get(id).contains(f) }, "streaming flags diverge from batch qd13b")
+      streamed.get(id).contains(f) }, "streaming flags diverge from the batch prefilter")
     val evalIds = streamed.keys.filter(_ % 50 == 0).toSeq
     assert(evalIds.nonEmpty && evalIds.forall(streamed(_)),
       "an eval-slice doc (grams inserted by construction) was not flagged")
