@@ -505,6 +505,15 @@ object TextQueries {
       .select(col("doc_id"), bloomProbe(bytes).as("contaminated"))
   }
 
+  /** The distinct eval-slice gram set — the static dimension side of
+    * both verify stages (batch qd13b's inverted-index join and the
+    * streaming cascade's broadcast-array intersect).
+    */
+  private[graft] def evalGrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
+      .distinct()
+
   def qd13b(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.registerNative(s)
     val bytes = bloomFilterBytes(s, dir)
@@ -512,9 +521,7 @@ object TextQueries {
     // stage 1: map-only Bloom prune — clean docs never shuffle a gram
     val cand = corpus.filter(bloomProbe(bytes))
     // stage 2: qd13's exact inverted-index join, survivor set only
-    val evalGrams = docs(s, dir).filter(col("doc_id") % 50 === 0)
-      .select(explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
-      .distinct()
+    val evalGrams = this.evalGrams(s, dir)
     val hits = cand
       .select(col("doc_id"), explode(array_distinct(wordGrams(tokens(col("text")), 5))).as("gram"))
       .join(evalGrams, Seq("gram"))

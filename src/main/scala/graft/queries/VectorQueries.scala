@@ -1168,6 +1168,13 @@ object VectorQueries {
   private def pqEnc(cb: Array[Array[Seq[Double]]]): Column =
     pqEncode(col("uvec"), cb.flatMap(_.flatMap(_.toArray)), PqM, PqKs)
 
+  /** The fitted codebook alone — for the partitioning-invariance spec
+    * (the property the qe14/qe20 oracles lean on: 6dp-rounded means
+    * make the codebook a set function of the corpus).
+    */
+  private[graft] def pqFitCodebook(s: SparkSession,
+      dir: String): Array[Array[Seq[Double]]] = pqFit(s, dir)._1
+
   /** ADC shortlist + full-precision rerank over a codes frame and a
     * driver-resident codebook — shared by the fused (qe14),
     * persisted-index (qe14b), and IVF-gated (qe20) paths. With `gate`

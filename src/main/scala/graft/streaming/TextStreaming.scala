@@ -236,6 +236,43 @@ object TextStreaming {
       TextQueries.bloomProbe(bytes).as("contaminated"))
   }
 
+  /** Streaming CASCADE twin of batch qd13b (r13): the stateless Bloom
+    * probe decides WHICH incoming docs pay the exact verify, and the
+    * verify itself is map-only — the distinct doc grams intersected
+    * against the (tiny, static) eval gram set riding in as a broadcast
+    * one-row array via a stream-static join. No stateful aggregation,
+    * no watermark, Append-mode safe: per-doc n_shared is a pure row
+    * expression, so the stream stays exactly-once under replay for
+    * free. Output (doc_id, n_shared, contaminated) is row-for-row
+    * batch-qd13b parity on corpus docs (spec-pinned); eval-slice docs
+    * flag by construction (their grams ARE the filter's content).
+    *
+    * Scale: the Bloom stage is the kilobyte constant the clean
+    * majority pays; only survivors evaluate the intersect against the
+    * eval array (the eval suite is fixed and small by hypothesis —
+    * the same argument as bloomBuild's).
+    */
+  def decontaminateVerified(spark: SparkSession, docsStream: DataFrame,
+      dir: String): DataFrame = {
+    graft.functions.VectorFunctions.registerNative(spark)
+    val bytes = TextQueries.bloomFilterBytes(spark, dir)
+    val evalArr = broadcast(TextQueries.evalGrams(spark, dir)
+      .agg(sort_array(collect_list(col("gram"))).as("eval_grams"))
+      .withColumn("one", lit(1)))
+    val grams = array_distinct(
+      graft.functions.TextFunctions.wordGrams(
+        graft.functions.TextFunctions.tokens(col("text")), 5))
+    docsStream
+      .withColumn("pre", TextQueries.bloomProbe(bytes))
+      .withColumn("one", lit(1))
+      .join(evalArr, Seq("one"), "left")
+      .withColumn("n_shared",
+        when(!col("pre"), lit(0L))
+          .otherwise(size(array_intersect(grams, col("eval_grams"))).cast("long")))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+
   /** Bound the one-dir-per-microbatch index growth (safe after every
     * batch; see BatchIndex for the crash/replay invariants).
     */

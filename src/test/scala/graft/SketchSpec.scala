@@ -242,6 +242,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("qe14 PQ codebook is partitioning-independent: rounded means make the fit a set function") {
+    // the property the r13 qe14/qe14b/qe20 oracles lean on: the
+    // per-(sub, code, dim) means are 6dp-rounded, so a different
+    // shuffle partitioning (different FP summation association inside
+    // avg) must yield the SAME codebook — without the rounding this
+    // drifts in the last ulps and every downstream argmin inherits it
+    val base = queries.VectorQueries.pqFitCodebook(spark, sf)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val re =
+      try queries.VectorQueries.pqFitCodebook(spark, sf)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(base.length == re.length)
+    for (sub <- base.indices) {
+      assert(base(sub).length == re(sub).length)
+      for (c <- base(sub).indices)
+        assert(base(sub)(c) == re(sub)(c),
+          s"codebook drifted under repartitioning at sub=$sub code=$c")
+    }
+  }
+
   test("qd30b is partitioning-independent: any repartition yields the same sketch") {
     // bottom-k of a seedless hash is a set function of the input — the
     // per-partition slice / merge decomposition must be invisible

@@ -672,6 +672,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "an eval-slice doc (grams inserted by construction) was not flagged")
   }
 
+  test("streaming cascade decontamination: Bloom-gated exact verify matches batch qd13b row-for-row") {
+    import graft.streaming.TextStreaming
+    val dir = "/root/testdata/sf0.001"
+    val q = TextStreaming.decontaminateVerified(
+        spark, TextStreaming.readDocs(spark, dir), dir)
+      .writeStream.format("memory").queryName("decontam_cascade")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("decontam_cascade").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // full 3-column parity on corpus docs: the stream's map-only
+    // intersect must agree with batch qd13b's inverted-index verify
+    // count-for-count, not just flag-for-flag
+    val batch = queries.TextQueries.qd13b(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(batch.nonEmpty && batch.forall { case (id, v) =>
+      streamed.get(id).contains(v) },
+      "streaming cascade n_shared/flag diverge from batch qd13b")
+    // eval-slice docs (their grams ARE the filter's content) must flag
+    val evalIds = streamed.keys.filter(_ % 50 == 0).toSeq
+    assert(evalIds.nonEmpty && evalIds.forall(id => streamed(id)._2),
+      "an eval-slice doc was not flagged by the cascade")
+  }
+
   test("streaming embedding dedup: planted near-copies flagged across batches, replay-idempotent") {
     import spark.implicits._
     import graft.streaming.VectorStreaming
