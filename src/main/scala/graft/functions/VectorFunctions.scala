@@ -16,89 +16,19 @@ object VectorFunctions {
   /** Cast a float array to double element-wise (exact). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Resolution-time literal extraction for the constant arguments of
-    * the native-expression SQL builders (ADVICE r12): a non-foldable or
-    * null argument from ad-hoc SQL otherwise surfaces as a
-    * ClassCastException/NPE deep inside eval with no hint which
-    * argument was wrong. Foldable-only is the contract — these
-    * arguments are index state (centroids, codebooks, filter bytes)
-    * that must be one constant per query, never per row.
-    */
-  private def foldedArg(fn: String, pos: Int,
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
-    if (!e.foldable)
-      throw new IllegalArgumentException(
-        s"$fn: argument $pos must be a literal/foldable expression " +
-          s"(constant index state), got non-foldable ${e.sql}")
-    val v = e.eval()
-    if (v == null)
-      throw new IllegalArgumentException(s"$fn: argument $pos must not be null")
-    v
-  }
-
   /** Register the native expressions on a session (idempotent) — query
-    * builders call this so any session works.
+    * builders call this so any vanilla session works. Drives off the
+    * SAME registration table as [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` entry point), so the two registration
+    * paths can never drift; the foldable/non-null literal guards for
+    * constant index-state arguments (ADVICE r12) live in that table's
+    * builders.
     */
   def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => graft.functions.expr.DotProduct(exprs(0), exprs(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_centroid_dists",
-      exprs => graft.functions.expr.CentroidDistances(exprs(0),
-        foldedArg("graft_centroid_dists", 1, exprs(1))
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray(),
-        foldedArg("graft_centroid_dists", 2, exprs(2))
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toIntArray(),
-        foldedArg("graft_centroid_dists", 3, exprs(3))
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray(),
-        foldedArg("graft_centroid_dists", 4, exprs(4)).asInstanceOf[Int]),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_word_ngrams",
-      exprs => graft.functions.expr.WordNGrams(exprs(0), exprs(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => graft.functions.expr.MinHashAffine(exprs(0),
-        foldedArg("graft_minhash", 1, exprs(1)).asInstanceOf[Int],
-        foldedArg("graft_minhash", 2, exprs(2)).asInstanceOf[Long]),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => graft.functions.expr.SimHashBits(exprs(0)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_lsh_buckets",
-      exprs => graft.functions.expr.LshBandBuckets(exprs(0),
-        foldedArg("graft_lsh_buckets", 1, exprs(1)).asInstanceOf[Int],
-        foldedArg("graft_lsh_buckets", 2, exprs(2)).asInstanceOf[Int],
-        foldedArg("graft_lsh_buckets", 3, exprs(3)).asInstanceOf[Int],
-        foldedArg("graft_lsh_buckets", 4, exprs(4)).asInstanceOf[Long]),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_bloom_any",
-      exprs => graft.functions.expr.BloomAnyContain(exprs(0),
-        foldedArg("graft_bloom_any", 1, exprs(1)).asInstanceOf[Array[Byte]]),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_pq_encode",
-      exprs => graft.functions.expr.PqEncode(exprs(0),
-        foldedArg("graft_pq_encode", 1, exprs(1))
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray(),
-        foldedArg("graft_pq_encode", 2, exprs(2)).asInstanceOf[Int],
-        foldedArg("graft_pq_encode", 3, exprs(3)).asInstanceOf[Int]),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_cms_estimate",
-      exprs => graft.functions.expr.CmsEstimate(exprs(0),
-        foldedArg("graft_cms_estimate", 1, exprs(1)).asInstanceOf[Array[Byte]]),
-      "built-in")
+    graft.GraftExtensions.registrations.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Dot product via the native codegen expression

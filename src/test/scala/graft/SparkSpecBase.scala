@@ -15,6 +15,11 @@ object SparkSpecBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // build the suite session THROUGH the extension entry point, so
+      // every native-function use in the suite exercises the injected
+      // registrations (ExtensionsSpec additionally pins newSession()
+      // survival, which temp-function registration cannot provide)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(GraftConf.contextDefaults)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
