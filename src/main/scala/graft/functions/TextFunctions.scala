@@ -100,8 +100,19 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** 64-bit SimHash from exploded token hashes is assembled in
-    * TextQueries (needs a groupBy); this helper gives the per-token hash.
+  /** Per-token 60-bit hash for SimHash (qd7) — ENGINE-PORTABLE by
+    * construction (r13): the first 15 hex chars of md5 parsed as an
+    * integer. md5 is bit-identical in Spark and DuckDB (the qd11
+    * hash-sampling precedent), and 15 hex chars = 60 bits keeps the
+    * value positive in a signed 64-bit lane on both engines — so the
+    * whole SimHash fingerprint (bit-votes are integer and order-free)
+    * replicates in SQL and qd7 carries a full hash-match oracle.
+    * xxhash64 (the previous hash) is Spark-internal; the swap costs
+    * ~one md5 per token on a map-only projection and buys the oracle.
+    * Fingerprint bits 60–63 are structurally 0 (every token hash has
+    * them 0, so their votes are ≤ 0); the band blocking and Hamming
+    * verify semantics are unchanged.
     */
-  def tokenHash(token: Column): Column = xxhash64(token)
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long")
 }

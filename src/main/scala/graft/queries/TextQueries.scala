@@ -13,8 +13,9 @@ import graft.operators.Rounding.dround
   * n-gram Jaccard, language-ID, quality scoring, token stats,
   * fingerprinting).
   *
-  * Oracle coverage: qd1-qd5, qd8 and qd9 have exact DuckDB oracles.
-  * qd6/qd7 build on xxhash64 (Spark-specific) → no SQL oracle; they are
+  * Oracle coverage: qd1-qd5, qd7 (r13: portable md5 token hash +
+  * pigeonhole-exact banding), qd8 and qd9 have exact DuckDB oracles.
+  * qd6 builds on xxhash64 (Spark-specific) → no SQL oracle; it is
   * covered by ScalaTest invariants plus measured candidate-recall
   * floors against exact twins (RecallSpec → RECALL.json).
   */
@@ -1253,10 +1254,18 @@ object TextQueries {
       s.sparkContext.hadoopConfiguration, indexDir, sourcePath)
 
   // ---------------------------------------------------------------- qd7
-  /** SimHash fingerprint + banded Hamming near-dup count (no SQL oracle).
-    * Explode tokens → xxhash64 per token → per-bit signed vote sums →
-    * 64-bit fingerprint; near-dups via 4×16-bit band blocking, verified
-    * with bit_count(xor) ≤ 6.
+  /** SimHash fingerprint + banded Hamming near-dup count. Tokens →
+    * portable 60-bit md5 hash per token ([[tokenHash]], r13 — was
+    * xxhash64) → per-bit signed vote sums → fingerprint; near-dups via
+    * 8×8-bit band blocking (pigeonhole: ≤7 flipped bits cannot dirty
+    * all 8 bands, so candidate recall at the Hamming-6 verify radius
+    * is 1.0 BY CONSTRUCTION), verified with bit_count(xor) ≤ 6.
+    *
+    * FULL SQL oracle (r13): the portable hash + structural banding
+    * make the output equal to the exact all-pairs Hamming result, so
+    * the oracle skips the banding entirely and recomputes fingerprints
+    * + all-pairs verify — any banding bug that loses a pair (or an
+    * engine hash drift) is a hash mismatch, not a recall dip.
     */
   /** SimHash 64-bit fingerprints per doc — exposed for the recall
     * measurement's exact-twin (all-pairs Hamming) computation.
@@ -1325,6 +1334,47 @@ object TextQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
     fps.join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("n_near"))
       .select("doc_id", "simhash", "n_near")
+  }
+
+  /** qd7 oracle: fingerprints from the portable md5 token hash (60
+    * informative bits — fingerprint bits 60–63 are structurally 0, so
+    * the vote loop stops at 59), then the EXACT all-pairs Hamming ≤ 6
+    * count (equal to the banded path's output by the 8-band pigeonhole
+    * guarantee). Docs with no token rows keep fingerprint 0 via the
+    * documents left join, matching the empty-array vote.
+    */
+  private lazy val qd7Sql = {
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val fp = (0 until 60).map(j =>
+      s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |      FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |f AS (
+       |  SELECT d.doc_id, CAST(coalesce($fp, 0) AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id),
+       |near AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |counts AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+       |    SELECT doc_a AS doc_id FROM near
+       |    UNION ALL SELECT doc_b FROM near)
+       |  GROUP BY doc_id)
+       |SELECT f.doc_id, f.simhash,
+       |       coalesce(c.n_near, CAST(0 AS BIGINT)) AS n_near
+       |FROM f LEFT JOIN counts c ON f.doc_id = c.doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- qd22
@@ -3358,6 +3408,9 @@ object TextQueries {
     "qd3_lang_id" -> qd3Sql,
     "qd4_quality_score" -> qd4Sql,
     "qd5_fingerprint" -> qd5Sql,
+    // r13: portable md5 token hash + structural 8-band recall make the
+    // banded output equal to the exact all-pairs Hamming result
+    "qd7_simhash" -> qd7Sql,
     "qd8_ngram_jaccard" -> qd8Sql,
     "qd9_subword_tokens" -> qd9Sql,
     "qd10_corpus_prep" -> qd10Sql,
