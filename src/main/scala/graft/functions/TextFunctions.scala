@@ -49,16 +49,30 @@ object TextFunctions {
   def langScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** ENGINE-PORTABLE base hash into [0, 2³¹−1) for the MinHash chain
+    * (r13 — was `pmod(xxhash64, p)`): first 15 hex chars of md5 parsed
+    * as a 60-bit integer, reduced mod the Mersenne prime. md5 is
+    * bit-identical in Spark and DuckDB and the value stays positive in
+    * a signed 64-bit lane, so the SIGNATURES (and with them the band
+    * buckets and the exact candidate set) replicate in SQL — what
+    * upgrades qd6/qd6b from recall-graded to hash-matched. A second
+    * win: inputs < p make the affine maps overflow-free CLEAN field
+    * arithmetic (the xxhash64 form relied on Java wrap semantics).
+    */
+  private val MinhashP = 2147483647L
+  def shingleHash31(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP))
+
   /** MinHash signature (k permutations) over a shingle set: hash each
-    * shingle ONCE (xxhash64), then derive the k permutations as affine
-    * maps h_j = (a_j·h + b_j) mod p over the Mersenne prime p = 2³¹−1
-    * (a_j ≠ 0 ⇒ bijective on the field) — k× fewer string hashes than
-    * hashing per-permutation, the standard trick for corpus-scale
-    * minhashing. One whole-stage-codegen projection per row, no shuffle.
+    * shingle ONCE ([[shingleHash31]]), then derive the k permutations
+    * as affine maps h_j = (a_j·h + b_j) mod p over the Mersenne prime
+    * p = 2³¹−1 (a_j ≠ 0 ⇒ bijective on the field) — k× fewer string
+    * hashes than hashing per-permutation, the standard trick for
+    * corpus-scale minhashing. One whole-stage-codegen projection per
+    * row, no shuffle.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
-    val p = 2147483647L
-    val base = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val base = transform(shingles, s => shingleHash31(s))
     // native fused loop (graft.functions.expr.MinHashAffine): the HOF
     // form below runs k interpreted array passes per row and dominated
     // qd6 wall time at sf0.1 — output is bit-identical (property-tested)
@@ -71,11 +85,11 @@ object TextFunctions {
   def minhashSignatureHof(shingles: Column, k: Int): Column = {
     // Affine permutations over the Mersenne prime p=2³¹−1: products stay
     // below 2⁶², so ANSI-mode long arithmetic cannot overflow.
-    val p = 2147483647L
+    val p = MinhashP
     val rnd = new scala.util.Random(0x5EED)
     val params = Seq.fill(k)((1L + rnd.nextInt((p - 1).toInt).toLong,
       rnd.nextInt(p.toInt).toLong))
-    val base = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val base = transform(shingles, s => shingleHash31(s))
     // array_min([]) is NULL; the native expression emits p for an empty
     // shingle set — coalesce keeps the two forms bit-identical on ALL
     // inputs, not just non-empty ones (ADVICE r2).
@@ -87,13 +101,22 @@ object TextFunctions {
   }
 
   /** LSH band hashes from a minhash signature: bands of `rowsPerBand`
-    * adjacent components, each hashed to one bucket key. Docs sharing any
-    * band bucket are candidate near-duplicates.
+    * adjacent components, each folded to one bucket key with the
+    * portable polynomial combine h ← (h·A + x) mod p seeded with the
+    * band index (r13 — was xxhash64, Spark-internal): components are
+    * < p, so every partial product stays under 2⁶² and the SQL oracle
+    * computes the identical bucket. A fold collision (≈ p⁻¹ per
+    * pair-band) only ADDS a candidate, which the verify stage scores
+    * anyway — and the oracle replicates the fold, so even that
+    * candidate matches.
     */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1))): _*)): _*)
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val a = lit(1000000007L)
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(b.toLong): Column)((acc, r) =>
+        pmod(acc * a + element_at(sig, b * rowsPerBand + r + 1), lit(MinhashP)))
+    }: _*)
+  }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =

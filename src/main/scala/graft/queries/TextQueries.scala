@@ -13,11 +13,12 @@ import graft.operators.Rounding.dround
   * n-gram Jaccard, language-ID, quality scoring, token stats,
   * fingerprinting).
   *
-  * Oracle coverage: qd1-qd5, qd7 (r13: portable md5 token hash +
-  * pigeonhole-exact banding), qd8 and qd9 have exact DuckDB oracles.
-  * qd6 builds on xxhash64 (Spark-specific) → no SQL oracle; it is
-  * covered by ScalaTest invariants plus measured candidate-recall
-  * floors against exact twins (RecallSpec → RECALL.json).
+  * Oracle coverage: qd1-qd9 ALL carry exact DuckDB oracles as of r13 —
+  * qd6/qd6b/qd7 moved off xxhash64 onto the engine-portable md5-based
+  * hashes (TextFunctions.shingleHash31 / tokenHash), which makes the
+  * banded-LSH candidate generation itself SQL-replicable; the measured
+  * candidate-recall floors (RecallSpec → RECALL.json) stay as the
+  * approximation-quality artifact on top of the hash-match.
   */
 object TextQueries {
 
@@ -1118,6 +1119,99 @@ object TextQueries {
   def qd6CandidatePairs(s: SparkSession, dir: String): DataFrame =
     bandCollisionPairs(qd6Sig(s, dir))
 
+  /** qd6/qd6b oracle chain (r13): with the portable md5-based shingle
+    * hash ([[graft.functions.TextFunctions.shingleHash31]]) and the
+    * polynomial band fold, the ENTIRE banded-LSH algorithm — shingles
+    * → 64 affine-permutation minima (the (a,b) parameter stream is the
+    * same seeded generator, embedded as literals) → 16×4 band buckets
+    * → collision candidates — replicates in SQL, so both dedup twins
+    * hash-match a transparent-model oracle (candidates INCLUDED: a
+    * banding bug is a hash mismatch, not a recall dip). Ends at
+    * `cand` (doc_a < doc_b) over `gf` (docs with grams) / `sb`
+    * (signatures).
+    */
+  private lazy val minhashCtes: String = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(0x5EED)
+    val params = Seq.fill(64)((1L + rnd.nextInt((p - 1).toInt).toLong,
+      rnd.nextInt(p.toInt).toLong))
+    val sigExprs = params.map { case (a, b) =>
+      s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $p)), $p)"
+    }.mkString(",\n      ")
+    val bandExprs = (0 until 16).map { b =>
+      (0 until 4).foldLeft(s"CAST($b AS BIGINT)")((acc, r) =>
+        s"(($acc) * 1000000007 + sig[${b * 4 + r + 1}]) % $p")
+    }.mkString(",\n      ")
+    s"""WITH g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |             i -> array_to_string(toks[i:i+2], ' '))
+       |      ELSE [] END) AS grams
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)),
+       |gf AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+       |hsx AS (SELECT doc_id, grams,
+       |               list_transform(grams, s ->
+       |                 CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $p) AS hs
+       |        FROM gf),
+       |sg AS (SELECT doc_id, grams, [
+       |      $sigExprs
+       |    ] AS sig FROM hsx),
+       |sb AS (SELECT doc_id, grams, sig, [
+       |      $bandExprs
+       |    ] AS bands FROM sg),
+       |bl AS (SELECT doc_id, bi AS band_idx, bands[bi + 1] AS band_val
+       |       FROM sb, (SELECT unnest(range(0, 16)) AS bi) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bl a JOIN bl b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Shared per-doc counts tail over a scored candidate frame. */
+  private def minhashCountsSql(scoredCte: String): String =
+    s"""$scoredCte,
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |         CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_near_dups
+       |  FROM (SELECT doc_a AS doc_id, s FROM scored
+       |        UNION ALL SELECT doc_b, s FROM scored)
+       |  GROUP BY doc_id)
+       |SELECT gf.doc_id,
+       |       coalesce(p.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       |       coalesce(p.n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups
+       |FROM gf LEFT JOIN perdoc p ON gf.doc_id = p.doc_id""".stripMargin
+
+  /** qd6: candidates verified on EXACT gram Jaccard. */
+  private lazy val qd6Sql =
+    s"""$minhashCtes,
+       |${minhashCountsSql(
+      """scored AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_intersect(a.grams, b.grams))
+        |           / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+        |                  AS DOUBLE) AS s
+        |  FROM cand c
+        |  JOIN gf a ON c.doc_a = a.doc_id
+        |  JOIN gf b ON c.doc_b = b.doc_id)""".stripMargin)}""".stripMargin
+
+  /** qd6b: candidates verified on SIGNATURE-estimated Jaccard (the
+    * index-only probe never re-reads grams).
+    */
+  private lazy val qd6bSql =
+    s"""$minhashCtes,
+       |${minhashCountsSql(
+      """scored AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+        |              AS DOUBLE) / 64 AS s
+        |  FROM cand c
+        |  JOIN sb a ON c.doc_a = a.doc_id
+        |  JOIN sb b ON c.doc_b = b.doc_id)""".stripMargin)}""".stripMargin
+
   /** Shared candidate generator: band-collision pairs (doc_a < doc_b)
     * from any (doc_id, bands) frame — the fused path feeds it the
     * freshly-computed signatures, the index probe the persisted ones,
@@ -1196,7 +1290,7 @@ object TextQueries {
     * determinism + agreement with qd6's candidates asserted in tests.
     */
   def minhashIndexPath(dir: String): String =
-    graft.sources.HadoopFs.indexPath("minhash", dir, 3, 64, 16, 4)
+    graft.sources.HadoopFs.indexPath("minhash", dir, 3, 64, 16, 4, "md5p31")
 
   /** Write-once signature index shared by qd6 (fused verify, reads
     * grams) and qd6b (index-only probe, column-pruned to sig/bands —
@@ -3408,6 +3502,10 @@ object TextQueries {
     "qd3_lang_id" -> qd3Sql,
     "qd4_quality_score" -> qd4Sql,
     "qd5_fingerprint" -> qd5Sql,
+    // r13: portable md5 shingle hash + polynomial band fold — the whole
+    // banded-LSH algorithm replicates in SQL (candidates included)
+    "qd6_minhash_lsh" -> qd6Sql,
+    "qd6b_minhash_probe" -> qd6bSql,
     // r13: portable md5 token hash + structural 8-band recall make the
     // banded output equal to the exact all-pairs Hamming result
     "qd7_simhash" -> qd7Sql,
