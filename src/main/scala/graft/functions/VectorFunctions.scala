@@ -70,11 +70,13 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes` rows
     * of `dim` weights in [-0.5, 0.5), seeded — generated driver-side as
     * literals (tiny: planes×dim doubles), broadcast by constant folding.
+    * r13: the md5 closed form (LshBandBuckets.planeWeight) replaces the
+    * scala.util.Random stream so a SQL oracle can regenerate the exact
+    * matrix; the native expression reads the same formula.
     */
-  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
-  }
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    Seq.tabulate(planes)(p => Seq.tabulate(dim)(d =>
+      graft.functions.expr.LshBandBuckets.planeWeight(seed, p * dim + d)))
 
   /** Symmetric int8 quantization scale: max|x| / 127 — the 4×-smaller
     * storage layout for corpus-scale embedding stores.

@@ -29,11 +29,14 @@ case class LshBandBuckets(child: Expression, bands: Int, r: Int, dim: Int,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_lsh_buckets"
 
-  // identical plane stream to VectorFunctions.hyperplanes(bands*r, dim, seed)
-  @transient private lazy val planes: Array[Double] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bands * r * dim)(rnd.nextDouble() - 0.5)
-  }
+  // identical plane stream to VectorFunctions.hyperplanes(bands*r, dim,
+  // seed) — since r13 the md5 closed form (LshBandBuckets.planeWeight),
+  // which is ENGINE-PORTABLE: a SQL oracle regenerates the exact same
+  // matrix from (seed, flat index), which is what lets qe2/qe4b carry
+  // full hash-match oracles (a scala.util.Random stream cannot be
+  // replayed in SQL)
+  @transient private lazy val planes: Array[Double] =
+    Array.tabulate(bands * r * dim)(m => LshBandBuckets.planeWeight(seed, m))
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -93,4 +96,26 @@ case class LshBandBuckets(child: Expression, bands: Int, r: Int, dim: Int,
 
   override protected def withNewChildInternal(newChild: Expression): LshBandBuckets =
     copy(child = newChild)
+}
+
+object LshBandBuckets {
+
+  /** Plane weight for flat index `m` (row-major [plane][dim]): the
+    * first 60 bits of md5("seed:m") scaled into [-0.5, 0.5). The exact
+    * SQL equivalent is
+    * `CAST('0x' || substr(md5(seed || ':' || m), 1, 15) AS BIGINT)
+    *  / 1152921504606846976.0 - 0.5`
+    * — first 8 digest bytes big-endian shifted right 4 ≡ first 15 hex
+    * chars, and both the long→double conversion and the division by
+    * 2⁶⁰ round identically under IEEE 754, so the matrices are
+    * bit-equal across engines.
+    */
+  def planeWeight(seed: Long, m: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = md.digest(s"$seed:$m".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dg(i) & 0xFFL); i += 1 }
+    (h >>> 4).toDouble / 1.152921504606846976e18 - 0.5
+  }
 }

@@ -182,6 +182,80 @@ object VectorQueries {
 
   private val qe4Sql = qe4SqlAt("0.4")
 
+  /** Banded sign-LSH CTE chain (r13): the hyperplane matrix is
+    * regenerated in SQL from the md5 closed form
+    * ([[graft.functions.expr.LshBandBuckets.planeWeight]]), dots run
+    * through SEQUENTIAL `list_dot_product` against d-ordered plane
+    * lists (bit-equal to the native expression's inner loop), and band
+    * buckets assemble as disjoint bit sums — so the CANDIDATE SET is
+    * SQL-replicable and qe2/qe4b hash-match transparent-model oracles.
+    * Ends at `vb` = (vec_id, band, bucket).
+    */
+  private def lshCtes(bands: Int, r: Int, seed: Long = 42L): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM e),
+       |pl AS (
+       |  SELECT m // 64 AS pid, m % 64 AS d,
+       |         CAST('0x' || substr(md5('$seed:' || m), 1, 15) AS BIGINT)
+       |           / 1152921504606846976.0 - 0.5 AS w
+       |  FROM (SELECT unnest(range(0, ${bands * r * 64})) AS m)),
+       |pw AS (SELECT pid, list(w ORDER BY d) AS warr FROM pl GROUP BY pid),
+       |sgn AS (
+       |  SELECT n.vec_id, CAST(p.pid // $r AS INT) AS band,
+       |         CASE WHEN list_dot_product(n.vec, p.warr) > 0
+       |           THEN CAST(1 AS INT) << CAST(p.pid % $r AS INT) ELSE 0 END AS bit
+       |  FROM n, pw p),
+       |vb AS (SELECT vec_id, band, CAST(sum(bit) AS INT) AS bucket
+       |       FROM sgn GROUP BY vec_id, band)""".stripMargin
+
+  /** qe2 oracle: LSH chain at the ANN banding, query-side postings,
+    * exact 6dp-cosine rerank of candidates.
+    */
+  private lazy val qe2Sql =
+    s"""${lshCtes(ANN_BANDS, ANN_RBITS)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM vb q JOIN vb c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $NQUERIES AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY cand.query_id ORDER BY
+       |           round(list_dot_product(q.vec, d.vec) / (q.nrm * d.nrm), 6) DESC,
+       |           cand.vec_id) AS INT) AS rnk
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n d ON d.vec_id = cand.vec_id)
+       |WHERE rnk <= $K""".stripMargin
+
+  /** qe4b oracle: LSH chain at the dedup banding, qe4's aggregation
+    * over the banded-then-verified pairs.
+    */
+  private lazy val qe4bSql =
+    s"""${lshCtes(BANDS, RBITS)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM vb a JOIN vb b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT ida, idb,
+       |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = ida JOIN n b ON b.vec_id = idb
+       |  WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4),
+       |directed AS (SELECT ida, idb, cos FROM scored
+       |             UNION ALL SELECT idb, ida, cos FROM scored),
+       |near AS (
+       |  SELECT ida, count(*) AS n_near, max(cos) AS max_cos,
+       |         max(CASE WHEN idb < ida THEN 1 ELSE 0 END) AS smaller
+       |  FROM directed GROUP BY ida)
+       |SELECT e.vec_id,
+       |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+       |  near.max_cos,
+       |  coalesce(near.smaller = 0, true) AS keep
+       |FROM e LEFT JOIN near ON e.vec_id = near.ida""".stripMargin
+
   private def qe4SqlAt(t: String) =
     s"""WITH e AS (
        |  SELECT vec_id,
@@ -3188,11 +3262,14 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "qe1_cosine_topk" -> qe1Sql,
+    // r13: md5 closed-form hyperplanes make the banding SQL-replicable
+    // — qe2/qe4b hash-match transparent-model oracles (candidates
+    // included); the RecallSpec floors vs the exact twins stay as the
+    // approximation-quality artifact on top
+    "qe2_ann_lsh" -> qe2Sql,
     "qe3_knn_label" -> qe3Sql,
     "qe4_embedding_dedup" -> qe4Sql,
-    // qe4b omitted (ADVICE r2): it is approximate by design — recall is
-    // floored in RecallSpec/RECALL.json against the exact twin instead
-    // of hash-matched, so a tail miss reads as a recall regression.
+    "qe4b_embedding_dedup_lsh" -> qe4bSql,
     // qe4c: at t=0.8 the exact twin IS a safe oracle — no pair in this
     // corpus is within 0.2 of the threshold (max cos 0.60), so the
     // agreement checked is the no-dup contract, with planted-duplicate
