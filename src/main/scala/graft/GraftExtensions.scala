@@ -58,25 +58,25 @@ object GraftExtensions {
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(),
           litArg("graft_centroid_dists", 3, exprs)
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
-          litArg("graft_centroid_dists", 4, exprs).asInstanceOf[Int])),
+          litInt("graft_centroid_dists", 4, exprs))),
       ("graft_word_ngrams",
         "_FUNC_(tokens, n) - space-joined word n-grams",
         exprs => graft.functions.expr.WordNGrams(exprs(0), exprs(1))),
       ("graft_minhash",
-        "_FUNC_(grams, k, seed) - k-component affine MinHash signature",
+        "_FUNC_(gram_hashes, k, seed) - k-component affine MinHash signature over PRE-HASHED int64 grams (ARRAY<BIGINT>; base hash = first 60 bits of md5(gram) mod 2305843009213693951 - see TextFunctions.shingleHash31)",
         exprs => graft.functions.expr.MinHashAffine(exprs(0),
-          litArg("graft_minhash", 1, exprs).asInstanceOf[Int],
-          litArg("graft_minhash", 2, exprs).asInstanceOf[Long])),
+          litInt("graft_minhash", 1, exprs),
+          litLong("graft_minhash", 2, exprs))),
       ("graft_simhash",
-        "_FUNC_(tokens) - 64-bit SimHash fingerprint",
+        "_FUNC_(token_hashes) - 64-bit SimHash fingerprint over PRE-HASHED int64 tokens (ARRAY<BIGINT>; base hash = first 60 bits of md5(token) - see TextFunctions.tokenHash)",
         exprs => graft.functions.expr.SimHashBits(exprs(0))),
       ("graft_lsh_buckets",
         "_FUNC_(vec, bands, r, dim, seed) - banded sign-LSH bucket ids",
         exprs => graft.functions.expr.LshBandBuckets(exprs(0),
-          litArg("graft_lsh_buckets", 1, exprs).asInstanceOf[Int],
-          litArg("graft_lsh_buckets", 2, exprs).asInstanceOf[Int],
-          litArg("graft_lsh_buckets", 3, exprs).asInstanceOf[Int],
-          litArg("graft_lsh_buckets", 4, exprs).asInstanceOf[Long])),
+          litInt("graft_lsh_buckets", 1, exprs),
+          litInt("graft_lsh_buckets", 2, exprs),
+          litInt("graft_lsh_buckets", 3, exprs),
+          litLong("graft_lsh_buckets", 4, exprs))),
       ("graft_bloom_any",
         "_FUNC_(grams, filter_bytes) - true when any gram is (probably) in the Bloom filter",
         exprs => graft.functions.expr.BloomAnyContain(exprs(0),
@@ -86,8 +86,8 @@ object GraftExtensions {
         exprs => graft.functions.expr.PqEncode(exprs(0),
           litArg("graft_pq_encode", 1, exprs)
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
-          litArg("graft_pq_encode", 2, exprs).asInstanceOf[Int],
-          litArg("graft_pq_encode", 3, exprs).asInstanceOf[Int])),
+          litInt("graft_pq_encode", 2, exprs),
+          litInt("graft_pq_encode", 3, exprs))),
       ("graft_cms_estimate",
         "_FUNC_(key, sketch_bytes) - Count-Min upper-bound frequency estimate",
         exprs => graft.functions.expr.CmsEstimate(exprs(0),
@@ -108,4 +108,26 @@ object GraftExtensions {
       throw new IllegalArgumentException(s"$fn: argument $pos must not be null")
     v
   }
+
+  /** Integral-literal coercion (ADVICE r13): a pure-SQL caller writes
+    * the natural `graft_minhash(h, 64, 42)` — an INT literal where the
+    * expression takes a Long (or BIGINT where it takes an Int). A raw
+    * asInstanceOf would throw ClassCastException instead of either
+    * working or the friendly litArg contract error, so coerce any
+    * integral Number; anything else (string, decimal, interval) still
+    * fails with the argument position named.
+    */
+  private def litLong(fn: String, pos: Int, exprs: Seq[Expression]): Long =
+    litArg(fn, pos, exprs) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an integral literal, got $other")
+    }
+
+  private def litInt(fn: String, pos: Int, exprs: Seq[Expression]): Int =
+    litArg(fn, pos, exprs) match {
+      case n: java.lang.Number if n.longValue().isValidInt => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an INT-range integral literal, got $other")
+    }
 }

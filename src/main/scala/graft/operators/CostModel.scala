@@ -49,23 +49,45 @@ object CostModel {
     case ShortType => 2
     case BooleanType | ByteType => 1
     case _: DecimalType => 16
-    case _ => 0 // strings/arrays measured or overhead-bucketed below
+    case _ => 0 // variable-width: measured below, never silently zero
+  }
+
+  /** Per-row byte measurement for a variable-width column, or None for
+    * fixed-width types (priced by [[fixedWidth]]). ADVICE/VERDICT r13:
+    * the old pass measured ONLY strings and silently scored
+    * array/map/struct/binary as zero bytes — a dim carrying a 64-double
+    * embedding column read as ~40 bytes/row and would be confidently
+    * broadcast, inverting the class doc's own "undersized OOMs" safety
+    * argument. Arrays of fixed-width elements are priced exactly
+    * (avg element count × element width); everything else nested goes
+    * through `length(to_json(…))` — JSON text over-counts numerics
+    * relative to their in-memory width, which errs on the conservative
+    * (shuffle) side, and a type to_json cannot serialize fails the
+    * ANALYZE loudly instead of pricing the relation at zero.
+    */
+  private def varMeasure(f: StructField): Option[Column] = f.dataType match {
+    case StringType | BinaryType => Some(avg(length(col(f.name))))
+    case ArrayType(et, _) if fixedWidth(et) > 0 =>
+      Some(avg(size(col(f.name))).cast("double") * lit(fixedWidth(et).toDouble))
+    case _: ArrayType | _: MapType | _: StructType =>
+      Some(avg(length(to_json(col(f.name)))))
+    case _ => None
   }
 
   /** One-pass ANALYZE of a frame: exact row count + byte estimate. */
   def analyze(df: DataFrame): TableStats = {
-    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val varCols = df.schema.fields.flatMap(f => varMeasure(f).map((f.name, _))).toSeq
     val aggs = count(lit(1)).cast("long").as("n") +:
-      strCols.map(c => avg(length(col(c))).as(s"len_$c"))
+      varCols.map { case (c, m) => m.as(s"len_$c") }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getLong(0)
     val fixed = df.schema.fields.map(f => fixedWidth(f.dataType)).sum
-    // string payload + per-string object overhead; null avg (empty
-    // table / all-null column) contributes only the overhead
-    val strBytes = strCols.indices.map { i =>
+    // variable-width payload + per-value object overhead; null avg
+    // (empty table / all-null column) contributes only the overhead
+    val varBytes = varCols.indices.map { i =>
       (if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)) + 24.0
     }.sum
-    val perRow = fixed + strBytes + 16.0 // row object overhead
+    val perRow = fixed + varBytes + 16.0 // row object overhead
     TableStats(n, math.ceil(n * perRow).toLong)
   }
 
@@ -80,4 +102,13 @@ object CostModel {
       budgetBytes: Long = DefaultBroadcastBudget): DataFrame =
     if (stats.bytes <= budgetBytes) fact.join(broadcast(dim), joinExpr)
     else fact.join(dim.hint("merge"), joinExpr)
+
+  /** Using-columns / outer-join variant (the CxC master assembly's
+    * left-join-on-shared-key shape, VERDICT r13 item 5) — same pinned
+    * decision as the expression form.
+    */
+  def dimJoin(fact: DataFrame, dim: DataFrame, usingColumns: Seq[String],
+      joinType: String, stats: TableStats, budgetBytes: Long): DataFrame =
+    if (stats.bytes <= budgetBytes) fact.join(broadcast(dim), usingColumns, joinType)
+    else fact.join(dim.hint("merge"), usingColumns, joinType)
 }

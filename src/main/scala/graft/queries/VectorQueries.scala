@@ -1750,17 +1750,39 @@ object VectorQueries {
     */
   private def gateCandsWithCents(e: DataFrame,
       cents: Array[(Int, Seq[Double])], probes: Int): DataFrame = {
+    // r14 (VERDICT r13 item 3): the candidate join runs on bare ids —
+    // no embedding ever rides the explode or the cid shuffle — and each
+    // UNORDERED pair is cosine-scored exactly once, then mirrored into
+    // whichever directions survived the gate. At P ≫ 1 both directions
+    // almost always survive (every vector probes its own home cell), so
+    // the old directed frame scored nearly every cosine twice. dot() is
+    // an index-ordered fold of commutative products, so cos(a,b) is
+    // bit-equal to cos(b,a): the directed output rows — and the DuckDB
+    // oracle hashes over them — are unchanged by construction.
     val cands = centroidCands(cents)
     val home = e.withColumn("cid", array_min(cands).getField("cid"))
-      .select(col("cid"), col("vec_id").as("idb"), col("label").as("lb"),
-        col("vec").as("vb"), col("nrm").as("nb"))
+      .select(col("cid"), col("vec_id").as("idb"))
     val probed = e.withColumn("pc", explode(slice(array_sort(cands), 1, probes)))
-      .select(col("pc").getField("cid").as("cid"), col("vec_id").as("ida"),
-        col("label").as("la"), col("vec").as("va"), col("nrm").as("na"))
-    probed.join(home, Seq("cid"))
+      .select(col("pc").getField("cid").as("cid"), col("vec_id").as("ida"))
+    val pairs = probed.join(home, Seq("cid"))
       .filter(col("ida") =!= col("idb"))
-      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      .select("ida", "la", "idb", "lb", "cos")
+      .select(least(col("ida"), col("idb")).as("lo"),
+        greatest(col("ida"), col("idb")).as("hi"),
+        (col("ida") < col("idb")).as("fwd"))
+      .groupBy("lo", "hi")
+      .agg(max(col("fwd")).as("has_fwd"), max(!col("fwd")).as("has_rev"))
+    def side(as: String) = e.select(col("vec_id").as(as),
+      col("label").as(s"l_$as"), col("vec").as(s"v_$as"), col("nrm").as(s"n_$as"))
+    val scored = pairs
+      .join(side("lo"), Seq("lo")).join(side("hi"), Seq("hi"))
+      .withColumn("cos",
+        dround(cosine(col("v_lo"), col("v_hi"), col("n_lo"), col("n_hi")), 6))
+    scored.filter(col("has_fwd"))
+      .select(col("lo").as("ida"), col("l_lo").as("la"),
+        col("hi").as("idb"), col("l_hi").as("lb"), col("cos"))
+      .unionByName(scored.filter(col("has_rev"))
+        .select(col("hi").as("ida"), col("l_hi").as("la"),
+          col("lo").as("idb"), col("l_lo").as("lb"), col("cos")))
   }
 
   /** Probe-budget / recall trade for the gated trio (VERDICT r12 item

@@ -13,6 +13,7 @@ object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

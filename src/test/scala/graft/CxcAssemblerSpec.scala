@@ -34,6 +34,25 @@ class CxcAssemblerSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("assemble flips an over-budget dim to a merge join, left semantics intact (VERDICT r13 item 5)") {
+    // same fixture, 1-byte budget: every measured dim overflows, so the
+    // stats-driven guard must take the explicit merge arm — and the
+    // left-join semantics (orphan fact survives with null name) must be
+    // identical to the broadcast arm
+    val dims = CxcAssembler.dimFixture(spark)
+    val master = CxcAssembler.assemble(factFixture, Seq(
+      CxcAssembler.Dim(dims("clientes"), "CLIENTE_ID", Map("NOMBRE" -> "NOMBRE_CLIENTE"))),
+      budgetBytes = 1L)
+    master.collect()
+    val plan = master.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"over-budget dim must not broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected the merge arm:\n$plan")
+    assert(master.count() == 4)
+    assert(master.filter(col("CLIENTE_ID") === 9L && col("NOMBRE_CLIENTE").isNull).count() == 1)
+  }
+
   test("CARGOS/ABONOS conditional projection matches naturaleza") {
     val dims = CxcAssembler.dimFixture(spark)
     val master = CxcAssembler.assembleMaster(factFixture,

@@ -24,6 +24,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ng == Seq("a b", "b c"), s"graft_word_ngrams returned $ng")
   }
 
+  test("integral literals coerce across INT/BIGINT (ADVICE r13: the natural SQL spelling works)") {
+    val s2 = spark.newSession()
+    // k as INT literal where the expression takes Int, seed as INT
+    // literal where it takes Long — the natural spelling a SQL user
+    // writes; pre-r14 this threw ClassCastException from asInstanceOf
+    val mh = s2.sql(
+      "SELECT graft_minhash(array(7L, 11L), 4, 42) AS sig").head().getSeq[Long](0)
+    assert(mh.length == 4, s"graft_minhash with bare INT k/seed returned $mh")
+    // and the reverse: BIGINT literals where Int params are expected
+    val mh2 = s2.sql(
+      "SELECT graft_minhash(array(7L, 11L), 4L, 42L) AS sig").head().getSeq[Long](0)
+    assert(mh2 == mh, "BIGINT-literal spelling must produce the identical signature")
+    // non-integral literal still fails with the argument position named
+    val err = intercept[Exception] {
+      s2.sql("SELECT graft_minhash(array(7L), 'four', 42)").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).map(_.getMessage).filter(_ != null)
+      .exists(m => m.contains("argument 1") && m.contains("integral")),
+      s"expected the integral-literal error, got: $err")
+  }
+
   test("injected builders keep the literal-argument guard") {
     val s2 = spark.newSession()
     val err = intercept[Exception] {

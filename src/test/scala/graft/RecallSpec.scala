@@ -264,7 +264,7 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi").count()
       record("qe20_ivf_pq", sf, hit.toDouble / n,
-        "qe1 exact top-5, 4/16 probed lists x PQ-ADC shortlist 50 + exact rerank")
+        "qe1 exact top-5, 4/16 probed lists x PQ-ADC shortlist 100 (2x PqShort) + exact rerank")
     }
 
     test(s"qe7 truncated-prefix rerank recall@5 vs full-dim top-k [${sf.label}]") {
