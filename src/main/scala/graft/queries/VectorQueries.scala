@@ -1692,7 +1692,7 @@ object VectorQueries {
   // clears the r11 floor levels (0.60/0.50/0.50) on ALL three twins
   // while keeping the scanned fraction P/√n — at n=10⁹ that is 0.05%
   // of the corpus, the same complexity class as P=8.
-  private val GateProbes = 16
+  private[graft] val GateProbes = 16
   private val GateFitIters = 3
   private val GateFitPerCell = 64
 
@@ -1715,6 +1715,44 @@ object VectorQueries {
   def gateIndexPath(dir: String): String =
     graft.sources.HadoopFs.indexPath(
       "gate", dir, GateProbes, GateFitIters, GateFitPerCell, "sqrtK")
+
+  /** One measured sweep row: (probes, cand_rows, recall15, recall22,
+    * agree25) — the units tools/GateSweep prints and RecallSpec floors.
+    */
+  type SweepRow = (Int, Long, Double, Double, Double)
+
+  /** Persisted probe→recall curve alongside the gate index (VERDICT r13
+    * item 8): tools/GateSweep writes the measured table here, so every
+    * future sizing decision — and RecallSpec's gated-trio floors — can
+    * READ the recorded measurement for this corpus instead of
+    * re-deriving it. Lives inside the parameter-fingerprinted index dir:
+    * a GateProbes/fit change moves the path, so a stale curve can never
+    * be paired with a differently-parameterized gate.
+    */
+  def gateSweepPath(dir: String): String = s"${gateIndexPath(dir)}/_sweep.json"
+
+  def writeGateSweep(dir: String, rows: Seq[SweepRow]): Unit = {
+    val f = new java.io.File(gateSweepPath(dir))
+    f.getParentFile.mkdirs()
+    val json = rows.map { case (p, n, r15, r22, r25) =>
+      s"""{"probes":$p,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+  }
+
+  def readGateSweep(dir: String): Option[Seq[SweepRow]] = {
+    val f = new java.io.File(gateSweepPath(dir))
+    if (!f.exists()) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val row = ("""\{"probes":(\d+),"cand_rows":(\d+),"recall15":([0-9.]+),""" +
+        """"recall22":([0-9.]+),"agree25":([0-9.]+)\}""").r
+      val rows = row.findAllMatchIn(txt).map(m =>
+        (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
+          m.group(4).toDouble, m.group(5).toDouble)).toSeq
+      if (rows.isEmpty) None else Some(rows)
+    }
+  }
 
   /** Directed, labeled, cosine-scored candidate frame shared by the
     * three gated twins: (ida, la, idb, lb, cos) where idb's home cell

@@ -29,7 +29,11 @@ object GateSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftConf.bootstrap(spark)
-    val budgets = Seq(8, 12, 16, 24)
+    // r14: the decay study at the 10× corpus (n=20k, K=142) needs
+    // budgets past the sf0.1 knee — override via SPARK_GRAFT_BUDGETS
+    val budgets = sys.env.get("SPARK_GRAFT_BUDGETS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(8, 12, 16, 24))
     for (dir <- dirs) {
       println(s"== gate probe sweep @ $dir (K = ceil(sqrt(n)), budgets ${budgets.mkString("/")}) ==")
       val t0 = System.nanoTime()
@@ -40,6 +44,11 @@ object GateSweep {
         println(f"${r.getInt(0)}%8d ${r.getLong(1)}%10d ${r.getDouble(2)}%9.4f ${r.getDouble(3)}%9.4f ${r.getDouble(4)}%9.4f")
       }
       println(f"sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // persist the measured curve alongside the gate index (VERDICT
+      // r13 item 8): RecallSpec and future sizing read this state
+      graft.queries.VectorQueries.writeGateSweep(dir, rows.toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      println(s"sweep persisted: ${graft.queries.VectorQueries.gateSweepPath(dir)}")
     }
     spark.stop()
   }

@@ -98,13 +98,31 @@ object Sf1Skew {
       println(s"[sf1] built $OutDir")
     }
 
-    val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // r14 (VERDICT r13 item 6): the text-family smoke. The documents
+    // fan-out KEEPS text verbatim across all 10 copies, so this corpus
+    // is maximally duplication-heavy — every doc is a 10-way exact-dup
+    // cluster and every gram's df is 10× its sf0.1 value, which is
+    // precisely the boilerplate regime that stresses qd34's uncapped
+    // gram inverted index (df d contributes d² pairs) and qd36/qd39's
+    // within-block quadratics. SPARK_GRAFT_SUITE=text selects it.
+    val textQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "qd34_containment" -> (graft.queries.TextQueries.qd34 _),
+      "qd36_fuzzy_dedup" -> (graft.queries.TextQueries.qd36 _),
+      "qd39_fuzzy_clusters" -> (graft.queries.TextQueries.qd39 _),
+      "qd46_dedup_survivorship" -> (graft.queries.TextQueries.qd46 _),
+      "qd13b_decontam_bloom" -> (graft.queries.TextQueries.qd13b _))
+    val skewQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q38_basket_rules" -> (graft.queries.CoreQueries.q38 _),
       "q42_skew_report" -> (graft.queries.CoreQueries.q42 _),
       "q43_copurchase_pagerank" -> (graft.queries.CoreQueries.q43 _),
       "q44_triangle_count" -> (graft.queries.CoreQueries.q44 _),
       "q45_lpa_communities" -> (graft.queries.CoreQueries.q45 _),
       "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _))
+    val qs = sys.env.get("SPARK_GRAFT_SUITE") match {
+      case Some("text") => textQs
+      case Some("all") => skewQs ++ textQs
+      case _ => skewQs
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     for ((name, fn) <- qs) {
       var best = Double.MaxValue

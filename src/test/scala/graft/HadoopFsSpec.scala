@@ -54,4 +54,19 @@ class HadoopFsSpec extends AnyFunSuite {
     touch(idx.resolve("_SUCCESS"), base + 1)
     assert(!sources.HadoopFs.indexStale(conf, idx.toString, src.toString))
   }
+
+  test("gate sweep curve round-trips through _sweep.json in the fingerprinted index dir") {
+    // VERDICT r13 item 8: the measured probes→recall table persists
+    // alongside the index it sizes; the path is a pure function of the
+    // data dir + gate parameters, so a parameter change orphans the
+    // old curve instead of serving it
+    val dir = tmpDir().toString
+    val rows: Seq[graft.queries.VectorQueries.SweepRow] = Seq(
+      (8, 713000L, 0.57, 0.41, 0.45), (16, 1430000L, 0.7782, 0.7146, 0.65))
+    assert(graft.queries.VectorQueries.readGateSweep(dir).isEmpty)
+    graft.queries.VectorQueries.writeGateSweep(dir, rows)
+    assert(graft.queries.VectorQueries.gateSweepPath(dir)
+      .startsWith(graft.queries.VectorQueries.gateIndexPath(dir)))
+    assert(graft.queries.VectorQueries.readGateSweep(dir).contains(rows))
+  }
 }
