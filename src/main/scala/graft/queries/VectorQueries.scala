@@ -1692,6 +1692,28 @@ object VectorQueries {
   // clears the r11 floor levels (0.60/0.50/0.50) on ALL three twins
   // while keeping the scanned fraction P/√n — at n=10⁹ that is 0.05%
   // of the corpus, the same complexity class as P=8.
+  //
+  // r14 DESIGN ENVELOPE (VERDICT r13 item 1 / What's-wrong #3 — the
+  // sweep at the 10× corpus, n=20,000, K=142, gates/r14): the feared
+  // recall-vs-n decay at fixed P did NOT materialize — P=16 reads
+  // 0.867/0.806/0.775 at n=20k, ABOVE the n=2k 0.778/0.715/0.650 —
+  // because K=⌈√n⌉ refines the quantizer as n grows and the finer
+  // cells recover what the shrinking P/K probe fraction gives up.
+  // What DOES degrade on this near-uniform 64-dim corpus is the COST
+  // model: measured candidate volume at n=20k is 215M directed rows
+  // (53% of all pairs, 4.8× the balanced-cell P·n/K prediction; at
+  // n=2k the same model was within 2%). High-dimensional near-random
+  // vectors concentrate distances, so a K=142 Lloyd fit yields skewed
+  // cell masses and every query probes the same heavy central cells —
+  // uniformity taxes the SCAN, not the recall. Real embedding corpora
+  // are clustered (that is what an embedding model is FOR); there the
+  // cells track cluster structure and candidate volume stays near
+  // P·n/K. The operating contract at scale is therefore: size by
+  // K=⌈√n⌉, keep P=16, and READ the persisted measurement
+  // ([[gateSweepPath]], written by tools/GateSweep next to the index)
+  // before trusting either number on a new corpus — the sweep is
+  // cheap relative to one production run and the curve is corpus-
+  // specific state, not a universal constant.
   private[graft] val GateProbes = 16
   private val GateFitIters = 3
   private val GateFitPerCell = 64

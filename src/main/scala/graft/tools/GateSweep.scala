@@ -19,10 +19,17 @@ object GateSweep {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // r14: the 10× decay study (n=20k) sorts ~200M-row exact-pairs
+    // frames — at local[32]×32 partitions each sort task buffers more
+    // than its heap share. Fewer concurrent tasks + more (smaller)
+    // shuffle partitions keep the same wall-clock shape inside memory;
+    // both knobs default to the production values.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.GraftConf.contextDefaults)

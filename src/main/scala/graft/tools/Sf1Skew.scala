@@ -33,9 +33,16 @@ object Sf1Skew {
   private val SrcDir = "/root/testdata/sf0.1"
   private val OutDir = s"${sys.props("java.io.tmpdir")}/graft_sf1_skew"
 
-  /** `Copies` rows per source row, `_c` ∈ [0, Copies). */
+  /** `Copies` rows per source row, `_c` ∈ [0, Copies). Repartitioned:
+    * the sf0.1 source tables are single parquet files, so a bare
+    * fan-out writes ONE file and every downstream non-shuffle stage of
+    * the smoke (all-pairs generation, explodes, map-side scans) runs
+    * single-task — the r14 20k gate sweep burned an hour on one core
+    * before this. 32 output files ≡ the local[32] task width.
+    */
   private def fanOut(df: DataFrame): DataFrame =
     df.withColumn("_c", explode(lit((0 until Copies).toArray)))
+      .repartition(32)
 
   /** Deterministic uniform[-0.5, 0.5) double from any key columns —
     * the embedding component family observed at sf0.1.
