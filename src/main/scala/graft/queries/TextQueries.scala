@@ -2448,8 +2448,28 @@ object TextQueries {
     * with the lossless size bound nb ≥ t·na (shared ≤ min(na,nb), so
     * C ≥ t forces it) pruning pair-rows before the aggregation — the
     * PPJoin discipline in its asymmetric form. Full DuckDB oracle.
+    *
+    * r14 df-cap (VERDICT r13 item 6): a gram with document frequency d
+    * contributes d² pair-rows, so one boilerplate gram in a real
+    * (duplication-heavy) corpus makes the join super-linear — measured
+    * 25× wall at the 10×-duplicated smoke corpus, where the 22,492
+    * grams with df > 64 carried 96% of the 279M-row pair volume
+    * (BENCH_NOTES r14). Containment is therefore computed over the
+    * INFORMATIVE vocabulary: grams with df > [[ContainmentDfCap]] are
+    * stop-grams, excluded from BOTH the shared count and the
+    * denominator (the qd31 stop-term discipline at the gram level).
+    * Semantics note: a gram shared by more than 64 documents is
+    * corpus vocabulary, not pairwise-copy evidence — but a pair whose
+    * ONLY overlap is such boilerplate is no longer reported, the
+    * deliberate trade. A doc whose every gram is capped leaves the
+    * census (denominator 0). The cap is df-deterministic and
+    * replicated in the oracle SQL; at every tested sf the max gram df
+    * (7 / 25) sits under the cap, so tested outputs are bit-identical
+    * to the uncapped form, and CorpusOpsSpec plants a boilerplate
+    * corpus that exercises the cap explicitly.
     */
   private val ContainmentThreshold = 0.5
+  private[graft] val ContainmentDfCap = 64
 
   def qd34(s: SparkSession, dir: String): DataFrame =
     containmentFrom(docs(s, dir))
@@ -2461,8 +2481,16 @@ object TextQueries {
     val g = d
       .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
       .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
-    val inv = g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    // df-cap stage (see qd34 scaladoc): stop-grams out of the index AND
+    // the denominator; df and the pair join share the gram key, so the
+    // cap costs one extra aggregate on an exchange the plan already has
+    val kept = g.join(
+      g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainmentDfCap).select("gram"),
+      Seq("gram"))
+    val inv = kept.withColumn("ng",
+      count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
     val a = inv.select(col("gram"), col("doc_id").as("doc_a"), col("ng").as("na"))
     val b = inv.select(col("gram"), col("doc_id").as("doc_b"), col("ng").as("nb"))
     a.join(b, Seq("gram"))
@@ -2489,9 +2517,13 @@ object TextQueries {
        |      ELSE [] END) AS grams
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |        FROM documents)),
-       |inv AS (
-       |  SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram
+       |inv0 AS (
+       |  SELECT doc_id, unnest(grams) AS gram
        |  FROM g WHERE len(grams) > 0),
+       |df AS (SELECT gram, count(*) AS df FROM inv0 GROUP BY gram),
+       |inv AS (
+       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM inv0 JOIN df USING (gram) WHERE df <= $ContainmentDfCap),
        |pair AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(a.ng AS INT) AS na,

@@ -295,6 +295,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     real.unpersist()
   }
 
+  test("qd34 df-cap: boilerplate grams neither explode pairs nor carry containment") {
+    import SparkSpecBase.spark.implicits._
+    // 70 docs share one boilerplate sentence (every gram df=70 > cap 64)
+    // but are otherwise disjoint; one genuine excerpt pair rides along.
+    // Uncapped, the boilerplate alone yields 70*69 pair rows ALL scored
+    // >= 0.5 in the short docs' direction; capped, only the planted
+    // excerpt survives — and its denominator counts informative grams.
+    val boiler = "terms of service apply to all content here"
+    val docs = (1 to 70).map(i =>
+      (i.toLong, s"$boiler unique$i alpha$i beta$i gamma$i delta$i")) ++ Seq(
+      (100L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (101L, (5 to 20).map(i => s"w$i").mkString(" ")))
+    val out = queries.TextQueries.containmentFrom(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out.contains((101L, 100L)), "the genuine excerpt must survive the cap")
+    assert(!out.keySet.exists(p => p._1 <= 70L || p._2 <= 70L),
+      s"boilerplate-only overlap must not report containment: ${out.keySet.filter(_._1 <= 70L).take(5)}")
+  }
+
   test("q34 RFM: quintile scores balanced, segment echoes the three digits") {
     val out = queries.EventQueries.q34(spark, dir).cache()
     val n = out.count()
