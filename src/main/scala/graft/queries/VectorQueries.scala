@@ -1714,6 +1714,17 @@ object VectorQueries {
   // before trusting either number on a new corpus — the sweep is
   // cheap relative to one production run and the curve is corpus-
   // specific state, not a universal constant.
+  //
+  // The skew is NOT an under-iteration artifact (tools/CellBalance,
+  // BENCH_NOTES r14): at n=20k/K=142 the median cell holds ONE vector
+  // and the top-16 cells hold 56.4% of the corpus at 3 Lloyd iters —
+  // and still 52.2% at 16 iters. Argmin cells on distance-concentrated
+  // data are intrinsically mass-skewed. If a future corpus needs a
+  // cost GUARANTEE rather than a measured curve, the design direction
+  // is a mass-budgeted probe (rank cells by distance, cut at a
+  // cumulative-mass budget instead of a fixed cell count — still
+  // deterministic and SQL-replicable via a window over the ranked
+  // cells), trading recall for a pinned scan fraction.
   private[graft] val GateProbes = 16
   private val GateFitIters = 3
   private val GateFitPerCell = 64
@@ -1906,6 +1917,23 @@ object VectorQueries {
     */
   def gateBuild(s: SparkSession, dir: String, path: String): Unit =
     gateCands(s, dir).write.mode("overwrite").parquet(s"$path/cands")
+
+  /** Home-cell mass per cell of the PRODUCTION gate fit — the
+    * tools/CellBalance diagnostic behind the r14 envelope note (a
+    * skewed mass distribution, not the probe rule, is what inflates
+    * the scan past the balanced P·n/K model on near-uniform corpora).
+    */
+  private[graft] def gateHomeMasses(s: SparkSession, dir: String,
+      iters: Int = GateFitIters): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val stride = math.max(1L, n / (GateFitPerCell.toLong * gateK(n)))
+    val fit = if (stride == 1L) e
+      else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val cents = kmeansCentroids(fit.select("vec_id", "vec", "nrm"), gateK(n), iters)
+    e.withColumn("cid", array_min(centroidCands(cents)).getField("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("mass"))
+  }
 
   private def gatedSym(s: SparkSession, dir: String): DataFrame = {
     // the probe path may never touch embs(), so register the native
