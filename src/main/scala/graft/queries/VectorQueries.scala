@@ -1835,6 +1835,15 @@ object VectorQueries {
       .select(col("cid"), col("vec_id").as("idb"))
     val probed = e.withColumn("pc", explode(slice(array_sort(cands), 1, probes)))
       .select(col("pc").getField("cid").as("cid"), col("vec_id").as("ida"))
+    gateScoreCands(e, probed, home)
+  }
+
+  /** Shared unordered-pair scoring tail: directed (cid, ida) probes ×
+    * (cid, idb) homes → each unordered pair cosine-scored once and
+    * mirrored into its surviving directions.
+    */
+  private def gateScoreCands(e: DataFrame, probed: DataFrame,
+      home: DataFrame): DataFrame = {
     val pairs = probed.join(home, Seq("cid"))
       .filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("lo"),
@@ -1854,6 +1863,78 @@ object VectorQueries {
       .unionByName(scored.filter(col("has_rev"))
         .select(col("hi").as("ida"), col("l_hi").as("la"),
           col("lo").as("idb"), col("l_lo").as("lb"), col("cos")))
+  }
+
+  /** EXPERIMENTAL mass-budgeted probe (the design direction recorded at
+    * [[GateProbes]]): instead of a fixed P nearest cells, each vector
+    * probes its distance-ranked cells until the cumulative HOME MASS of
+    * the cells already taken reaches ⌈massFrac·n⌉ (the nearest cell is
+    * always taken). On mass-skewed fits this pins the scanned fraction
+    * by construction — the guarantee the fixed-P rule loses when
+    * megacells form. Deterministic (ranked cells + a window cumsum) and
+    * SQL-replicable. Measurement-only for now: tools/GateSweep's
+    * SPARK_GRAFT_MASS_BUDGETS mode quantifies the recall price before
+    * any production adoption.
+    */
+  private[graft] def gateCandsMassBudget(e: DataFrame,
+      cents: Array[(Int, Seq[Double])], massFrac: Double, n: Long): DataFrame = {
+    val cands = centroidCands(cents)
+    val home = e.withColumn("cid", array_min(cands).getField("cid"))
+      .select(col("cid"), col("vec_id").as("idb"))
+    val mass = home.groupBy("cid").agg(count(lit(1)).as("mass"))
+    val budget = math.max(1L, math.ceil(massFrac * n).toLong)
+    val rankedAll = e.select(col("vec_id").as("ida"),
+        posexplode(array_sort(cands)).as(Seq("pos", "pc")))
+      .select(col("ida"), col("pos"), col("pc").getField("cid").as("cid"))
+      .join(broadcast(mass), Seq("cid"))
+    val probed = rankedAll.withColumn("cum_before",
+        coalesce(sum(col("mass")).over(Window.partitionBy("ida")
+          .orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("pos") === 0 || col("cum_before") < budget)
+      .select("cid", "ida")
+    gateScoreCands(e, probed, home)
+  }
+
+  /** Mass-budget / recall trade measurement (the experimental-probe
+    * twin of [[gateProbeSweep]]): same exact anchors, same three recall
+    * measures, with the scanned-mass fraction as the swept axis.
+    */
+  private[graft] def gateMassSweep(s: SparkSession, dir: String,
+      fracs: Seq[Double]): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val cents = gateFitCents(e, gateK(n), n)
+    val exact15 = knnPairsExact(s, dir).localCheckpoint()
+    val exact22 = qe22(s, dir).select("vec_a", "vec_b").localCheckpoint()
+    val exact25 = qe25PredExact(s, dir)
+      .select(col("ida"), col("pred_label").as("pe")).localCheckpoint()
+    val n15 = exact15.count()
+    val n22 = exact22.count()
+    val n25 = exact25.count()
+    val s2 = s
+    import s2.implicits._
+    fracs.map { f =>
+      val cands = gateCandsMassBudget(e, cents, f, n).localCheckpoint()
+      val rows = cands.count()
+      val g15 = cands
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+        .filter(col("rn") <= DensityK).select("ida", "idb")
+      val r15 = exact15.join(g15, Seq("ida", "idb"), "left_semi").count().toDouble /
+        math.max(n15, 1L)
+      val g22 = mutualMarginFrom(cands.select("ida", "idb", "cos"))
+        .select("vec_a", "vec_b")
+      val r22 = exact22.join(g22, Seq("vec_a", "vec_b"), "left_semi").count().toDouble /
+        math.max(n22, 1L)
+      val g25 = knnPredFrom(cands).select(col("ida"), col("pred_label").as("pg"))
+      val r25 = exact25.join(g25, Seq("ida"))
+        .filter(col("pe") === col("pg")).count().toDouble / math.max(n25, 1L)
+      Seq((f, rows,
+        graft.operators.Rounding.droundD(r15, 4),
+        graft.operators.Rounding.droundD(r22, 4),
+        graft.operators.Rounding.droundD(r25, 4)))
+        .toDF("mass_frac", "cand_rows", "recall15", "recall22", "agree25")
+    }.reduce(_.unionByName(_))
   }
 
   /** Probe-budget / recall trade for the gated trio (VERDICT r12 item

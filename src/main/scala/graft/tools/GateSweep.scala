@@ -41,6 +41,25 @@ object GateSweep {
     val budgets = sys.env.get("SPARK_GRAFT_BUDGETS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(8, 12, 16, 24))
+    // experimental mass-budgeted probe measurement (r14): when set,
+    // sweep scanned-mass fractions instead of fixed probe counts
+    val massFracs = sys.env.get("SPARK_GRAFT_MASS_BUDGETS")
+      .map(_.split(",").map(_.trim.toDouble).toSeq)
+    massFracs.foreach { fracs =>
+      for (dir <- dirs) {
+        println(s"== gate MASS-BUDGET sweep @ $dir (fracs ${fracs.mkString("/")}) ==")
+        val t0 = System.nanoTime()
+        val rows = graft.queries.VectorQueries.gateMassSweep(spark, dir, fracs)
+          .collect()
+        println(f"${"massfrac"}%9s ${"cand_rows"}%10s ${"recall15"}%9s ${"recall22"}%9s ${"agree25"}%9s")
+        rows.foreach { r =>
+          println(f"${r.getDouble(0)}%9.3f ${r.getLong(1)}%10d ${r.getDouble(2)}%9.4f ${r.getDouble(3)}%9.4f ${r.getDouble(4)}%9.4f")
+        }
+        println(f"mass sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.stop()
+      return
+    }
     for (dir <- dirs) {
       println(s"== gate probe sweep @ $dir (K = ceil(sqrt(n)), budgets ${budgets.mkString("/")}) ==")
       val t0 = System.nanoTime()
