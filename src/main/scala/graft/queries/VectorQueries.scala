@@ -1719,12 +1719,15 @@ object VectorQueries {
   // BENCH_NOTES r14): at n=20k/K=142 the median cell holds ONE vector
   // and the top-16 cells hold 56.4% of the corpus at 3 Lloyd iters —
   // and still 52.2% at 16 iters. Argmin cells on distance-concentrated
-  // data are intrinsically mass-skewed. If a future corpus needs a
-  // cost GUARANTEE rather than a measured curve, the design direction
-  // is a mass-budgeted probe (rank cells by distance, cut at a
-  // cumulative-mass budget instead of a fixed cell count — still
-  // deterministic and SQL-replicable via a window over the ranked
-  // cells), trading recall for a pinned scan fraction.
+  // data are intrinsically mass-skewed. If a corpus needs a cost
+  // GUARANTEE rather than a measured curve, the mass-budgeted probe
+  // (rank cells by distance, cut at a cumulative-mass budget instead
+  // of a fixed cell count — still deterministic and SQL-replicable via
+  // a window over the ranked cells) trades recall for a pinned scan
+  // fraction. r14: that rule is SHIPPED as the oracle-checked qe15c
+  // twin ([[gateCandsMassBudget]] at [[GateMassFrac]]); the measured
+  // equivalence (recall is a function of scanned mass — at equal mass
+  // the two rules agree to 3dp) is in gates/r14/mass_sweep_sf.txt.
   private[graft] val GateProbes = 16
   private val GateFitIters = 3
   private val GateFitPerCell = 64
@@ -1819,7 +1822,7 @@ object VectorQueries {
     * argmin cell, probe each vector's `probes` nearest cells, equi-join
     * on the cell id, score candidates by 6dp cosine.
     */
-  private def gateCandsWithCents(e: DataFrame,
+  private[graft] def gateCandsWithCents(e: DataFrame,
       cents: Array[(Int, Seq[Double])], probes: Int): DataFrame = {
     // r14 (VERDICT r13 item 3): the candidate join runs on bare ids —
     // no embedding ever rides the explode or the cid shuffle — and each
@@ -2038,8 +2041,16 @@ object VectorQueries {
     * left join from the full vector list (review r12: the max-rank fix
     * alone still lost the zero-candidate case from the denominator).
     */
-  def qe15b(s: SparkSession, dir: String): DataFrame = {
-    val kth = gatedSym(s, dir)
+  def qe15b(s: SparkSession, dir: String): DataFrame =
+    densityTailFrom(s, dir, gatedSym(s, dir))
+
+  /** qe15's census/OOD tail over ANY directed scored candidate frame —
+    * shared verbatim by the fixed-P twin (qe15b) and the mass-budgeted
+    * twin (qe15c), so the two differ in candidate GENERATION only.
+    */
+  private def densityTailFrom(s: SparkSession, dir: String,
+      sym: DataFrame): DataFrame = {
+    val kth = sym
       .withColumn("dist", dround(lit(1.0) - col("cos"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
@@ -2057,6 +2068,72 @@ object VectorQueries {
       .join(kth, Seq("vec_id"), "left")
       .withColumn("knn_dist", coalesce(col("knn_dist"), lit(2.0))))
   }
+
+  /** qe15c's pinned scan fraction: each vector probes ranked cells
+    * until the cumulative home mass reaches ⌈0.35·n⌉. 0.35 is the
+    * measured equivalence point at the oracle scales — the fixed-P=16
+    * gate scans 1.43M directed candidates at sf0.1 and the 0.35 budget
+    * scans 1.44M at recall equal to 3dp (gates/r14/mass_sweep_sf.txt:
+    * 0.7811/0.7166/0.6505 vs 0.778/0.715/0.650) — so the twin pays
+    * P=16's cost at the sfs where the fit is near-balanced, and holds
+    * that cost BY CONSTRUCTION when a skewed fit would inflate the
+    * fixed-P scan (the n=20k megacell regime, BENCH_NOTES r14).
+    */
+  private[graft] val GateMassFrac = 0.35
+
+  /** Persisted mass-budgeted gate index (the qe15c candidate frame) —
+    * fingerprinted on its own family + parameters, like [[gateIndexPath]].
+    */
+  def gateMassIndexPath(dir: String): String =
+    graft.sources.HadoopFs.indexPath(
+      "gatemass", dir, GateMassFrac, GateFitIters, GateFitPerCell, "sqrtK")
+
+  /** Offline build of the mass-budgeted candidate frame (same fit as
+    * the fixed-P gate; only the ranked-cell cut rule differs).
+    */
+  private[graft] def gateMassCands(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    gateCandsMassBudget(e, gateFitCents(e, gateK(n), n), GateMassFrac, n)
+  }
+
+  def gateMassBuild(s: SparkSession, dir: String, path: String): Unit =
+    gateMassCands(s, dir).write.mode("overwrite").parquet(s"$path/cands")
+
+  private def gatedMassSym(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
+    val path = gateMassIndexPath(dir)
+    if (TextQueries.indexStale(s, s"$path/cands", s"$dir/embeddings.parquet"))
+      gateMassBuild(s, dir, path)
+    s.read.parquet(s"$path/cands")
+  }
+
+  /** qe15b's mass-budgeted sibling (r14, the production form of the
+    * envelope note at [[GateProbes]]): identical density/OOD tail,
+    * candidate generation by [[gateCandsMassBudget]] at
+    * [[GateMassFrac]]. The operating difference is the COST contract:
+    * qe15b's fixed P=16 probes scan P·n/K on balanced fits but inflate
+    * to >50% of all pairs when argmin cells go mass-skewed (measured at
+    * n=20k, gates/r14), while qe15c's scanned mass is ⌈0.35·n⌉ per
+    * query regardless of the fit's mass distribution — recall floats,
+    * cost does not. Pick per corpus by reading the persisted sweeps.
+    */
+  def qe15c(s: SparkSession, dir: String): DataFrame =
+    densityTailFrom(s, dir, gatedMassSym(s, dir))
+
+  /** qe22b's mass-budgeted sibling: identical mutual-top-1 ratio-margin
+    * tail over the [[GateMassFrac]] candidate frame (one shared
+    * persisted index serves all three c-twins, the b-trio lifecycle).
+    */
+  def qe22c(s: SparkSession, dir: String): DataFrame =
+    mutualMarginFrom(gatedMassSym(s, dir).select("ida", "idb", "cos"))
+
+  /** qe25b's mass-budgeted sibling: identical vote/confusion tail. */
+  def qe25c(s: SparkSession, dir: String): DataFrame =
+    confusionFrom(knnPredFrom(gatedMassSym(s, dir)))
+
+  private[graft] def qe25PredMassGated(s: SparkSession, dir: String): DataFrame =
+    knnPredFrom(gatedMassSym(s, dir))
 
   /** qe22's production twin: mutual-top-1 ratio-margin pairs over the
     * gated candidates (both directions must survive the gate AND be
@@ -2083,6 +2160,12 @@ object VectorQueries {
 
   private[graft] def knnPairsGated(s: SparkSession, dir: String): DataFrame =
     gatedSym(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
+      .filter(col("rn") <= DensityK).select("ida", "idb")
+
+  private[graft] def knnPairsMassGated(s: SparkSession, dir: String): DataFrame =
+    gatedMassSym(s, dir)
       .withColumn("rn", row_number().over(
         Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
       .filter(col("rn") <= DensityK).select("ida", "idb")
@@ -2207,8 +2290,57 @@ object VectorQueries {
     * fewer than [[DensityK]] gated candidates; distance 2.0 when it has
     * none).
     */
-  private lazy val qe15bSql =
-    s"""$gateCtes,
+  private lazy val qe15bSql = densityTailSql(gateCtes)
+
+  /** The mass-budgeted gate's candidate chain in SQL ([[gateCandsMassBudget]]
+    * at [[GateMassFrac]]): the same Lloyd fit and `af` ranked-cell frame
+    * as [[gateCtes]], then each vector's ranked list is cut by a window
+    * cumsum of home-cell mass instead of `rk ≤ P` — empty cells drop out
+    * of the ranking (they carry no mass and no candidates), the rk = 1
+    * home cell is always taken, and a cell is probed while the mass
+    * BEFORE it is under ⌈[[GateMassFrac]]·n⌉. The budget is computed in
+    * DOUBLE on both engines (a bare 0.35 literal is DECIMAL in DuckDB
+    * and would ceil differently on FP-edge products).
+    */
+  private[graft] lazy val gateMassCtes: String = {
+    val fit = lloydCtes(
+      "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e",
+      GateFitIters)
+    s"""$fit,
+       |home AS (
+       |  SELECT n.vec_id AS idb, n.label AS lb, n.vec AS vb, n.nrm AS nb, af.cid
+       |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk = 1),
+       |mass AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS mass
+       |  FROM af WHERE rk = 1 GROUP BY cid),
+       |bdg AS (
+       |  SELECT greatest(1, CAST(ceil(CAST($GateMassFrac AS DOUBLE) * count(*))
+       |                          AS BIGINT)) AS b FROM e),
+       |ranked AS (
+       |  SELECT af.vec_id, af.cid, af.rk,
+       |         coalesce(sum(m.mass) OVER (PARTITION BY af.vec_id
+       |           ORDER BY af.rk
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_before
+       |  FROM af JOIN mass m USING (cid)),
+       |probed AS (
+       |  SELECT n.vec_id AS ida, n.label AS la, n.vec AS va, n.nrm AS na, r.cid
+       |  FROM ranked r JOIN n ON r.vec_id = n.vec_id, bdg
+       |  WHERE r.rk = 1 OR r.cum_before < bdg.b),
+       |gcand AS (
+       |  SELECT ida, la, idb, lb,
+       |         round(list_dot_product(va, vb) / (na * nb), 6) AS cos
+       |  FROM probed JOIN home USING (cid) WHERE ida <> idb)""".stripMargin
+  }
+
+  private lazy val qe15cSql = densityTailSql(gateMassCtes)
+
+  /** qe15's density/OOD tail over any `gcand` chain — shared by the
+    * fixed-P (qe15b) and mass-budgeted (qe15c) oracles, mirroring
+    * [[densityTailFrom]] on the engine side.
+    */
+  private def densityTailSql(ctes: String): String =
+    s"""$ctes,
        |gd AS (SELECT ida, idb, round(1.0 - cos, 6) AS dist FROM gcand),
        |rk2 AS (
        |  SELECT ida, dist,
@@ -2230,8 +2362,11 @@ object VectorQueries {
   /** qe22b oracle: the gate chain + qe22's mutual-top-1 ratio-margin
     * tail over the directed candidates.
     */
-  private lazy val qe22bSql =
-    s"""$gateCtes,
+  private lazy val qe22bSql = mutualTailSql(gateCtes)
+  private lazy val qe22cSql = mutualTailSql(gateMassCtes)
+
+  private def mutualTailSql(ctes: String): String =
+    s"""$ctes,
        |rk2 AS (
        |  SELECT ida, idb, cos, CAST(round(cos * 1000000) AS BIGINT) AS micro,
        |         row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) AS rn
@@ -2251,8 +2386,11 @@ object VectorQueries {
        |JOIN top tb ON vec_b = tb.ida""".stripMargin
 
   /** qe25b oracle: the gate chain + qe25's vote/confusion tail. */
-  private lazy val qe25bSql =
-    s"""$gateCtes,
+  private lazy val qe25bSql = confusionTailSql(gateCtes)
+  private lazy val qe25cSql = confusionTailSql(gateMassCtes)
+
+  private def confusionTailSql(ctes: String): String =
+    s"""$ctes,
        |knn AS (
        |  SELECT * FROM (
        |    SELECT ida, la, lb,
@@ -3430,6 +3568,9 @@ object VectorQueries {
     "qe14b_pq_probe" -> (qe14b _),
     "qe15_knn_density" -> (qe15 _),
     "qe15b_gated_density" -> (qe15b _),
+    "qe15c_massgated_density" -> (qe15c _),
+    "qe22c_massgated_mutual_nn" -> (qe22c _),
+    "qe25c_massgated_confusion" -> (qe25c _),
     "qe16_cluster_sample" -> (qe16 _),
     "qe17_retrieval_metrics" -> (qe17 _),
     "qe18_prototypes" -> (qe18 _),
@@ -3479,6 +3620,12 @@ object VectorQueries {
     // deterministic seeded-Lloyd fit the qe9 oracle replicates, so the
     // whole gate is SQL-expressible — sketch-graded no more
     "qe15b_gated_density" -> qe15bSql,
+    // r14: the mass-budgeted twins' cut rule is a window cumsum over
+    // the same ranked cells — the whole chain stays SQL-replicable,
+    // and the three c-twins share one gateMassCtes + the b-trio tails
+    "qe15c_massgated_density" -> qe15cSql,
+    "qe22c_massgated_mutual_nn" -> qe22cSql,
+    "qe25c_massgated_confusion" -> qe25cSql,
     "qe22b_gated_mutual_nn" -> qe22bSql,
     "qe25b_gated_confusion" -> qe25bSql,
     // r13: the IVF quantizer moved to the same deterministic fit, so
@@ -3507,14 +3654,12 @@ object VectorQueries {
     "qe29_dim_truncation_sweep" -> qe29Sql,
     "qe30_silhouette" -> qe30Sql,
     "qe31_kcenter_coreset" -> qe31Sql,
-    // qe2 omitted: LSH bucketing is engine-side; recall asserted in tests.
-    // qe14/qe14b/qe20 omitted: PQ codebooks/codes and the IVF quantizer
-    // are engine-side k-means state — recall@K floored against the
-    // exact qe1 twin in RecallSpec.
-    // qe15b/qe22b/qe25b omitted: approximate by design — recall floored
-    // against their exact all-pairs twins (qe15/qe22/qe25) in RecallSpec.
-    // qe28b is NOT here but IS oracle-checked: its SQL inlines the
-    // persisted runtime basis, so it joins via SparkEntry.oracleSqlFor
-    // (see qe28bOracle).
+    // The only vector-family rows NOT in this map: qe28 (eigenbasis —
+    // by design; its qe28b probe twin IS hash-checked), and qe28b,
+    // which is oracle-checked but joins via SparkEntry.oracleSqlFor
+    // because its SQL inlines the persisted runtime basis (see
+    // qe28bOracle). Every approximate operator above hash-matches its
+    // full candidate-generation chain (r13-r14); RecallSpec floors sit
+    // on top as the approximation-quality artifact.
   )
 }

@@ -370,6 +370,38 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("mass-budgeted gate: full budget = probe-all, unit budget = home cell, budgets nest") = {
+    // r14 experimental probe (gateCandsMassBudget): the fixed-P rule's
+    // cost guarantee dies on mass-skewed fits, so the alternative cuts
+    // each vector's ranked-cell list at a cumulative home-mass budget.
+    // Its contract, pinned here against the production probe stage over
+    // the SAME fit: budget = n degenerates to probing every cell,
+    // budget = 1 degenerates to the home cell only (the nearest cell is
+    // always taken and always holds the vector itself), and candidate
+    // sets NEST as the budget grows (cum_before is budget-independent).
+    forAll(Gen.chooseNum(20, 50), Gen.chooseNum(0L, 400L)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map(i =>
+        (i.toLong, s"l${i % 4}", Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val e = rows.toDF("vec_id", "label", "vec")
+        .withColumn("nrm", functions.VectorFunctions.norm(col("vec")))
+      val k = 8
+      val cents = queries.VectorQueries.gateFitCents(e, k, n.toLong)
+      def collectSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("ida", "idb", "cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def mass(frac: Double) = collectSet(
+        queries.VectorQueries.gateCandsMassBudget(e, cents, frac, n.toLong))
+      def fixed(p: Int) = collectSet(
+        queries.VectorQueries.gateCandsWithCents(e, cents, p))
+      val full = mass(1.0)
+      val unit = mass(1e-12)
+      val mid = mass(0.5)
+      full.nonEmpty && full == fixed(k) && unit == fixed(1) &&
+        unit.subsetOf(mid) && mid.subsetOf(full)
+    }
+  }
+
   property("chunker covers every token exactly with the stride layout, any doc length") = {
     forAll(Gen.listOfN(8, Gen.chooseNum(1, 90))) { lens =>
       val docs = lens.zipWithIndex.map { case (n, i) =>

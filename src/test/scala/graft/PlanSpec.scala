@@ -370,6 +370,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan(queries.VectorQueries.qe15b(spark, sf)).contains("CartesianProduct"))
   }
 
+  test("qe15c mass-budgeted gate: broadcast mass join + per-vector cumsum, no theta join") {
+    // r14: the pinned-scan-fraction twin. Its cut rule adds a broadcast
+    // equi-join on the cell id (the per-cell mass table, K rows) and a
+    // window cumsum PARTITIONED BY the vector id — never an all-pairs
+    // theta join, and never an unpartitioned global window.
+    val build = finalPlan(queries.VectorQueries.gateMassCands(spark, sf))
+    assert(!build.contains("BroadcastNestedLoopJoin") &&
+      !build.contains("CartesianProduct"),
+      "mass-budget build must stay equi-joins on the cell id")
+    for (q <- Seq(queries.VectorQueries.knnPairsMassGated(spark, sf),
+                  queries.VectorQueries.qe22c(spark, sf),
+                  queries.VectorQueries.qe25c(spark, sf)))
+      assert(!finalPlan(q).contains("CartesianProduct"),
+        "mass-gated twin tails must stay free of theta joins")
+  }
+
   test("no undispatched unpartitioned window on the parity path (threshold 0)") {
     // VERDICT r10 item 4: every global-order operator on the parity
     // path (rank, Pareto cumsum, dense-rank band groups) must flow

@@ -90,6 +90,14 @@ class RecallSpec extends AnyFunSuite {
     // structurally lowest (a mutual pair must survive the gate in
     // BOTH directions).
     ("qe15b_gated_density", "sf0.01") -> 0.85, ("qe15b_gated_density", "sf0.1") -> 0.65,
+    // r14: the mass-budgeted twin pins COST (⌈0.35·n⌉ scanned mass per
+    // query) and lets recall float — measured 0.7448/0.7811 at
+    // sf0.01/sf0.1 (gates/r14/mass_sweep_sf.txt); floors are measured
+    // minus the 0.10 one-unlucky-corpus margin. No probe-sweep curve
+    // applies (the swept axis is mass, not probes), so these stay static.
+    ("qe15c_massgated_density", "sf0.01") -> 0.64, ("qe15c_massgated_density", "sf0.1") -> 0.68,
+    ("qe22c_massgated_mutual_nn", "sf0.01") -> 0.53, ("qe22c_massgated_mutual_nn", "sf0.1") -> 0.61,
+    ("qe25c_massgated_confusion", "sf0.01") -> 0.50, ("qe25c_massgated_confusion", "sf0.1") -> 0.55,
     ("qe22b_gated_mutual_nn", "sf0.01") -> 0.85, ("qe22b_gated_mutual_nn", "sf0.1") -> 0.60,
     ("qe25b_gated_confusion", "sf0.01") -> 0.80, ("qe25b_gated_confusion", "sf0.1") -> 0.55)
 
@@ -319,6 +327,15 @@ class RecallSpec extends AnyFunSuite {
         "qe15 exact 5-NN pairs, sqrt(n)-cell 16-probe IVF gate")
     }
 
+    test(s"qe15c mass-gated density neighbor recall@5 vs exact all-pairs [${sf.label}]") {
+      val exact = queries.VectorQueries.knnPairsExact(spark, sf.dir)
+      val gated = queries.VectorQueries.knnPairsMassGated(spark, sf.dir)
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("ida", "idb"), "left_semi").count()
+      record("qe15c_massgated_density", sf, hit.toDouble / n,
+        "qe15 exact 5-NN pairs, mass-budgeted gate at ceil(0.35n) scanned mass")
+    }
+
     test(s"qe22b gated mutual-NN pair recall vs exact qe22 [${sf.label}]") {
       val exact = queries.VectorQueries.qe22(spark, sf.dir).select("vec_a", "vec_b")
       val gated = queries.VectorQueries.qe22b(spark, sf.dir).select("vec_a", "vec_b")
@@ -327,6 +344,28 @@ class RecallSpec extends AnyFunSuite {
       record("qe22b_gated_mutual_nn", sf,
         if (n == 0) 1.0 else hit.toDouble / n,
         "qe22 exact mutual-top-1 pairs, sqrt(n)-cell 16-probe IVF gate")
+    }
+
+    test(s"qe22c mass-gated mutual-NN pair recall vs exact qe22 [${sf.label}]") {
+      val exact = queries.VectorQueries.qe22(spark, sf.dir).select("vec_a", "vec_b")
+      val gated = queries.VectorQueries.qe22c(spark, sf.dir).select("vec_a", "vec_b")
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("vec_a", "vec_b"), "left_semi").count()
+      record("qe22c_massgated_mutual_nn", sf,
+        if (n == 0) 1.0 else hit.toDouble / n,
+        "qe22 exact mutual-top-1 pairs, mass-budgeted gate at ceil(0.35n)")
+    }
+
+    test(s"qe25c mass-gated kNN-vote prediction agreement vs exact qe25 [${sf.label}]") {
+      val exact = queries.VectorQueries.qe25PredExact(spark, sf.dir)
+        .select(col("ida"), col("pred_label").as("pe"))
+      val gated = queries.VectorQueries.qe25PredMassGated(spark, sf.dir)
+        .select(col("ida"), col("pred_label").as("pg"))
+      val n = exact.count()
+      val hit = exact.join(gated, Seq("ida"))
+        .filter(col("pe") === col("pg")).count()
+      record("qe25c_massgated_confusion", sf, hit.toDouble / n,
+        "qe25 exact LOO votes, mass-budgeted gate at ceil(0.35n)")
     }
 
     test(s"qe25b gated kNN-vote prediction agreement vs exact qe25 [${sf.label}]") {
