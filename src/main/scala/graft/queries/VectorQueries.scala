@@ -1868,16 +1868,24 @@ object VectorQueries {
           col("lo").as("idb"), col("l_lo").as("lb"), col("cos")))
   }
 
-  /** EXPERIMENTAL mass-budgeted probe (the design direction recorded at
-    * [[GateProbes]]): instead of a fixed P nearest cells, each vector
+  /** Mass-budgeted probe (the design direction recorded at
+    * [[GateProbes]], promoted to production in r14 as the qe15c/qe22c/
+    * qe25c trio): instead of a fixed P nearest cells, each vector
     * probes its distance-ranked cells until the cumulative HOME MASS of
     * the cells already taken reaches ⌈massFrac·n⌉ (the nearest cell is
     * always taken). On mass-skewed fits this pins the scanned fraction
-    * by construction — the guarantee the fixed-P rule loses when
-    * megacells form. Deterministic (ranked cells + a window cumsum) and
-    * SQL-replicable. Measurement-only for now: tools/GateSweep's
-    * SPARK_GRAFT_MASS_BUDGETS mode quantifies the recall price before
-    * any production adoption.
+    * by construction — to within the last cell's overshoot — which is
+    * the guarantee the fixed-P rule loses when megacells form.
+    * Deterministic (ranked cells + a window cumsum) and SQL-replicable
+    * ([[gateMassCtes]]).
+    *
+    * Scale class: the ranked frame shuffled into the cumsum window is
+    * n·K = n^1.5 rows of three narrow columns (the fixed-P path
+    * explodes only P·n) — the same complexity class as, and
+    * subdominant to, the gate's own candidate volume (massFrac·n² at
+    * the budget, P·n^1.5 for fixed P), so the cut stage never becomes
+    * the bottleneck the rule exists to prevent. tools/GateSweep's
+    * SPARK_GRAFT_MASS_BUDGETS mode measures the recall/mass curve.
     */
   private[graft] def gateCandsMassBudget(e: DataFrame,
       cents: Array[(Int, Seq[Double])], massFrac: Double, n: Long): DataFrame = {
