@@ -1790,6 +1790,62 @@ object VectorQueries {
     }
   }
 
+  /** One measured mass-sweep row: (mass_frac, cand_rows, recall15,
+    * recall22, agree25) — the mass-budget twin of [[SweepRow]].
+    */
+  type MassSweepRow = (Double, Long, Double, Double, Double)
+
+  /** The mass-budget gate's persisted sweep curve, inside ITS
+    * fingerprinted index dir (family "gatemass") — same lifecycle as
+    * [[gateSweepPath]]: a GateMassFrac/fit change moves the path.
+    */
+  def gateMassSweepPath(dir: String): String =
+    s"${gateMassIndexPath(dir)}/_sweep.json"
+
+  def writeGateMassSweep(dir: String, rows: Seq[MassSweepRow]): Unit = {
+    val f = new java.io.File(gateMassSweepPath(dir))
+    f.getParentFile.mkdirs()
+    val json = rows.map { case (fr, n, r15, r22, r25) =>
+      s"""{"mass_frac":$fr,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+  }
+
+  def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] = {
+    val f = new java.io.File(gateMassSweepPath(dir))
+    if (!f.exists()) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val row = ("""\{"mass_frac":([0-9.]+),"cand_rows":(\d+),"recall15":([0-9.]+),""" +
+        """"recall22":([0-9.]+),"agree25":([0-9.]+)\}""").r
+      val rows = row.findAllMatchIn(txt).map(m =>
+        (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
+          m.group(4).toDouble, m.group(5).toDouble)).toSeq
+      if (rows.isEmpty) None else Some(rows)
+    }
+  }
+
+  /** Recall-targeted gate sizing from the persisted measurement (the
+    * policy the r14 envelope note committed to: sizing reads corpus-
+    * specific state, never a universal constant): the smallest swept
+    * probe budget whose measured neighbor recall meets `target` on
+    * this corpus. None when no sweep is persisted or no swept budget
+    * reaches the target — the caller escalates (re-sweep wider, or
+    * accept the largest measured budget explicitly); silently handing
+    * back a budget that MISSES the target is the one wrong answer.
+    */
+  def gateProbesFor(dir: String, targetRecall15: Double): Option[Int] =
+    readGateSweep(dir).flatMap(rows =>
+      rows.sortBy(_._1).find(_._3 >= targetRecall15).map(_._1))
+
+  /** [[gateProbesFor]]'s mass-budget twin: the smallest swept scanned-
+    * mass fraction meeting the recall target — i.e. the cheapest
+    * PINNED-cost configuration the persisted curve certifies.
+    */
+  def gateMassFracFor(dir: String, targetRecall15: Double): Option[Double] =
+    readGateMassSweep(dir).flatMap(rows =>
+      rows.sortBy(_._1).find(_._3 >= targetRecall15).map(_._1))
+
   /** Directed, labeled, cosine-scored candidate frame shared by the
     * three gated twins: (ida, la, idb, lb, cos) where idb's home cell
     * is among ida's probed cells. Map-only probe/home assignment

@@ -56,6 +56,11 @@ object GateSweep {
           println(f"${r.getDouble(0)}%9.3f ${r.getLong(1)}%10d ${r.getDouble(2)}%9.4f ${r.getDouble(3)}%9.4f ${r.getDouble(4)}%9.4f")
         }
         println(f"mass sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        // persist alongside the mass-gate index (same contract as the
+        // probe sweep: RecallSpec floors + gateMassFracFor read it)
+        graft.queries.VectorQueries.writeGateMassSweep(dir, rows.toSeq.map(r =>
+          (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        println(s"mass sweep persisted: ${graft.queries.VectorQueries.gateMassSweepPath(dir)}")
       }
       spark.stop()
       return

@@ -69,4 +69,32 @@ class HadoopFsSpec extends AnyFunSuite {
       .startsWith(graft.queries.VectorQueries.gateIndexPath(dir)))
     assert(graft.queries.VectorQueries.readGateSweep(dir).contains(rows))
   }
+
+  test("mass sweep round-trips; recall-targeted sizing reads the persisted curves") {
+    // r14: gateProbesFor/gateMassFracFor are the P(n)-policy endpoints —
+    // smallest measured budget meeting the recall target, None when the
+    // curve is absent or never reaches it (no silent under-delivery)
+    val dir = tmpDir().toString
+    val probeRows: Seq[graft.queries.VectorQueries.SweepRow] = Seq(
+      (16, 1430000L, 0.7782, 0.7146, 0.65), (8, 713000L, 0.57, 0.41, 0.45),
+      (24, 2140000L, 0.89, 0.85, 0.81))
+    val massRows: Seq[graft.queries.VectorQueries.MassSweepRow] = Seq(
+      (0.2, 839988L, 0.6118, 0.4656, 0.4855),
+      (0.35, 1440819L, 0.7811, 0.7166, 0.6505),
+      (0.5, 2043242L, 0.8812, 0.8381, 0.7945))
+    assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.7).isEmpty)
+    assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.7).isEmpty)
+    graft.queries.VectorQueries.writeGateSweep(dir, probeRows)
+    graft.queries.VectorQueries.writeGateMassSweep(dir, massRows)
+    assert(graft.queries.VectorQueries.gateMassSweepPath(dir)
+      .startsWith(graft.queries.VectorQueries.gateMassIndexPath(dir)))
+    assert(graft.queries.VectorQueries.readGateMassSweep(dir).contains(massRows))
+    // smallest budget meeting the target, in budget order not file order
+    assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.70).contains(16))
+    assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.85).contains(24))
+    assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.95).isEmpty)
+    assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.70).contains(0.35))
+    assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.85).contains(0.5))
+    assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.95).isEmpty)
+  }
 }

@@ -133,24 +133,36 @@ class RecallSpec extends AnyFunSuite {
     * that did cannot silently LOOSEN a floor.
     */
   private def sweepFloor(name: String, sf: Sf): Option[Double] = {
-    val col = name match {
+    // r14: the c-trio reads the MASS sweep at GateMassFrac, the b-trio
+    // the probe sweep at GateProbes — each curve lives inside its own
+    // fingerprinted index dir, so neither can cross-apply.
+    val probeCol = name match {
       case "qe15b_gated_density" => Some(3)
       case "qe22b_gated_mutual_nn" => Some(4)
       case "qe25b_gated_confusion" => Some(5)
       case _ => None
     }
-    col.flatMap { c =>
-      queries.VectorQueries.readGateSweep(sf.dir).flatMap { rows =>
-        rows.find(_._1 == queries.VectorQueries.GateProbes).map { r =>
-          val measured = c match {
-            case 3 => r._3
-            case 4 => r._4
-            case _ => r._5
-          }
-          math.floor((measured - 0.10) * 100) / 100
-        }
-      }
+    val massCol = name match {
+      case "qe15c_massgated_density" => Some(3)
+      case "qe22c_massgated_mutual_nn" => Some(4)
+      case "qe25c_massgated_confusion" => Some(5)
+      case _ => None
     }
+    def pick(c: Int, r: (_, _, Double, Double, Double)) = c match {
+      case 3 => r._3
+      case 4 => r._4
+      case _ => r._5
+    }
+    val measured = probeCol.flatMap { c =>
+      queries.VectorQueries.readGateSweep(sf.dir)
+        .flatMap(_.find(_._1 == queries.VectorQueries.GateProbes))
+        .map(pick(c, _))
+    }.orElse(massCol.flatMap { c =>
+      queries.VectorQueries.readGateMassSweep(sf.dir)
+        .flatMap(_.find(_._1 == queries.VectorQueries.GateMassFrac))
+        .map(pick(c, _))
+    })
+    measured.map(m => math.floor((m - 0.10) * 100) / 100)
   }
 
   private def record(name: String, sf: Sf, recall: Double, vs: String): Unit = {
