@@ -97,7 +97,7 @@ object Bench {
   private[graft] def idOf(name: String): String = name.takeWhile(_ != '_')
 
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
-      sfDir: String): String = {
+      sfDir: String, loads: Seq[Double] = Nil): String = {
     def mk(prec: Int, ids: Boolean = false): String = {
       val qs = results.map { case (k, v) =>
         "\"" + jesc(if (ids) idOf(k) else k) + "\":" + sN(v, prec)
@@ -108,7 +108,16 @@ object Bench {
       // the quoted path
       val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
         .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
+      // machine 1-min load average at [start, end] of the run (r8/r9/
+      // r11/r12/r13/r14 each burned an adjudication cycle proving a
+      // driver-artifact regression was background load — the artifact
+      // now carries the datum that settles it; absent when the JVM
+      // can't sample, ~22 chars when present, extra keys are ignored
+      // by every consumer)
+      val loadJson =
+        if (loads.isEmpty) ""
+        else loads.map(sN(_, 1)).mkString(""","load":[""", ",", "]")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs$loadJson,"sf":$sfJson}"""
     }
     val two = mk(2)
     if (two.length <= LineBudget) two
@@ -121,7 +130,12 @@ object Bench {
     }
   }
 
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -191,7 +205,8 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) => name -> (() => run(fn)) },
       reps)
-    println(renderLine(results, errors, sfDir))
+    println(renderLine(results, errors, sfDir,
+      Seq(load0, loadAvg()).filter(_ >= 0)))
     spark.stop()
   }
 }

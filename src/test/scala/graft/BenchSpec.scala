@@ -56,6 +56,17 @@ class BenchSpec extends AnyFunSuite {
     assert(empty.endsWith(""""sf":"/x"}"""))
   }
 
+  test("renderLine carries the [start, end] load averages when sampled") {
+    // r14: the contention datum that adjudicates driver-artifact
+    // regression clusters rides inside the artifact itself; absent
+    // loads render the r13-and-earlier line byte-for-byte
+    val line = Bench.renderLine(
+      Seq("q1" -> 1.0), Seq.empty, "/root/testdata/sf0.1", Seq(0.1, 27.42))
+    assert(line.contains(""""errors":[],"load":[0.1,27.4],"sf":0.1}"""))
+    val without = Bench.renderLine(Seq("q1" -> 1.0), Seq.empty, "/x")
+    assert(!without.contains("load"))
+  }
+
   test("full-precision doubles are rendered at fixed precision, zeros stripped") {
     val line = Bench.renderLine(
       Seq("q1" -> 0.552002599, "q2" -> 12.0000001, "q3" -> 0.6), Seq.empty, "/x")

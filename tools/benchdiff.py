@@ -355,6 +355,14 @@ def main():
               f"({tot_new / tot_old:.2f}x) over {len(both)} queries")
     for f_ in fails:
         print(f"FAIL {f_}")
+    # r14: artifacts may carry the machine's 1-min load average at
+    # [start, end] of the run — surface both sides next to any flag so
+    # the contention-vs-code question starts answered (six rounds of
+    # phantom load clusters motivated this)
+    for label, obj in (("new", new_obj), ("old", old_obj)):
+        ld = obj.get("load") if isinstance(obj, dict) else None
+        if ld:
+            print(f"load avg ({label}, [start, end]): {ld}")
     cmd = rerun_cmd(fails)
     if cmd:
         print(f"adjudicate flagged regressions (re-measure subset, idle machine):\n  {cmd}")
