@@ -124,7 +124,11 @@ object Sf1Skew {
       "q43_copurchase_pagerank" -> (graft.queries.CoreQueries.q43 _),
       "q44_triangle_count" -> (graft.queries.CoreQueries.q44 _),
       "q45_lpa_communities" -> (graft.queries.CoreQueries.q45 _),
-      "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _))
+      "qe15b_gated_density" -> (graft.queries.VectorQueries.qe15b _),
+      // r14: the mass-budgeted twin — at this corpus's mass-skewed fit
+      // its pinned 0.35·n² scan is ~0.7× the fixed gate's inflated
+      // volume, so the smoke tracks BOTH probe rules' 10× behavior
+      "qe15c_massgated_density" -> (graft.queries.VectorQueries.qe15c _))
     val qs = sys.env.get("SPARK_GRAFT_SUITE") match {
       case Some("text") => textQs
       case Some("all") => skewQs ++ textQs
