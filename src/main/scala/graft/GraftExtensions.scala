@@ -117,17 +117,25 @@ object GraftExtensions {
     * integral Number; anything else (string, decimal, interval) still
     * fails with the argument position named.
     */
+  /** Integral Number types only: a bare `case n: Number => n.longValue()`
+    * would silently TRUNCATE a fractional DOUBLE literal (`42.5` → seed
+    * 42) and map a NaN to 0 — wrong signatures with no error, the
+    * opposite of this helper's contract (review r14).
+    */
+  private def integral(v: Any): Option[Long] = v match {
+    case n: java.lang.Byte => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Long => Some(n.longValue())
+    case _ => None
+  }
+
   private def litLong(fn: String, pos: Int, exprs: Seq[Expression]): Long =
-    litArg(fn, pos, exprs) match {
-      case n: java.lang.Number => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument $pos must be an integral literal, got $other")
-    }
+    integral(litArg(fn, pos, exprs)).getOrElse(throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integral literal, got ${exprs(pos).sql}"))
 
   private def litInt(fn: String, pos: Int, exprs: Seq[Expression]): Int =
-    litArg(fn, pos, exprs) match {
-      case n: java.lang.Number if n.longValue().isValidInt => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument $pos must be an INT-range integral literal, got $other")
-    }
+    integral(litArg(fn, pos, exprs)).filter(_.isValidInt).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an INT-range integral literal, got ${exprs(pos).sql}"))
 }

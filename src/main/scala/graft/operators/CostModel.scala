@@ -49,6 +49,8 @@ object CostModel {
     case ShortType => 2
     case BooleanType | ByteType => 1
     case _: DecimalType => 16
+    case _: DayTimeIntervalType | TimestampNTZType => 8
+    case _: YearMonthIntervalType => 4
     case _ => 0 // variable-width: measured below, never silently zero
   }
 
@@ -71,7 +73,16 @@ object CostModel {
       Some(avg(size(col(f.name))).cast("double") * lit(fixedWidth(et).toDouble))
     case _: ArrayType | _: MapType | _: StructType =>
       Some(avg(length(to_json(col(f.name)))))
-    case _ => None
+    case dt if fixedWidth(dt) > 0 => None // priced by fixedWidth
+    case other =>
+      // review r14: the old catch-all None let a type NEITHER table
+      // prices (UDT, CalendarInterval, …) score zero bytes — the silent
+      // undersizing the class doc forbids. Refusing loudly forces the
+      // caller to the merge arm (or to teach the model the type).
+      throw new IllegalArgumentException(
+        s"ANALYZE cannot price column '${f.name}' of type " +
+          s"${other.simpleString}; broadcast decisions on an unpriceable " +
+          "relation must not default to zero bytes")
   }
 
   /** One-pass ANALYZE of a frame: exact row count + byte estimate. */

@@ -1776,13 +1776,29 @@ object VectorQueries {
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
   }
 
+  /** A persisted sweep is only valid for the corpus it was measured on:
+    * the fingerprinted path pins the PARAMETERS, but a regenerated
+    * source parquet keeps the same path — without this mtime guard a
+    * stale curve would keep certifying budgets (and raising RecallSpec
+    * floors) measured on a different corpus (review r14; the same
+    * staleness rule the index artifacts themselves use).
+    */
+  private def sweepCurrent(f: java.io.File, dir: String): Boolean =
+    f.lastModified > graft.sources.HadoopFs.newestMtime(
+      new org.apache.hadoop.conf.Configuration(), s"$dir/embeddings.parquet")
+
+  // doubles serialize via toString, which goes scientific below 1e-3
+  // ("1.0E-4") — the number pattern must accept exponents or rows
+  // silently drop (review r14)
+  private val SweepNum = """-?[0-9.]+(?:[eE][-+]?[0-9]+)?"""
+
   def readGateSweep(dir: String): Option[Seq[SweepRow]] = {
     val f = new java.io.File(gateSweepPath(dir))
-    if (!f.exists()) None
+    if (!f.exists() || !sweepCurrent(f, dir)) None
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val row = ("""\{"probes":(\d+),"cand_rows":(\d+),"recall15":([0-9.]+),""" +
-        """"recall22":([0-9.]+),"agree25":([0-9.]+)\}""").r
+      val row = (s"""\\{"probes":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
       val rows = row.findAllMatchIn(txt).map(m =>
         (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
           m.group(4).toDouble, m.group(5).toDouble)).toSeq
@@ -1813,11 +1829,11 @@ object VectorQueries {
 
   def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] = {
     val f = new java.io.File(gateMassSweepPath(dir))
-    if (!f.exists()) None
+    if (!f.exists() || !sweepCurrent(f, dir)) None
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val row = ("""\{"mass_frac":([0-9.]+),"cand_rows":(\d+),"recall15":([0-9.]+),""" +
-        """"recall22":([0-9.]+),"agree25":([0-9.]+)\}""").r
+      val row = (s"""\\{"mass_frac":($SweepNum),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
       val rows = row.findAllMatchIn(txt).map(m =>
         (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
           m.group(4).toDouble, m.group(5).toDouble)).toSeq
@@ -1866,12 +1882,12 @@ object VectorQueries {
     * ([[gateProbeSweep]]) fits ONCE and re-probes at each budget (the
     * fit does not depend on the probe count).
     */
-  private[graft] def gateFitCents(e: DataFrame, k: Int,
-      n: Long): Array[(Int, Seq[Double])] = {
+  private[graft] def gateFitCents(e: DataFrame, k: Int, n: Long,
+      iters: Int = GateFitIters): Array[(Int, Seq[Double])] = {
     val stride = math.max(1L, n / (GateFitPerCell.toLong * k))
     val fit =
       if (stride == 1L) e else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    kmeansCentroids(fit.select("vec_id", "vec", "nrm"), k, GateFitIters)
+    kmeansCentroids(fit.select("vec_id", "vec", "nrm"), k, iters)
   }
 
   /** Probe stage over a fitted quantizer: home every vector in its
@@ -2075,10 +2091,10 @@ object VectorQueries {
       iters: Int = GateFitIters): DataFrame = {
     val e = embs(s, dir)
     val n = Tables.embeddings(s, dir).count()
-    val stride = math.max(1L, n / (GateFitPerCell.toLong * gateK(n)))
-    val fit = if (stride == 1L) e
-      else e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    val cents = kmeansCentroids(fit.select("vec_id", "vec", "nrm"), gateK(n), iters)
+    // the PRODUCTION fit path (review r14: a copy of the stride/sample
+    // rule here would silently diverge from what the gate actually
+    // runs — the diagnostic must measure the production quantizer)
+    val cents = gateFitCents(e, gateK(n), n, iters)
     e.withColumn("cid", array_min(centroidCands(cents)).getField("cid"))
       .groupBy("cid").agg(count(lit(1)).as("mass"))
   }

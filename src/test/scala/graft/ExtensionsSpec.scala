@@ -45,6 +45,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(chain(err).map(_.getMessage).filter(_ != null)
       .exists(m => m.contains("argument 1") && m.contains("integral")),
       s"expected the integral-literal error, got: $err")
+    // review r14: a FRACTIONAL double literal must fail the same way,
+    // never silently truncate to its integer part (seed 42.5 -> 42
+    // would run the wrong signature with no error)
+    val frac = intercept[Exception] {
+      s2.sql("SELECT graft_minhash(array(7L), 4, CAST(42.5 AS DOUBLE))").collect()
+    }
+    assert(chain(frac).map(_.getMessage).filter(_ != null)
+      .exists(m => m.contains("argument 2") && m.contains("integral")),
+      s"expected the integral-literal error for a fractional double, got: $frac")
   }
 
   test("injected builders keep the literal-argument guard") {

@@ -97,4 +97,27 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.85).contains(0.5))
     assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.95).isEmpty)
   }
+
+  test("sweep readers parse scientific-notation doubles and refuse curves older than the corpus") {
+    val dirP = tmpDir()
+    val dir = dirP.toString
+    // review r14 #1: Double.toString goes scientific below 1e-3
+    // ("1.0E-4") — a reader that drops such rows silently truncates the
+    // curve it certifies budgets from
+    val rows: Seq[graft.queries.VectorQueries.SweepRow] =
+      Seq((8, 713000L, 1.0E-4, 0.41, 0.45), (16, 1430000L, 0.78, 0.71, 0.65))
+    graft.queries.VectorQueries.writeGateSweep(dir, rows)
+    assert(graft.queries.VectorQueries.readGateSweep(dir).contains(rows))
+    assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.5).contains(16))
+    // review r14 #2: same parameters + same path but a REGENERATED
+    // source corpus must orphan the curve — stale measurements may
+    // neither certify budgets nor raise floors
+    val sweepF = new java.io.File(graft.queries.VectorQueries.gateSweepPath(dir))
+    touch(dirP.resolve("embeddings.parquet"), sweepF.lastModified + 60_000)
+    assert(graft.queries.VectorQueries.readGateSweep(dir).isEmpty,
+      "a sweep older than its corpus must read as absent")
+    // refreshing the sweep AFTER the data change serves again
+    sweepF.setLastModified(sweepF.lastModified + 120_000)
+    assert(graft.queries.VectorQueries.readGateSweep(dir).contains(rows))
+  }
 }

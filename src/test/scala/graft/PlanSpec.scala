@@ -80,6 +80,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected the merge arm, plan was:\n$p")
   }
 
+  test("CostModel ANALYZE refuses unpriceable column types instead of scoring zero") {
+    // review r14: a type neither the fixed-width table nor varMeasure
+    // prices (CalendarInterval here; UDTs are the production analog)
+    // used to fall through both and contribute ZERO bytes — the silent
+    // undersizing the class doc forbids. It must refuse loudly.
+    val df = spark.range(3)
+      .selectExpr("id", "make_interval(0, CAST(id AS INT)) AS iv")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.CostModel.analyze(df)
+    }
+    assert(err.getMessage.contains("cannot price") && err.getMessage.contains("iv"),
+      s"expected the unpriceable-type refusal naming the column, got: $err")
+  }
+
   test("qe4b generates candidates without any nested-loop join") {
     val p = finalPlan(queries.VectorQueries.qe4b(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -358,9 +358,19 @@ def main():
     # r14: artifacts may carry the machine's 1-min load average at
     # [start, end] of the run — surface both sides next to any flag so
     # the contention-vs-code question starts answered (six rounds of
-    # phantom load clusters motivated this)
+    # phantom load clusters motivated this). Wrapper-aware like
+    # extract(): the driver shape nests the line under "parsed" (or
+    # only in "tail" when front-truncated).
     for label, obj in (("new", new_obj), ("old", old_obj)):
-        ld = obj.get("load") if isinstance(obj, dict) else None
+        ld = None
+        if isinstance(obj, dict):
+            ld = obj.get("load")
+            if ld is None and isinstance(obj.get("parsed"), dict):
+                ld = obj["parsed"].get("load")
+            if ld is None:
+                m = re.search(r'"load":(\[[-+0-9.eE,\s]*\])', obj.get("tail", "") or "")
+                if m:
+                    ld = m.group(1)
         if ld:
             print(f"load avg ({label}, [start, end]): {ld}")
     cmd = rerun_cmd(fails)
