@@ -205,8 +205,12 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) => name -> (() => run(fn)) },
       reps)
+    // ADVICE r14: the load key is documented as [start, end]; a lone
+    // surviving sample is ambiguous about which endpoint it is, so the
+    // key is all-or-nothing.
+    val loads = Seq(load0, loadAvg())
     println(renderLine(results, errors, sfDir,
-      Seq(load0, loadAvg()).filter(_ >= 0)))
+      if (loads.forall(_ >= 0)) loads else Nil))
     spark.stop()
   }
 }

@@ -38,8 +38,11 @@ object SparkEntry {
 
   /** [[oracleSql]] plus the entries that can only be authored against
     * runtime state of a concrete sf dir (qe28b inlines its persisted
-    * PCA basis) — Verify threads the dir it ran so the dumped
-    * oracle_sql.json carries them.
+    * PCA basis; the six gated twins interpolate the budgets the
+    * recall-targeted sizing resolved for that corpus) — Verify threads
+    * the dir it ran so the dumped oracle_sql.json carries them. The
+    * gate entries come LAST so the resolved-budget SQL overrides the
+    * static-constant entries in VectorQueries.oracle.
     */
   def oracleSqlFor(sfDir: Option[String]): Map[String, String] =
     graft.queries.VectorQueries.qe28bOracle(sfDir) ++
@@ -57,5 +60,6 @@ object SparkEntry {
         "qm6_audio_energy" -> graft.multimodal.Multimodal.audioEnergySql,
         "qm7_image_phash" -> graft.multimodal.Multimodal.imagePhashSql,
         "qm8_corruption_scan" -> graft.multimodal.Multimodal.mediaCorruptionSql,
-        "qm9_phash_neardup" -> graft.multimodal.Multimodal.imagePhashNeardupSql)
+        "qm9_phash_neardup" -> graft.multimodal.Multimodal.imagePhashNeardupSql) ++
+      graft.queries.VectorQueries.gateOracle(sfDir)
 }

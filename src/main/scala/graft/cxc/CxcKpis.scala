@@ -3,7 +3,6 @@ package graft.cxc
 import java.time.LocalDate
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Rounding.dround
@@ -83,14 +82,14 @@ object CxcKpis {
       (col("SALDO_PENDIENTE") > 0).desc,
       when(col("SALDO_PENDIENTE") > 0, -col("SALDO_PENDIENTE")).asc_nulls_last,
       col("NOMBRE_CLIENTE").asc)
-    val w = Window.orderBy(sortKeys: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = perClient
-      .withColumn("_tot", sum("SALDO_PENDIENTE").over(wAll))
-      .withColumn("_cum", sum("SALDO_PENDIENTE").over(w))
-      .withColumn("_rn", row_number().over(Window.orderBy(sortKeys: _*)))
-      .withColumn("_n", count(lit(1)).over(wAll))
+    // r15 (VERDICT r14 item 4): the rank/cumsum/total/count quartet now
+    // comes from the stats-dispatched helper — at client cardinality it
+    // takes the same oracle-exact global-window shape as before (hashes
+    // unchanged); a key-dimension blow-up flips to the two-phase
+    // range-partition reconstruction instead of single-partitioning.
+    val ranked = graft.operators.Pareto
+      .rankCumBy(perClient, sortKeys, col("SALDO_PENDIENTE"),
+        "_rn", "_cum", "_tot", "_n")
       .filter(col("_tot") > 0)
     val body = ranked
       .withColumn("PCT_DEL_TOTAL", col("SALDO_PENDIENTE") / col("_tot"))

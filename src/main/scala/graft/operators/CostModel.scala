@@ -74,6 +74,11 @@ object CostModel {
     case _: ArrayType | _: MapType | _: StructType =>
       Some(avg(length(to_json(col(f.name)))))
     case dt if fixedWidth(dt) > 0 => None // priced by fixedWidth
+    // ADVICE r14: a NullType column (a dim built with lit(null) during
+    // assembly) is genuinely zero-width — no payload to measure, so it
+    // prices at 0 bytes like any other fixed-width-0 column. Refusing
+    // it would fail ANALYZE on a case it prices exactly.
+    case NullType => None
     case other =>
       // review r14: the old catch-all None let a type NEITHER table
       // prices (UDT, CalendarInterval, …) score zero bytes — the silent

@@ -92,6 +92,73 @@ object Pareto {
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(threshold)
   }
 
+  /** Global rank + running value sum + grand total + row count over
+    * arbitrary sort `keys`, with [[abc]]'s two execution shapes (r15,
+    * VERDICT r14 item 4: the CxC dual-sort concentración needed exactly
+    * abc's window quartet but with its OWN classification quirks, so
+    * the quartet is factored out here and both [[abc]] arms are now
+    * thin wrappers). Below the dispatch threshold the four columns come
+    * from one global window pass, bit-identical to a sequential oracle;
+    * above it the range-partition + offset reconstruction runs — ranks
+    * and counts exact, cumulative/total sums equal up to double
+    * re-association (same contract as [[abc]]).
+    */
+  def rankCumBy(df: DataFrame, keys: Seq[Column], valueCol: Column,
+      rankCol: String, cumCol: String, totCol: String, nCol: String,
+      twoPhase: Option[Boolean] = None): DataFrame = {
+    requireNoTempCollision(df)
+    if (twoPhase.getOrElse(autoTwoPhase(df)))
+      rankCumTwoPhase(df, keys, valueCol, rankCol, cumCol, totCol, nCol)
+    else {
+      val w = Window.orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn(rankCol, row_number().over(Window.orderBy(keys: _*)).cast("int"))
+        .withColumn(nCol, count(lit(1)).over(wAll))
+        .withColumn(totCol, sum(valueCol).over(wAll))
+        .withColumn(cumCol, sum(valueCol).over(w))
+    }
+  }
+
+  private def rankCumTwoPhase(df: DataFrame, keys: Seq[Column], valueCol: Column,
+      rankCol: String, cumCol: String, totCol: String, nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Same boundary-pinning rationale as rankTwoPhase: the stats collect
+    // and the returned plan must see the SAME range partitioning.
+    val parted = df
+      .repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // P rows — driver-sized by construction (P = shuffle partitions).
+    // Cast+coalesce: a non-double valueCol (decimal, int) or an all-NULL
+    // partition must not blow up the driver-side getDouble.
+    val stats = parted.groupBy("_pid")
+      .agg(coalesce(sum(valueCol.cast("double")), lit(0.0)).as("_s"), count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._2).sum
+    val n = stats.map(_._3).sum
+    val offsets = stats
+      .scanLeft((0, 0.0, 0L)) { case ((_, s, c), (pid, ps, pc)) => (pid, s + ps, c + pc) }
+      .sliding(2)
+      .collect { case Array((_, s, c), (pid, _, _)) => (pid, s, c) }
+      .toSeq
+    val offDf = offsets.toDF("_pid", "_soff", "_coff")
+    val wLocal = Window.partitionBy("_pid").orderBy(keys: _*)
+    parted
+      .withColumn("_lrn", row_number().over(wLocal))
+      .withColumn("_lcum",
+        sum(valueCol).over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(rankCol, (col("_lrn") + col("_coff")).cast("int"))
+      .withColumn(cumCol, col("_lcum") + col("_soff"))
+      .withColumn(totCol, lit(total))
+      .withColumn(nCol, lit(n))
+      .drop("_pid", "_lrn", "_lcum", "_soff", "_coff")
+  }
+
   /** Global rank over `keys` with the same two execution shapes as
     * [[abc]] (SURVEY §2.6 O1/O2 at scale): a global-window
     * `row_number` below the threshold, the range-partition + offset
@@ -192,67 +259,21 @@ object Pareto {
       .drop("_cum_raw", "_n", "_cum", "_tot")
 
   private def abcGlobalWindow(
-      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
-    val w = Window
-      .orderBy(valueCol.desc, keyCol.asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
     classify(
-      perKey
-        .withColumn("rnk", row_number().over(Window.orderBy(valueCol.desc, keyCol.asc)).cast("int"))
-        .withColumn("_n", count(lit(1)).over(wAll))
-        .withColumn("_tot", sum(valueCol).over(wAll))
-        .withColumn("_cum", sum(valueCol).over(w)),
+      rankCumBy(perKey, Seq(valueCol.desc, keyCol.asc), valueCol,
+        "rnk", "_cum", "_tot", "_n", twoPhase = Some(false)),
       valueCol)
-  }
 
+  // Phase 1 (inside rankCumTwoPhase): range partitioning gives
+  // partition i ≤ partition i+1 in (value desc, key asc) order, so
+  // local rank/cumsum + an exclusive per-partition offset reconstruct
+  // the global quantities exactly (ranks/counts bit-exact, sums up to
+  // double re-association — the class-doc contract).
   private def abcTwoPhase(
-      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
-    val spark = perKey.sparkSession
-    import spark.implicits._
-    // Phase 1: range partitioning gives partition i ≤ partition i+1 in
-    // (value desc, key asc) order, so local rank/cumsum + an exclusive
-    // per-partition offset reconstruct the global quantities exactly.
-    //
-    // localCheckpoint PINS the partitioning: the stats collect below and
-    // the returned plan are two separate evaluations, and
-    // RangePartitioner's sampled boundaries are not stable across
-    // re-evaluation — without materializing, rows near a boundary could
-    // land in a different _pid than the one whose offsets were
-    // collected, silently corrupting ranks at exactly the scale this
-    // path exists for.
-    val parted = perKey
-      .repartitionByRange(valueCol.desc, keyCol.asc)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    // P rows — driver-sized by construction (P = shuffle partitions).
-    // Cast+coalesce: a non-double valueCol (decimal, int) or an all-NULL
-    // partition must not blow up the driver-side getDouble.
-    val stats = parted.groupBy("_pid")
-      .agg(coalesce(sum(valueCol.cast("double")), lit(0.0)).as("_s"), count(lit(1)).as("_c"))
-      .collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
-      .sortBy(_._1)
-    val total = stats.map(_._2).sum
-    val n = stats.map(_._3).sum
-    val offsets = stats
-      .scanLeft((0, 0.0, 0L)) { case ((_, s, c), (pid, ps, pc)) => (pid, s + ps, c + pc) }
-      .sliding(2)
-      .collect { case Array((_, s, c), (pid, _, _)) => (pid, s, c) }
-      .toSeq
-    val offDf = offsets.toDF("_pid", "_soff", "_coff")
-    val wLocal = Window.partitionBy("_pid").orderBy(valueCol.desc, keyCol.asc)
+      perKey: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
     classify(
-      parted
-        .withColumn("_lrn", row_number().over(wLocal))
-        .withColumn("_lcum",
-          sum(valueCol).over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(offDf), Seq("_pid"))
-        .withColumn("rnk", (col("_lrn") + col("_coff")).cast("int"))
-        .withColumn("_cum", col("_lcum") + col("_soff"))
-        .withColumn("_tot", lit(total))
-        .withColumn("_n", lit(n))
-        .drop("_pid", "_lrn", "_lcum", "_soff", "_coff"),
+      rankCumBy(perKey, Seq(valueCol.desc, keyCol.asc), valueCol,
+        "rnk", "_cum", "_tot", "_n", twoPhase = Some(true)),
       valueCol)
-  }
 }

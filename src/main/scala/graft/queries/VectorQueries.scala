@@ -1732,6 +1732,139 @@ object VectorQueries {
   private val GateFitIters = 3
   private val GateFitPerCell = 64
 
+  /** Default recall15 target for recall-targeted gate sizing (r15,
+    * VERDICT r14 item 1 — the round that converts the persisted sweep
+    * curves from advisory measurement into production behavior). 0.70
+    * is the recall class the P=16 constant was chosen to deliver at the
+    * tuned sf0.1 scale (measured 0.778 there, 0.867 at the n=20k skew
+    * corpus — gates/r14), so on the tuned corpus the sized build and
+    * the constant build coincide, while a corpus whose curve certifies
+    * a CHEAPER budget at the target (e.g. sf0.01: P=8 at 0.738)
+    * actually gets the cheaper index. Override per run with the
+    * `SPARK_GRAFT_GATE_TARGET` env knob (same operator family as
+    * SPARK_GRAFT_CPUS/SHUFFLE).
+    */
+  private[graft] val GateRecallTarget = 0.70
+
+  private[graft] def gateTarget: Double =
+    sys.env.get("SPARK_GRAFT_GATE_TARGET").map { v =>
+      val t = scala.util.Try(v.trim.toDouble).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_GATE_TARGET must be a recall fraction (got '$v')"))
+      require(t > 0.0 && t <= 1.0,
+        s"SPARK_GRAFT_GATE_TARGET must be in (0, 1] (got $t)")
+      t
+    }.getOrElse(GateRecallTarget)
+
+  // Resolution is memoized per corpus dir for the JVM lifetime: one
+  // Verify process runs the gated queries AND dumps their oracle SQL,
+  // and both MUST see the same resolved budget even if a concurrent
+  // GateSweep rewrites the curve between the two reads. First
+  // resolution wins; specs that plant curves use clearGateSizing().
+  private val resolvedProbes =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val resolvedFrac =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** The probe budget the production gate actually builds with: the
+    * cheapest budget the persisted, staleness-guarded sweep curve
+    * certifies at [[gateTarget]] when such a curve exists for this
+    * corpus; the static [[GateProbes]] otherwise (no curve, stale
+    * curve, or no swept budget reaching the target — escalating to a
+    * budget the curve does NOT certify would silently miss the target,
+    * so the fallback is the documented constant, not the largest swept
+    * value).
+    */
+  private[graft] def resolvedGateProbes(dir: String): Int =
+    resolvedProbes.computeIfAbsent(dir,
+      _ => Integer.valueOf(gateProbesFor(dir, gateTarget).getOrElse(GateProbes))
+    ).intValue
+
+  /** [[resolvedGateProbes]]'s mass-budget twin: cheapest certified
+    * scanned-mass fraction at [[gateTarget]], else [[GateMassFrac]].
+    */
+  private[graft] def resolvedGateMassFrac(dir: String): Double =
+    resolvedFrac.computeIfAbsent(dir,
+      _ => java.lang.Double.valueOf(
+        gateMassFracFor(dir, gateTarget).getOrElse(GateMassFrac))
+    ).doubleValue
+
+  /** Spec hook: drop memoized sizing decisions (a test that plants a
+    * curve, resolves, then plants a different curve needs the second
+    * plant to be visible). Never called on a production path.
+    */
+  private[graft] def clearGateSizing(): Unit = {
+    resolvedProbes.clear()
+    resolvedFrac.clear()
+    resolvedRule.clear()
+  }
+
+  /** Fixed-P vs mass-budget auto-dispatch threshold (r15, VERDICT r14
+    * item 2). Fixed-P's scan cost is P·n/K on a balanced fit; on a
+    * mass-skewed fit every query probes the same heavy cells and the
+    * scan inflates to the top-P cells' combined mass fraction —
+    * measured 4.8× the balanced model at the n=20k megacell fit where
+    * recall stayed HIGHER than at sf0.1 (gates/r14). The dispatch rule:
+    * when the production fit's top-P home-mass fraction exceeds this
+    * factor × the balanced P/K model, the fixed-P cost contract is
+    * broken badly enough that the mass-budgeted gate (cost pinned BY
+    * CONSTRUCTION, recall equal at equal scanned mass — reproduced to
+    * 3dp at two sfs and at 10×) is the right rule. 2.0 sits between
+    * the measured near-balanced oracle fits (gates/r15/cellbalance_sf
+    * .txt: top-16 mass 77.8% vs 69.6% balanced at sf0.01 → ratio 1.12;
+    * 40.4% vs 35.6% at sf0.1 → 1.14 — comfortably fixed-P) and the
+    * megacell regime (n=20k: 52-56% vs 11.3% → ratio 4.6-5.0 — mass),
+    * with the n=20k receipts as the justification for the gap being
+    * real and wide.
+    */
+  private[graft] val GateSkewFactor = 2.0
+
+  /** The dispatch rule as a pure function of the fit's home-mass
+    * distribution (spec-pinned both ways in GateSizingSpec): true =
+    * use the mass-budgeted gate. K ≤ P means the gate probes every
+    * cell — fixed-P is exact AND cost-capped there, so it wins by
+    * construction.
+    */
+  private[graft] def gateRuleFor(masses: Seq[Long], n: Long, probes: Int, k: Int): Boolean =
+    k > probes && n > 0 && {
+      val topP = masses.sorted(Ordering[Long].reverse).take(probes).map(_.toDouble).sum
+      topP / n > GateSkewFactor * probes.toDouble / k
+    }
+
+  private val resolvedRule =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Production dispatch for this corpus: measure the production fit's
+    * home-mass skew once per JVM and pick the rule ([[gateRuleFor]]).
+    * `SPARK_GRAFT_GATE_RULE` ∈ {auto, fixed, mass} forces a side (env,
+    * not session conf, so the oracle dump — which has no session — and
+    * the build read the same switch). Memoized like the sizing: one
+    * Verify process decides once and both the engine run and the
+    * dumped oracle SQL see that decision.
+    */
+  private[graft] def gateUseMass(s: SparkSession, dir: String): Boolean =
+    resolvedRule.computeIfAbsent(dir, _ => java.lang.Boolean.valueOf {
+      sys.env.getOrElse("SPARK_GRAFT_GATE_RULE", "auto") match {
+        case "fixed" => false
+        case "mass" => true
+        case "auto" =>
+          val masses = gateHomeMasses(s, dir).collect().map(_.getLong(1)).toSeq
+          val n = masses.sum
+          gateRuleFor(masses, n, resolvedGateProbes(dir), gateK(n))
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_GATE_RULE must be auto|fixed|mass (got '$other')")
+      }
+    }).booleanValue
+
+  /** The decision already made for `dir` this JVM, if any — what the
+    * dump-time oracle reads (the engine ran qe15d earlier in the same
+    * process, so the memo is set; an unset memo means qe15d never ran
+    * and the entry defaults to the fixed-P arm, matching the engine's
+    * no-information default).
+    */
+  private[graft] def gateRuleDecided(dir: String): Option[Boolean] =
+    Option(resolvedRule.get(dir)).map(_.booleanValue)
+
   /** √n-list IVF sizing: candidate volume per query is P·n/K, so
     * K ~ √n holds total work at P·n^1.5. Floor 8 keeps the quantizer
     * meaningful on tiny corpora; when K ≤ [[GateProbes]] the gate
@@ -1745,27 +1878,36 @@ object VectorQueries {
 
   /** Persisted gate-index location for a data dir (tmpdir-keyed — the
     * engine must not write into the read-only data roots; parameter-
-    * fingerprinted so a GateProbes/fit-parameter change forces a
+    * fingerprinted so a probe-budget/fit-parameter change forces a
     * rebuild instead of silently serving an old index, ADVICE r12).
+    * r15: the fingerprint embeds the RESOLVED probe budget, so a sized
+    * build and the constant fallback build never share a directory —
+    * when a new sweep re-sizes the gate, the old index is simply
+    * orphaned, never served.
     */
   def gateIndexPath(dir: String): String =
     graft.sources.HadoopFs.indexPath(
-      "gate", dir, GateProbes, GateFitIters, GateFitPerCell, "sqrtK")
+      "gate", dir, resolvedGateProbes(dir), GateFitIters, GateFitPerCell, "sqrtK")
 
   /** One measured sweep row: (probes, cand_rows, recall15, recall22,
     * agree25) — the units tools/GateSweep prints and RecallSpec floors.
     */
   type SweepRow = (Int, Long, Double, Double, Double)
 
-  /** Persisted probe→recall curve alongside the gate index (VERDICT r13
-    * item 8): tools/GateSweep writes the measured table here, so every
-    * future sizing decision — and RecallSpec's gated-trio floors — can
-    * READ the recorded measurement for this corpus instead of
-    * re-deriving it. Lives inside the parameter-fingerprinted index dir:
-    * a GateProbes/fit change moves the path, so a stale curve can never
-    * be paired with a differently-parameterized gate.
+  /** Persisted probe→recall curve for this corpus (VERDICT r13 item 8):
+    * tools/GateSweep writes the measured table here; the production
+    * sizing ([[resolvedGateProbes]]) and RecallSpec's gated-trio floors
+    * READ the recorded measurement instead of re-deriving it. r15: the
+    * path is fingerprinted on the FIT parameters only — the curve
+    * sweeps the probe-budget axis, so the budget must not key its
+    * location (the sized build changes the budget, and could then never
+    * find the curve that sized it). A fit-parameter change still moves
+    * the path, so a curve can never be paired with a differently-fitted
+    * quantizer.
     */
-  def gateSweepPath(dir: String): String = s"${gateIndexPath(dir)}/_sweep.json"
+  def gateSweepPath(dir: String): String =
+    graft.sources.HadoopFs.indexPath(
+      "gatesweep", dir, GateFitIters, GateFitPerCell, "sqrtK") + "/_sweep.json"
 
   def writeGateSweep(dir: String, rows: Seq[SweepRow]): Unit = {
     val f = new java.io.File(gateSweepPath(dir))
@@ -1774,6 +1916,21 @@ object VectorQueries {
       s"""{"probes":$p,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+    stampPastCorpus(f, dir)
+  }
+
+  /** ADVICE r14: on filesystems with coarse (1 s) mtime granularity a
+    * sweep persisted in the same tick as the corpus it just measured
+    * reads as stale under [[sweepCurrent]]'s strict `>` and is silently
+    * orphaned. Mirror the index artifacts' _SUCCESS-last convention:
+    * stamp the freshly written sweep strictly past the corpus. The
+    * write HAS just measured this corpus, so the claim the stamp makes
+    * is true by construction.
+    */
+  private def stampPastCorpus(f: java.io.File, dir: String): Unit = {
+    val src = graft.sources.HadoopFs.newestMtime(
+      new org.apache.hadoop.conf.Configuration(), s"$dir/embeddings.parquet")
+    f.setLastModified(math.max(f.lastModified, src + 1000L))
   }
 
   /** A persisted sweep is only valid for the corpus it was measured on:
@@ -1811,12 +1968,13 @@ object VectorQueries {
     */
   type MassSweepRow = (Double, Long, Double, Double, Double)
 
-  /** The mass-budget gate's persisted sweep curve, inside ITS
-    * fingerprinted index dir (family "gatemass") — same lifecycle as
-    * [[gateSweepPath]]: a GateMassFrac/fit change moves the path.
+  /** The mass-budget gate's persisted sweep curve — same fit-only
+    * fingerprint lifecycle as [[gateSweepPath]] (the curve sweeps the
+    * mass-fraction axis, so the fraction must not key its location).
     */
   def gateMassSweepPath(dir: String): String =
-    s"${gateMassIndexPath(dir)}/_sweep.json"
+    graft.sources.HadoopFs.indexPath(
+      "gatemasssweep", dir, GateFitIters, GateFitPerCell, "sqrtK") + "/_sweep.json"
 
   def writeGateMassSweep(dir: String, rows: Seq[MassSweepRow]): Unit = {
     val f = new java.io.File(gateMassSweepPath(dir))
@@ -1825,6 +1983,7 @@ object VectorQueries {
       s"""{"mass_frac":$fr,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+    stampPastCorpus(f, dir)
   }
 
   def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] = {
@@ -1948,32 +2107,52 @@ object VectorQueries {
     * always taken). On mass-skewed fits this pins the scanned fraction
     * by construction — to within the last cell's overshoot — which is
     * the guarantee the fixed-P rule loses when megacells form.
-    * Deterministic (ranked cells + a window cumsum) and SQL-replicable
-    * ([[gateMassCtes]]).
+    * Deterministic (ranked cells + a running-mass cut) and
+    * SQL-replicable ([[gateMassCtes]], which keeps the equivalent
+    * window-cumsum formulation — the selected cells are identical).
     *
-    * Scale class: the ranked frame shuffled into the cumsum window is
-    * n·K = n^1.5 rows of three narrow columns (the fixed-P path
-    * explodes only P·n) — the same complexity class as, and
-    * subdominant to, the gate's own candidate volume (massFrac·n² at
-    * the budget, P·n^1.5 for fixed P), so the cut stage never becomes
-    * the bottleneck the rule exists to prevent. tools/GateSweep's
-    * SPARK_GRAFT_MASS_BUDGETS mode measures the recall/mass curve.
+    * Scale class (r15, VERDICT r14 item 5): the cut is MAP-ONLY. The
+    * per-cell home-mass table is K rows — the same driver-sized scalar
+    * class as the centroids themselves — collected once and inlined as
+    * an array literal indexed by cell id, and each vector's ranked
+    * cell list is cut by a running-sum `aggregate` over its own sorted
+    * candidate array inside the projection. The r14 formulation
+    * shuffled n·K = n^1.5 ranked rows into a per-vector window cumsum;
+    * now no Exchange exists between probe assignment and the candidate
+    * equi-join (PlanSpec pins the build plan Window-free). Empty cells
+    * (no home mass) may survive the cut where the old inner mass join
+    * dropped them — they carry zero mass (identical running sums) and
+    * zero candidates (no home rows to match), so the scored frame is
+    * identical; only a few zero-match probe rows ride the join.
+    * tools/GateSweep's SPARK_GRAFT_MASS_BUDGETS mode measures the
+    * recall/mass curve.
     */
   private[graft] def gateCandsMassBudget(e: DataFrame,
       cents: Array[(Int, Seq[Double])], massFrac: Double, n: Long): DataFrame = {
     val cands = centroidCands(cents)
     val home = e.withColumn("cid", array_min(cands).getField("cid"))
       .select(col("cid"), col("vec_id").as("idb"))
-    val mass = home.groupBy("cid").agg(count(lit(1)).as("mass"))
+    val massByCid: Array[Long] = {
+      val arr = new Array[Long](cents.map(_._1).max + 1)
+      home.groupBy("cid").agg(count(lit(1)).as("mass"))
+        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
     val budget = math.max(1L, math.ceil(massFrac * n).toLong)
-    val rankedAll = e.select(col("vec_id").as("ida"),
-        posexplode(array_sort(cands)).as(Seq("pos", "pc")))
-      .select(col("ida"), col("pos"), col("pc").getField("cid").as("cid"))
-      .join(broadcast(mass), Seq("cid"))
-    val probed = rankedAll.withColumn("cum_before",
-        coalesce(sum(col("mass")).over(Window.partitionBy("ida")
-          .orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("pos") === 0 || col("cum_before") < budget)
+    val mlit = typedLit(massByCid.toSeq)
+    // running cut over the sorted (distance, cid) array: the rk=1 home
+    // cell is always taken (empty keep list), then a cell is kept while
+    // the cumulative home mass BEFORE it is under the budget
+    val kept = aggregate(
+      array_sort(cands),
+      struct(lit(0L).as("cum"), typedLit(Seq.empty[Int]).as("keep")),
+      (acc, x) => struct(
+        (acc.getField("cum") + element_at(mlit, x.getField("cid") + 1)).as("cum"),
+        when(size(acc.getField("keep")) === 0 || acc.getField("cum") < budget,
+          concat(acc.getField("keep"), array(x.getField("cid"))))
+          .otherwise(acc.getField("keep")).as("keep")),
+      acc => acc.getField("keep"))
+    val probed = e.select(col("vec_id").as("ida"), explode(kept).as("cid"))
       .select("cid", "ida")
     gateScoreCands(e, probed, home)
   }
@@ -2067,13 +2246,15 @@ object VectorQueries {
     }.reduce(_.unionByName(_))
   }
 
-  /** The corpus gate at its production sizing (K = ⌈√n⌉, P probes) —
-    * what [[gateBuild]] persists and PlanSpec pins.
+  /** The corpus gate at its production sizing (K = ⌈√n⌉, P =
+    * [[resolvedGateProbes]] — curve-sized when a current sweep exists
+    * for this corpus, the [[GateProbes]] constant otherwise) — what
+    * [[gateBuild]] persists and PlanSpec pins.
     */
   private[graft] def gateCands(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val n = Tables.embeddings(s, dir).count()
-    gateCandsFrom(e, gateK(n), GateProbes, n)
+    gateCandsFrom(e, gateK(n), resolvedGateProbes(dir), n)
   }
 
   /** Offline build of the shared gate index (one fit + one scored
@@ -2162,19 +2343,21 @@ object VectorQueries {
   private[graft] val GateMassFrac = 0.35
 
   /** Persisted mass-budgeted gate index (the qe15c candidate frame) —
-    * fingerprinted on its own family + parameters, like [[gateIndexPath]].
+    * fingerprinted on its own family + the RESOLVED fraction, like
+    * [[gateIndexPath]].
     */
   def gateMassIndexPath(dir: String): String =
     graft.sources.HadoopFs.indexPath(
-      "gatemass", dir, GateMassFrac, GateFitIters, GateFitPerCell, "sqrtK")
+      "gatemass", dir, resolvedGateMassFrac(dir), GateFitIters, GateFitPerCell, "sqrtK")
 
   /** Offline build of the mass-budgeted candidate frame (same fit as
-    * the fixed-P gate; only the ranked-cell cut rule differs).
+    * the fixed-P gate; only the ranked-cell cut rule differs). Sized
+    * from the persisted mass sweep when one exists ([[resolvedGateMassFrac]]).
     */
   private[graft] def gateMassCands(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val n = Tables.embeddings(s, dir).count()
-    gateCandsMassBudget(e, gateFitCents(e, gateK(n), n), GateMassFrac, n)
+    gateCandsMassBudget(e, gateFitCents(e, gateK(n), n), resolvedGateMassFrac(dir), n)
   }
 
   def gateMassBuild(s: SparkSession, dir: String, path: String): Unit =
@@ -2200,6 +2383,20 @@ object VectorQueries {
     */
   def qe15c(s: SparkSession, dir: String): DataFrame =
     densityTailFrom(s, dir, gatedMassSym(s, dir))
+
+  /** The AUTO-DISPATCHED gated density twin (r15, VERDICT r14 item 2):
+    * measures the production fit's home-mass skew and serves whichever
+    * gate rule [[gateRuleFor]] certifies for THIS corpus — fixed-P
+    * where the fit is near-balanced (the oracle sfs; fixed-P's scan
+    * tracks the P·n/K model there), the mass-budgeted cut where
+    * megacells break fixed-P's cost contract (the n=20k skew corpus).
+    * This is the entry a 100 TB operator actually calls: the two
+    * explicit twins stay registered as the rule-pinned anchors, and
+    * the dispatch decision is recorded once per JVM and mirrored into
+    * the dump-time oracle ([[gateOracle]]).
+    */
+  def qe15d(s: SparkSession, dir: String): DataFrame =
+    if (gateUseMass(s, dir)) qe15c(s, dir) else qe15b(s, dir)
 
   /** qe22b's mass-budgeted sibling: identical mutual-top-1 ratio-margin
     * tail over the [[GateMassFrac]] candidate frame (one shared
@@ -2323,7 +2520,7 @@ object VectorQueries {
     (head +: its :+ af).mkString(",\n")
   }
 
-  private[graft] lazy val gateCtes: String = {
+  private[graft] def gateCtes(probes: Int = GateProbes): String = {
     val fit = lloydCtes(
       "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e",
       GateFitIters)
@@ -2333,7 +2530,7 @@ object VectorQueries {
        |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk = 1),
        |probed AS (
        |  SELECT n.vec_id AS ida, n.label AS la, n.vec AS va, n.nrm AS na, af.cid
-       |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk <= $GateProbes),
+       |  FROM af JOIN n ON af.vec_id = n.vec_id WHERE af.rk <= $probes),
        |gcand AS (
        |  SELECT ida, la, idb, lb,
        |         round(list_dot_product(va, vb) / (na * nb), 6) AS cos
@@ -2370,7 +2567,7 @@ object VectorQueries {
     * fewer than [[DensityK]] gated candidates; distance 2.0 when it has
     * none).
     */
-  private lazy val qe15bSql = densityTailSql(gateCtes)
+  private lazy val qe15bSql = densityTailSql(gateCtes())
 
   /** The mass-budgeted gate's candidate chain in SQL ([[gateCandsMassBudget]]
     * at [[GateMassFrac]]): the same Lloyd fit and `af` ranked-cell frame
@@ -2382,7 +2579,7 @@ object VectorQueries {
     * DOUBLE on both engines (a bare 0.35 literal is DECIMAL in DuckDB
     * and would ceil differently on FP-edge products).
     */
-  private[graft] lazy val gateMassCtes: String = {
+  private[graft] def gateMassCtes(massFrac: Double = GateMassFrac): String = {
     val fit = lloydCtes(
       "SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e",
       GateFitIters)
@@ -2394,7 +2591,7 @@ object VectorQueries {
        |  SELECT cid, CAST(count(*) AS BIGINT) AS mass
        |  FROM af WHERE rk = 1 GROUP BY cid),
        |bdg AS (
-       |  SELECT greatest(1, CAST(ceil(CAST($GateMassFrac AS DOUBLE) * count(*))
+       |  SELECT greatest(1, CAST(ceil(CAST($massFrac AS DOUBLE) * count(*))
        |                          AS BIGINT)) AS b FROM e),
        |ranked AS (
        |  SELECT af.vec_id, af.cid, af.rk,
@@ -2413,7 +2610,7 @@ object VectorQueries {
        |  FROM probed JOIN home USING (cid) WHERE ida <> idb)""".stripMargin
   }
 
-  private lazy val qe15cSql = densityTailSql(gateMassCtes)
+  private lazy val qe15cSql = densityTailSql(gateMassCtes())
 
   /** qe15's density/OOD tail over any `gcand` chain — shared by the
     * fixed-P (qe15b) and mass-budgeted (qe15c) oracles, mirroring
@@ -2442,8 +2639,8 @@ object VectorQueries {
   /** qe22b oracle: the gate chain + qe22's mutual-top-1 ratio-margin
     * tail over the directed candidates.
     */
-  private lazy val qe22bSql = mutualTailSql(gateCtes)
-  private lazy val qe22cSql = mutualTailSql(gateMassCtes)
+  private lazy val qe22bSql = mutualTailSql(gateCtes())
+  private lazy val qe22cSql = mutualTailSql(gateMassCtes())
 
   private def mutualTailSql(ctes: String): String =
     s"""$ctes,
@@ -2466,8 +2663,8 @@ object VectorQueries {
        |JOIN top tb ON vec_b = tb.ida""".stripMargin
 
   /** qe25b oracle: the gate chain + qe25's vote/confusion tail. */
-  private lazy val qe25bSql = confusionTailSql(gateCtes)
-  private lazy val qe25cSql = confusionTailSql(gateMassCtes)
+  private lazy val qe25bSql = confusionTailSql(gateCtes())
+  private lazy val qe25cSql = confusionTailSql(gateMassCtes())
 
   private def confusionTailSql(ctes: String): String =
     s"""$ctes,
@@ -3381,6 +3578,35 @@ object VectorQueries {
     * the driver then records the weaker rows-only check rather than a
     * false failure.
     */
+  /** The six gated-twin oracles, generated AT DUMP TIME with the SAME
+    * resolved budgets the production builds used for this corpus (r15,
+    * VERDICT r14 item 1): when Verify threads a concrete sf dir, the
+    * probe count / mass fraction interpolated into the CTE chains is
+    * [[resolvedGateProbes]] / [[resolvedGateMassFrac]] — memoized per
+    * JVM, so the engine run earlier in the same Verify process built
+    * against the identical numbers. With no dir (the static
+    * [[oracle]] map / SparkEntry.oracleSql) the documented constants
+    * are interpolated, matching the no-curve fallback build.
+    */
+  def gateOracle(sfDir: Option[String]): Map[String, String] = {
+    val p = sfDir.map(resolvedGateProbes).getOrElse(GateProbes)
+    val f = sfDir.map(resolvedGateMassFrac).getOrElse(GateMassFrac)
+    Map(
+      "qe15b_gated_density" -> densityTailSql(gateCtes(p)),
+      "qe22b_gated_mutual_nn" -> mutualTailSql(gateCtes(p)),
+      "qe25b_gated_confusion" -> confusionTailSql(gateCtes(p)),
+      "qe15c_massgated_density" -> densityTailSql(gateMassCtes(f)),
+      "qe22c_massgated_mutual_nn" -> mutualTailSql(gateMassCtes(f)),
+      "qe25c_massgated_confusion" -> confusionTailSql(gateMassCtes(f)),
+      // the auto-dispatched twin's oracle mirrors the decision the
+      // engine memoized for this corpus earlier in the same JVM
+      // (unset = the fixed-P default the engine would also take)
+      "qe15d_autogated_density" ->
+        (if (sfDir.flatMap(gateRuleDecided).getOrElse(false))
+          densityTailSql(gateMassCtes(f))
+        else densityTailSql(gateCtes(p))))
+  }
+
   def qe28bOracle(sfDir: Option[String]): Map[String, String] =
     sfDir.map(d => java.nio.file.Paths.get(s"${pcaIndexPath(d)}/basis.json"))
       .filter(java.nio.file.Files.exists(_))
@@ -3649,6 +3875,7 @@ object VectorQueries {
     "qe15_knn_density" -> (qe15 _),
     "qe15b_gated_density" -> (qe15b _),
     "qe15c_massgated_density" -> (qe15c _),
+    "qe15d_autogated_density" -> (qe15d _),
     "qe22c_massgated_mutual_nn" -> (qe22c _),
     "qe25c_massgated_confusion" -> (qe25c _),
     "qe16_cluster_sample" -> (qe16 _),

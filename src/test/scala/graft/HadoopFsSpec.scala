@@ -55,18 +55,21 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(!sources.HadoopFs.indexStale(conf, idx.toString, src.toString))
   }
 
-  test("gate sweep curve round-trips through _sweep.json in the fingerprinted index dir") {
-    // VERDICT r13 item 8: the measured probes→recall table persists
-    // alongside the index it sizes; the path is a pure function of the
-    // data dir + gate parameters, so a parameter change orphans the
-    // old curve instead of serving it
+  test("gate sweep curve round-trips through _sweep.json in the fit-fingerprinted dir") {
+    // VERDICT r13 item 8 / r15: the measured probes→recall table
+    // persists at a path fingerprinted on the FIT parameters only —
+    // the curve sweeps the budget axis, so the budget must not key its
+    // location (the sized build changes the budget and must still find
+    // the curve that sized it). A fit change still orphans the curve.
     val dir = tmpDir().toString
     val rows: Seq[graft.queries.VectorQueries.SweepRow] = Seq(
       (8, 713000L, 0.57, 0.41, 0.45), (16, 1430000L, 0.7782, 0.7146, 0.65))
     assert(graft.queries.VectorQueries.readGateSweep(dir).isEmpty)
     graft.queries.VectorQueries.writeGateSweep(dir, rows)
+    assert(graft.queries.VectorQueries.gateSweepPath(dir).endsWith("/_sweep.json"))
     assert(graft.queries.VectorQueries.gateSweepPath(dir)
-      .startsWith(graft.queries.VectorQueries.gateIndexPath(dir)))
+      != graft.queries.VectorQueries.gateMassSweepPath(dir),
+      "probe and mass curves are different measurements with distinct homes")
     assert(graft.queries.VectorQueries.readGateSweep(dir).contains(rows))
   }
 
@@ -86,8 +89,7 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.7).isEmpty)
     graft.queries.VectorQueries.writeGateSweep(dir, probeRows)
     graft.queries.VectorQueries.writeGateMassSweep(dir, massRows)
-    assert(graft.queries.VectorQueries.gateMassSweepPath(dir)
-      .startsWith(graft.queries.VectorQueries.gateMassIndexPath(dir)))
+    assert(graft.queries.VectorQueries.gateMassSweepPath(dir).endsWith("/_sweep.json"))
     assert(graft.queries.VectorQueries.readGateMassSweep(dir).contains(massRows))
     // smallest budget meeting the target, in budget order not file order
     assert(graft.queries.VectorQueries.gateProbesFor(dir, 0.70).contains(16))

@@ -384,15 +384,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan(queries.VectorQueries.qe15b(spark, sf)).contains("CartesianProduct"))
   }
 
-  test("qe15c mass-budgeted gate: broadcast mass join + per-vector cumsum, no theta join") {
-    // r14: the pinned-scan-fraction twin. Its cut rule adds a broadcast
-    // equi-join on the cell id (the per-cell mass table, K rows) and a
-    // window cumsum PARTITIONED BY the vector id — never an all-pairs
-    // theta join, and never an unpartitioned global window.
+  test("qe15c mass-budgeted gate: map-only running-mass cut, no theta join, no Window") {
+    // r14 shipped the twin with an n·K window cumsum; r15 (VERDICT r14
+    // item 5) cuts each vector's ranked cell list by a running-sum
+    // `aggregate` over its own sorted candidate array with the K-row
+    // mass table inlined as a literal — so the build plan must carry
+    // NO Window operator and no Exchange between probe assignment and
+    // the candidate equi-join (the only joins left are the cell-id
+    // equi-join and the two id-side lookups).
     val build = finalPlan(queries.VectorQueries.gateMassCands(spark, sf))
     assert(!build.contains("BroadcastNestedLoopJoin") &&
       !build.contains("CartesianProduct"),
       "mass-budget build must stay equi-joins on the cell id")
+    assert(!build.contains("Window"),
+      "the r15 cut is map-only — a Window in the build means the n·K cumsum shuffle is back")
     for (q <- Seq(queries.VectorQueries.knnPairsMassGated(spark, sf),
                   queries.VectorQueries.qe22c(spark, sf),
                   queries.VectorQueries.qe25c(spark, sf)))

@@ -123,16 +123,20 @@ class RecallSpec extends AnyFunSuite {
         .persist()
     })
 
-  /** Gated-trio floor from the PERSISTED sweep curve when one exists for
-    * this corpus (VERDICT r13 item 8; tools/GateSweep writes _sweep.json
-    * into the fingerprinted gate index dir): measured recall at the
-    * production GateProbes minus the one-unlucky-corpus margin (0.10),
-    * floored to 2dp. The static table stays the safety net — the
-    * effective floor is max(static, sweep-derived), so a machine that
-    * never ran the sweep gets exactly the old behavior and a machine
-    * that did cannot silently LOOSEN a floor.
+  /** Gated-trio floor from the PERSISTED sweep curve when one exists
+    * for this corpus (VERDICT r13 item 8): measured recall at the
+    * budget the production build RESOLVED (r15 — curve-sized when a
+    * current sweep exists) minus the one-unlucky-corpus margin (0.10),
+    * floored to 2dp. Floor policy: when sizing kept the static budget,
+    * the effective floor is max(static, sweep-derived) — a sweep can
+    * only TIGHTEN the constant build's floor. When sizing chose a
+    * DIFFERENT budget, the static floor was measured under another
+    * configuration and does not apply; the sweep-derived floor (itself
+    * measured-minus-margin, and ≥ target − margin by the sizing rule)
+    * is the hard floor, recorded in RECALL.json like any other.
+    * Returns (floor, sizedAway).
     */
-  private def sweepFloor(name: String, sf: Sf): Option[Double] = {
+  private def sweepFloor(name: String, sf: Sf): Option[(Double, Boolean)] = {
     // r14: the c-trio reads the MASS sweep at GateMassFrac, the b-trio
     // the probe sweep at GateProbes — each curve lives inside its own
     // fingerprinted index dir, so neither can cross-apply.
@@ -153,21 +157,34 @@ class RecallSpec extends AnyFunSuite {
       case 4 => r._4
       case _ => r._5
     }
+    // r15: the production build is sized by resolvedGateProbes /
+    // resolvedGateMassFrac (curve-driven when a current sweep exists),
+    // so the floor must read the curve at the budget the build ACTUALLY
+    // used — reading the static constant would floor a P=8-sized build
+    // against P=16's measured recall and fail spuriously.
     val measured = probeCol.flatMap { c =>
+      val p = queries.VectorQueries.resolvedGateProbes(sf.dir)
       queries.VectorQueries.readGateSweep(sf.dir)
-        .flatMap(_.find(_._1 == queries.VectorQueries.GateProbes))
-        .map(pick(c, _))
+        .flatMap(_.find(_._1 == p))
+        .map(r => (pick(c, r), p != queries.VectorQueries.GateProbes))
     }.orElse(massCol.flatMap { c =>
+      val f = queries.VectorQueries.resolvedGateMassFrac(sf.dir)
       queries.VectorQueries.readGateMassSweep(sf.dir)
-        .flatMap(_.find(_._1 == queries.VectorQueries.GateMassFrac))
-        .map(pick(c, _))
+        .flatMap(_.find(_._1 == f))
+        .map(r => (pick(c, r), f != queries.VectorQueries.GateMassFrac))
     })
-    measured.map(m => math.floor((m - 0.10) * 100) / 100)
+    measured.map { case (m, sized) =>
+      (math.floor((m - 0.10) * 100) / 100, sized)
+    }
   }
 
   private def record(name: String, sf: Sf, recall: Double, vs: String): Unit = {
     val static = floors(name -> sf.label)
-    val floor = sweepFloor(name, sf).map(math.max(static, _)).getOrElse(static)
+    val floor = sweepFloor(name, sf) match {
+      case Some((sw, true)) => sw // sized away from the constant build
+      case Some((sw, false)) => math.max(static, sw)
+      case None => static
+    }
     results(name -> sf.label) = (recall, floor, vs)
     info(f"$name@${sf.label} recall $recall%.4f (floor $floor%.2f)")
     assert(recall >= floor,

@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# One-command reproduction of the 10x skew-corpus scale evidence
+# (VERDICT r14 item 3: the corpus lives in tmpdir and dies on reboot,
+# and the knobs that make the sweeps runnable used to live only in
+# BENCH_NOTES prose).
+#
+# What it runs, in order, with the required session sizing
+# (SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SHUFFLE=192 —
+# the 200M-row exact-pair anchors OOM the default 8g/32-wide session):
+#   1. tools/Sf1Skew        — (re)build /tmp/graft_sf1_skew (skipped if
+#                             present) + the skew-sensitive suite,
+#                             min-of-2 per query (SPARK_GRAFT_SUITE=all
+#                             adds the duplication-heavy text family)
+#   2. tools/CellBalance    — home-mass skew of the production gate fit
+#                             (the fixed-P vs mass-budget dispatch signal)
+#   3. tools/GateSweep      — probe-budget recall curve, persisted as
+#                             _sweep.json (drives recall-targeted sizing)
+#   4. tools/GateSweep mass — scanned-mass recall curve, ditto
+#
+# Wall-clock: ~30 min probe sweep + ~20 min mass sweep + ~10 min suite
+# on a 32-core box (BENCH_NOTES r14). Artifacts print to stdout; commit
+# them under gates/r<N>/ like gates/r14/sf1skew_suite.txt.
+#
+# Usage: tools/skew_suite.sh [suite|balance|sweep|masssweep|all]
+# (default: all)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-80g}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
+export SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-192}"
+SKEW_DIR="${TMPDIR:-/tmp}/graft_sf1_skew"
+STEP="${1:-all}"
+
+run() { echo ">>> $*"; sbt -batch "$@"; }
+
+if [[ "$STEP" == "suite" || "$STEP" == "all" ]]; then
+  # builds the corpus if absent, then times the skew suite
+  SPARK_GRAFT_SUITE=all run "runMain graft.tools.Sf1Skew"
+fi
+if [[ "$STEP" == "balance" || "$STEP" == "all" ]]; then
+  run "runMain graft.tools.CellBalance $SKEW_DIR"
+fi
+if [[ "$STEP" == "sweep" || "$STEP" == "all" ]]; then
+  # budgets past the sf0.1 knee — the n=20k decay-study grid (r14)
+  SPARK_GRAFT_BUDGETS=8,16,32 run "runMain graft.tools.GateSweep $SKEW_DIR"
+fi
+if [[ "$STEP" == "masssweep" || "$STEP" == "all" ]]; then
+  SPARK_GRAFT_MASS_BUDGETS=0.1,0.35,0.53 run "runMain graft.tools.GateSweep $SKEW_DIR"
+fi
+echo ">>> done; persisted curves:"
+ls -la "${TMPDIR:-/tmp}"/graft_gatesweep_*_sf1_skew/_sweep.json \
+  "${TMPDIR:-/tmp}"/graft_gatemasssweep_*_sf1_skew/_sweep.json 2>/dev/null || true
