@@ -2157,15 +2157,14 @@ object VectorQueries {
     gateScoreCands(e, probed, home)
   }
 
-  /** Mass-budget / recall trade measurement (the experimental-probe
-    * twin of [[gateProbeSweep]]): same exact anchors, same three recall
-    * measures, with the scanned-mass fraction as the swept axis.
+  /** The three exact-twin anchors every gate sweep measures against,
+    * materialized once (they are the sweep's dominant cost), returned
+    * as a measurement closure: candidate frame in → (scored rows,
+    * recall15, recall22, agree25) out. r15 refactor — the probe, mass,
+    * and K sweeps shared this tail verbatim.
     */
-  private[graft] def gateMassSweep(s: SparkSession, dir: String,
-      fracs: Seq[Double]): DataFrame = {
-    val e = embs(s, dir)
-    val n = Tables.embeddings(s, dir).count()
-    val cents = gateFitCents(e, gateK(n), n)
+  private def gateSweepAnchors(s: SparkSession, dir: String)
+      : DataFrame => (Long, Double, Double, Double) = {
     val exact15 = knnPairsExact(s, dir).localCheckpoint()
     val exact22 = qe22(s, dir).select("vec_a", "vec_b").localCheckpoint()
     val exact25 = qe25PredExact(s, dir)
@@ -2173,10 +2172,8 @@ object VectorQueries {
     val n15 = exact15.count()
     val n22 = exact22.count()
     val n25 = exact25.count()
-    val s2 = s
-    import s2.implicits._
-    fracs.map { f =>
-      val cands = gateCandsMassBudget(e, cents, f, n).localCheckpoint()
+    candsIn => {
+      val cands = candsIn.localCheckpoint()
       val rows = cands.count()
       val g15 = cands
         .withColumn("rn", row_number().over(
@@ -2191,10 +2188,28 @@ object VectorQueries {
       val g25 = knnPredFrom(cands).select(col("ida"), col("pred_label").as("pg"))
       val r25 = exact25.join(g25, Seq("ida"))
         .filter(col("pe") === col("pg")).count().toDouble / math.max(n25, 1L)
-      Seq((f, rows,
+      (rows,
         graft.operators.Rounding.droundD(r15, 4),
         graft.operators.Rounding.droundD(r22, 4),
-        graft.operators.Rounding.droundD(r25, 4)))
+        graft.operators.Rounding.droundD(r25, 4))
+    }
+  }
+
+  /** Mass-budget / recall trade measurement (the experimental-probe
+    * twin of [[gateProbeSweep]]): same exact anchors, same three recall
+    * measures, with the scanned-mass fraction as the swept axis.
+    */
+  private[graft] def gateMassSweep(s: SparkSession, dir: String,
+      fracs: Seq[Double]): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val cents = gateFitCents(e, gateK(n), n)
+    val measure = gateSweepAnchors(s, dir)
+    val s2 = s
+    import s2.implicits._
+    fracs.map { f =>
+      val (rows, r15, r22, r25) = measure(gateCandsMassBudget(e, cents, f, n))
+      Seq((f, rows, r15, r22, r25))
         .toDF("mass_frac", "cand_rows", "recall15", "recall22", "agree25")
     }.reduce(_.unionByName(_))
   }
@@ -2205,45 +2220,84 @@ object VectorQueries {
     * floors — qe15b neighbor-pair recall, qe22b mutual-pair recall,
     * qe25b per-vector prediction agreement — plus the scored-candidate
     * row count (the cost the budget buys them with). The sweep is the
-    * measurement that PICKS GateProbes; qe26 is the same artifact for
-    * qe5's fixed-K IVF.
+    * measurement that PICKS the probe budget ([[resolvedGateProbes]]);
+    * qe26 is the same artifact for qe5's fixed-K IVF.
     */
   private[graft] def gateProbeSweep(s: SparkSession, dir: String,
       budgets: Seq[Int]): DataFrame = {
     val e = embs(s, dir)
     val n = Tables.embeddings(s, dir).count()
     val cents = gateFitCents(e, gateK(n), n)
-    val exact15 = knnPairsExact(s, dir).localCheckpoint()
-    val exact22 = qe22(s, dir).select("vec_a", "vec_b").localCheckpoint()
-    val exact25 = qe25PredExact(s, dir)
-      .select(col("ida"), col("pred_label").as("pe")).localCheckpoint()
-    val n15 = exact15.count()
-    val n22 = exact22.count()
-    val n25 = exact25.count()
+    val measure = gateSweepAnchors(s, dir)
     val s2 = s
     import s2.implicits._
     budgets.map { p =>
-      val cands = gateCandsWithCents(e, cents, p).localCheckpoint()
-      val rows = cands.count()
-      val g15 = cands
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("ida").orderBy(col("cos").desc, col("idb").asc)))
-        .filter(col("rn") <= DensityK).select("ida", "idb")
-      val r15 = exact15.join(g15, Seq("ida", "idb"), "left_semi").count().toDouble /
-        math.max(n15, 1L)
-      val g22 = mutualMarginFrom(cands.select("ida", "idb", "cos"))
-        .select("vec_a", "vec_b")
-      val r22 = exact22.join(g22, Seq("vec_a", "vec_b"), "left_semi").count().toDouble /
-        math.max(n22, 1L)
-      val g25 = knnPredFrom(cands).select(col("ida"), col("pred_label").as("pg"))
-      val r25 = exact25.join(g25, Seq("ida"))
-        .filter(col("pe") === col("pg")).count().toDouble / math.max(n25, 1L)
-      Seq((p, rows,
-        graft.operators.Rounding.droundD(r15, 4),
-        graft.operators.Rounding.droundD(r22, 4),
-        graft.operators.Rounding.droundD(r25, 4)))
+      val (rows, r15, r22, r25) = measure(gateCandsWithCents(e, cents, p))
+      Seq((p, rows, r15, r22, r25))
         .toDF("probes", "cand_rows", "recall15", "recall22", "agree25")
     }.reduce(_.unionByName(_))
+  }
+
+  /** Cell-count / recall trade (r15, VERDICT r14 item 8 — the last
+    * un-swept gate parameter): K = ⌈√n⌉ is what makes the gate's total
+    * work P·n^1.5, but the n=20k receipts showed K and P interact
+    * (recall ROSE with n at fixed P because K grew), so the K rule
+    * deserves its own measured curve. Each swept K is a FULL refit
+    * (unlike the probe/mass sweeps, which share one fit) probed at the
+    * production [[GateProbes]]; the curve answers "would a
+    * coarser/finer quantizer at the same probe budget deliver the
+    * recall cheaper on this corpus". The complexity trade is explicit:
+    * assignment cost is n·K (rises with K), candidate volume is
+    * ≈ P·n²/K on balanced fits (falls with K).
+    */
+  private[graft] def gateKSweep(s: SparkSession, dir: String,
+      ks: Seq[Int]): DataFrame = {
+    val e = embs(s, dir)
+    val n = Tables.embeddings(s, dir).count()
+    val measure = gateSweepAnchors(s, dir)
+    val s2 = s
+    import s2.implicits._
+    ks.map { k =>
+      val cents = gateFitCents(e, k, n)
+      val (rows, r15, r22, r25) = measure(gateCandsWithCents(e, cents, GateProbes))
+      Seq((k, rows, r15, r22, r25))
+        .toDF("k_cells", "cand_rows", "recall15", "recall22", "agree25")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The K-sweep's persisted artifact, beside the probe curve in the
+    * fit-fingerprinted dir (informational: the production rule stays
+    * K = ⌈√n⌉ unless a curve shows it mis-sized — decision recorded in
+    * BENCH_NOTES, not auto-consumed).
+    */
+  def gateKSweepPath(dir: String): String =
+    graft.sources.HadoopFs.indexPath(
+      "gatesweep", dir, GateFitIters, GateFitPerCell, "sqrtK") + "/_ksweep.json"
+
+  type KSweepRow = (Int, Long, Double, Double, Double)
+
+  def writeGateKSweep(dir: String, rows: Seq[KSweepRow]): Unit = {
+    val f = new java.io.File(gateKSweepPath(dir))
+    f.getParentFile.mkdirs()
+    val json = rows.map { case (k, n, r15, r22, r25) =>
+      s"""{"k_cells":$k,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+    stampPastCorpus(f, dir)
+  }
+
+  def readGateKSweep(dir: String): Option[Seq[KSweepRow]] = {
+    val f = new java.io.File(gateKSweepPath(dir))
+    if (!f.exists() || !sweepCurrent(f, dir)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val row = (s"""\\{"k_cells":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+      val rows = row.findAllMatchIn(txt).map(m =>
+        (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
+          m.group(4).toDouble, m.group(5).toDouble)).toSeq
+      if (rows.isEmpty) None else Some(rows)
+    }
   }
 
   /** The corpus gate at its production sizing (K = ⌈√n⌉, P =

@@ -41,6 +41,28 @@ object GateSweep {
     val budgets = sys.env.get("SPARK_GRAFT_BUDGETS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(8, 12, 16, 24))
+    // r15 (VERDICT r14 item 8): when set, sweep the CELL COUNT instead
+    // — each K is a full refit probed at the production GateProbes;
+    // closes the gate's parameter space (P, massFrac, K all measured)
+    val kBudgets = sys.env.get("SPARK_GRAFT_K_BUDGETS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+    kBudgets.foreach { ks =>
+      for (dir <- dirs) {
+        println(s"== gate K sweep @ $dir (P = production, Ks ${ks.mkString("/")}) ==")
+        val t0 = System.nanoTime()
+        val rows = graft.queries.VectorQueries.gateKSweep(spark, dir, ks).collect()
+        println(f"${"k_cells"}%8s ${"cand_rows"}%10s ${"recall15"}%9s ${"recall22"}%9s ${"agree25"}%9s")
+        rows.foreach { r =>
+          println(f"${r.getInt(0)}%8d ${r.getLong(1)}%10d ${r.getDouble(2)}%9.4f ${r.getDouble(3)}%9.4f ${r.getDouble(4)}%9.4f")
+        }
+        println(f"K sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        graft.queries.VectorQueries.writeGateKSweep(dir, rows.toSeq.map(r =>
+          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        println(s"K sweep persisted: ${graft.queries.VectorQueries.gateKSweepPath(dir)}")
+      }
+      spark.stop()
+      return
+    }
     // experimental mass-budgeted probe measurement (r14): when set,
     // sweep scanned-mass fractions instead of fixed probe counts
     val massFracs = sys.env.get("SPARK_GRAFT_MASS_BUDGETS")

@@ -117,7 +117,14 @@ object Sf1Skew {
       "qd36_fuzzy_dedup" -> (graft.queries.TextQueries.qd36 _),
       "qd39_fuzzy_clusters" -> (graft.queries.TextQueries.qd39 _),
       "qd46_dedup_survivorship" -> (graft.queries.TextQueries.qd46 _),
-      "qd13b_decontam_bloom" -> (graft.queries.TextQueries.qd13b _))
+      "qd13b_decontam_bloom" -> (graft.queries.TextQueries.qd13b _),
+      // r15 (VERDICT r14 item 7): the remaining >2 s text queries never
+      // measured at 10x — BM25 (df-driven like qd34, but per-term not
+      // per-pair), the dup-cluster join tail, and the LM perplexity
+      // gram chain (the widest cold-vs-warm bench spread in the family)
+      "qd17_bm25" -> (graft.queries.TextQueries.qd17 _),
+      "qd22_dup_clusters" -> (graft.queries.TextQueries.qd22 _),
+      "qd27_lm_perplexity" -> (graft.queries.TextQueries.qd27 _))
     val skewQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q38_basket_rules" -> (graft.queries.CoreQueries.q38 _),
       "q42_skew_report" -> (graft.queries.CoreQueries.q42 _),

@@ -100,6 +100,20 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(graft.queries.VectorQueries.gateMassFracFor(dir, 0.95).isEmpty)
   }
 
+  test("K-sweep curve round-trips beside the probe curve with the same staleness rule") {
+    val dir = tmpDir().toString
+    val rows: Seq[graft.queries.VectorQueries.KSweepRow] = Seq(
+      (71, 2800000L, 0.91, 0.88, 0.85), (142, 1400000L, 0.867, 0.806, 0.775),
+      (284, 700000L, 0.78, 0.7, 0.66))
+    assert(graft.queries.VectorQueries.readGateKSweep(dir).isEmpty)
+    graft.queries.VectorQueries.writeGateKSweep(dir, rows)
+    assert(graft.queries.VectorQueries.gateKSweepPath(dir).endsWith("/_ksweep.json"))
+    // shares the probe curve's fit-fingerprinted home, distinct file
+    assert(new java.io.File(graft.queries.VectorQueries.gateKSweepPath(dir)).getParent
+      == new java.io.File(graft.queries.VectorQueries.gateSweepPath(dir)).getParent)
+    assert(graft.queries.VectorQueries.readGateKSweep(dir).contains(rows))
+  }
+
   test("sweep readers parse scientific-notation doubles and refuse curves older than the corpus") {
     val dirP = tmpDir()
     val dir = dirP.toString

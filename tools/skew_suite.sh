@@ -48,6 +48,10 @@ fi
 if [[ "$STEP" == "masssweep" || "$STEP" == "all" ]]; then
   SPARK_GRAFT_MASS_BUDGETS=0.1,0.35,0.53 run "runMain graft.tools.GateSweep $SKEW_DIR"
 fi
+if [[ "$STEP" == "ksweep" || "$STEP" == "all" ]]; then
+  # K = sqrt(n)/2, sqrt(n), 2*sqrt(n) at n=20k (sqrt = 142)
+  SPARK_GRAFT_K_BUDGETS=71,142,284 run "runMain graft.tools.GateSweep $SKEW_DIR"
+fi
 echo ">>> done; persisted curves:"
 ls -la "${TMPDIR:-/tmp}"/graft_gatesweep_*_sf1_skew/_sweep.json \
   "${TMPDIR:-/tmp}"/graft_gatemasssweep_*_sf1_skew/_sweep.json 2>/dev/null || true
