@@ -39,6 +39,15 @@ object CellBalance {
       println(s"== $dir iters=$it: n=$n K=$k non-empty=$nonEmpty " +
         f"max=${masses.head} p50=${masses(nonEmpty / 2)} " +
         f"top16Mass=$top16 (${100.0 * top16 / n}%.1f%% of corpus; balanced would be ${100.0 * 16.0 * (n.toDouble / k) / n}%.1f%%)")
+      // r15: the production dispatch decision this distribution drives
+      // (gateRuleFor at the resolved probe budget — the same rule
+      // qe15d_autogated_density applies at build time)
+      val p = graft.queries.VectorQueries.resolvedGateProbes(dir)
+      val useMass = graft.queries.VectorQueries.gateRuleFor(
+        masses.toSeq, n, p, k)
+      println(s"   dispatch @ P=$p: " +
+        (if (useMass) "MASS-BUDGET gate (fixed-P cost contract broken)"
+        else "FIXED-P gate (fit near-balanced)"))
     }
     spark.stop()
   }

@@ -353,7 +353,7 @@ class RecallSpec extends AnyFunSuite {
       val n = exact.count()
       val hit = exact.join(gated, Seq("ida", "idb"), "left_semi").count()
       record("qe15b_gated_density", sf, hit.toDouble / n,
-        "qe15 exact 5-NN pairs, sqrt(n)-cell 16-probe IVF gate")
+        s"qe15 exact 5-NN pairs, sqrt(n)-cell ${queries.VectorQueries.resolvedGateProbes(sf.dir)}-probe IVF gate")
     }
 
     test(s"qe15c mass-gated density neighbor recall@5 vs exact all-pairs [${sf.label}]") {
@@ -372,7 +372,7 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(gated, Seq("vec_a", "vec_b"), "left_semi").count()
       record("qe22b_gated_mutual_nn", sf,
         if (n == 0) 1.0 else hit.toDouble / n,
-        "qe22 exact mutual-top-1 pairs, sqrt(n)-cell 16-probe IVF gate")
+        s"qe22 exact mutual-top-1 pairs, sqrt(n)-cell ${queries.VectorQueries.resolvedGateProbes(sf.dir)}-probe IVF gate")
     }
 
     test(s"qe22c mass-gated mutual-NN pair recall vs exact qe22 [${sf.label}]") {
@@ -406,7 +406,7 @@ class RecallSpec extends AnyFunSuite {
       val hit = exact.join(gated, Seq("ida"))
         .filter(col("pe") === col("pg")).count()
       record("qe25b_gated_confusion", sf, hit.toDouble / n,
-        "qe25 exact per-vector kNN label votes, sqrt(n)-cell 16-probe IVF gate")
+        s"qe25 exact per-vector kNN label votes, sqrt(n)-cell ${queries.VectorQueries.resolvedGateProbes(sf.dir)}-probe IVF gate")
     }
   }
 

@@ -27,17 +27,23 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-80g}"
-export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
-export SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-192}"
 SKEW_DIR="${TMPDIR:-/tmp}/graft_sf1_skew"
 STEP="${1:-all}"
 
 run() { echo ">>> $*"; sbt -batch "$@"; }
 
 if [[ "$STEP" == "suite" || "$STEP" == "all" ]]; then
-  # builds the corpus if absent, then times the skew suite
-  SPARK_GRAFT_SUITE=all run "runMain graft.tools.Sf1Skew"
+  # builds the corpus if absent, then times the skew suite. The SUITE
+  # runs at the full 32-thread width (the r13/r14 receipt config —
+  # 16-cpu/192-shuffle sweep knobs here read ~2x slow on the graph
+  # family and 3x on qe15b, pure harness); only the SWEEPS need the
+  # narrow/wide-shuffle session, because their 200M-row exact-pair
+  # anchors OOM 32 concurrent sort tasks on an 80g heap.
+  SPARK_GRAFT_SUITE=all SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    run "runMain graft.tools.Sf1Skew"
 fi
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
+export SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-192}"
 if [[ "$STEP" == "balance" || "$STEP" == "all" ]]; then
   run "runMain graft.tools.CellBalance $SKEW_DIR"
 fi
