@@ -107,6 +107,17 @@ object Pareto {
       rankCol: String, cumCol: String, totCol: String, nCol: String,
       twoPhase: Option[Boolean] = None): DataFrame = {
     requireNoTempCollision(df)
+    // ADVICE r15: the INPUT check above guards df's columns, but a
+    // caller-chosen OUTPUT name colliding with the two-phase WORKING
+    // columns would be silently dropped by the trailing .drop
+    // (cumCol="_lcum") or corrupt the _pid join — refuse loudly
+    // instead. Only the five two-phase internals are reserved here:
+    // the rest of tempCols are [[abc]]'s own intermediates, which abc
+    // legitimately passes as output names and renames afterwards.
+    val internal = Seq("_pid", "_lrn", "_lcum", "_soff", "_coff")
+    val clash = Seq(rankCol, cumCol, totCol, nCol).filter(internal.contains)
+    require(clash.isEmpty,
+      s"rankCumBy output names collide with two-phase internals: ${clash.mkString(", ")}")
     if (twoPhase.getOrElse(autoTwoPhase(df)))
       rankCumTwoPhase(df, keys, valueCol, rankCol, cumCol, totCol, nCol)
     else {

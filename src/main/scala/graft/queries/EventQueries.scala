@@ -656,6 +656,8 @@ object EventQueries {
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
     val wo = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    // global window by design: input is the #event_types^3 aggregate
+    // (result cardinality, bounded by the type vocabulary — not n)
     val w = Window.orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
     ev(s, dir)
       .withColumn("s2", lead("event_type", 1).over(wo))

@@ -679,10 +679,31 @@ object TextQueries {
     * it; the tiny query-term side broadcasts into the posting join, so
     * the corpus shuffles ONCE (by term) and never meets itself. At
     * 100 TB the postings persist as an offline artifact (qd6b's
-    * lifecycle) and ultra-high-df terms are dropped at build time
-    * (idf ≈ 0 — the classic stop-list cut, which also bounds the
-    * posting-join fan-out); this synthetic 31-word corpus would lose
-    * every term to that cut, so the demo keeps all.
+    * lifecycle).
+    *
+    * r16 posting-list truncation (VERDICT r15 item 1 — the qd34 df-cap
+    * recipe applied to BM25's posting join): a term with document
+    * frequency d contributes d scored rows to EVERY query carrying it,
+    * so a high-df term makes the posting join quadratic in corpus
+    * growth (query volume ×s AND its posting list ×s — measured
+    * 1.2 s @sf0.1 → 63.4 s @10× on the duplication-heavy smoke
+    * corpus). The classic stop-list cut (drop df-saturated terms,
+    * idf ≈ 0) is the wrong knife here: this synthetic 31-word
+    * vocabulary saturates EVERY term, so dropping would zero the demo.
+    * Instead each term keeps only its top-[[Bm25PostingDfCap]] postings
+    * by (tf desc, doc_id asc) — static impact-ordered index pruning
+    * (Carmel et al., SIGIR 2001): the dropped postings are precisely
+    * the LOWEST-impact contributions of the highest-df (lowest-idf)
+    * terms, the rows least able to move a top-10. True df (computed
+    * over the UNCAPPED postings) still feeds idf, so surviving scores
+    * are unchanged by the cut. The cap is df/tf-deterministic,
+    * replicated in the oracle SQL, and sized above every tested-sf max
+    * df (415 / 402 / 3923) so tested outputs are bit-identical to the
+    * uncapped form; CorpusOpsSpec plants a hot-term corpus that
+    * exercises the cap explicitly. Cold terms (df ≤ cap) bypass the
+    * ranking entirely — only hot posting lists pay the per-term sort,
+    * and the posting join is bounded at cap·|query vocab| rows no
+    * matter how the corpus duplicates.
     *
     * Cross-engine determinism: scores are dround-ed BEFORE the rank
     * window (per-group FP-association in the ≤4-term sum and libm ln
@@ -690,11 +711,19 @@ object TextQueries {
     * rounded ties, so top-k membership is total-ordered on both
     * engines.
     */
-  def qd17(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val Bm25PostingDfCap = 4096
+
+  def qd17(s: SparkSession, dir: String): DataFrame =
+    bm25From(docs(s, dir), Bm25PostingDfCap)
+
+  /** Frame-parameterized twin (tests plant a hot-term corpus and a
+    * sub-maxdf cap): `d` carries (doc_id, text).
+    */
+  private[graft] def bm25From(d: DataFrame, cap: Int): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val topK = 10
-    val corpus = docs(s, dir)
+    val corpus = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val tf = corpus
@@ -707,8 +736,18 @@ object TextQueries {
     val qterms = corpus.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
-    val contrib = tf
-      .join(dfreq, "term")
+    // posting-truncation stage (scaladoc above): cold terms pass
+    // through untouched; hot terms rank within their posting list on
+    // the exchange the df join already keyed by term, keeping only the
+    // top-cap impacts. df rides along — it is the TRUE df either way.
+    val withDf = tf.join(dfreq, "term")
+    val hotRank = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val capped = withDf.filter(col("df") <= cap).unionByName(
+      withDf.filter(col("df") > cap)
+        .withColumn("pr", row_number().over(hotRank))
+        .filter(col("pr") <= cap).drop("pr"))
+    val contrib = capped
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -726,8 +765,8 @@ object TextQueries {
   }
 
   private val qd17Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       |  FROM documents),
       |corpus AS (SELECT doc_id, t, len(t) AS dl FROM toks),
       |stats AS (
@@ -738,18 +777,24 @@ object TextQueries {
       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM corpus)
       |  GROUP BY doc_id, dl, term),
       |dfreq AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+      |posts AS (
+      |  SELECT doc_id, dl, term, tf, df FROM (
+      |    SELECT tfx.doc_id, tfx.dl, tfx.term, tfx.tf, dfreq.df,
+      |      row_number() OVER (PARTITION BY tfx.term
+      |        ORDER BY tf DESC, doc_id) AS pr
+      |    FROM tfx JOIN dfreq USING (term))
+      |  WHERE df <= $Bm25PostingDfCap OR pr <= $Bm25PostingDfCap),
       |q AS (
       |  SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
       |  FROM corpus WHERE doc_id % 100 = 0),
       |contrib AS (
-      |  SELECT q.query_id, tfx.doc_id,
+      |  SELECT q.query_id, posts.doc_id,
       |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
       |    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
       |    (tf + CAST(1.2 AS DOUBLE) *
       |      (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
       |       CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
-      |  FROM tfx
-      |  JOIN dfreq USING (term)
+      |  FROM posts
       |  JOIN q USING (term)
       |  CROSS JOIN stats),
       |scored AS (
@@ -2912,6 +2957,8 @@ object TextQueries {
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
     pairs
+      // global window by design: input is the distinct character-BIGRAM
+      // aggregate (result cardinality — alphabet^2, not corpus-sized)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
       .filter(col("rnk") <= 20)
@@ -3083,6 +3130,7 @@ object TextQueries {
     val base = sizes.crossJoin(broadcast(params))
       .withColumn("alloc_base", least(col("n"), col("tstar")))
     val actv = base.filter(col("n") > col("tstar"))
+      // global window by design: one row per SOURCE (result cardinality)
       .withColumn("ark", row_number().over(Window.orderBy(col("source").asc)))
       .select(col("source"), col("ark"))
     base.join(actv, Seq("source"), "left")
@@ -3190,6 +3238,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
     val newTerms = firstDoc.join(buckets, Seq("doc_id"))
       .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    // global window by design: one row per size BUCKET (result
+    // cardinality — a fixed handful, not corpus-sized)
     val cum = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket.join(newTerms, Seq("bucket"), "left")

@@ -1746,6 +1746,22 @@ object VectorQueries {
     */
   private[graft] val GateRecallTarget = 0.70
 
+  /** ADVICE r15 (medium): the sizing target certifies recall15, but the
+    * sized budget also serves qe22b's mutual-NN recall and qe25b's
+    * confusion agreement — and r15's floors for those were derived from
+    * the SAME sweep that picked the budget, so a secondary-measure
+    * collapse would have self-certified. Absolute minimums the
+    * certified budget's curve row must ALSO meet on recall22/agree25:
+    * a budget whose row shows a secondary measure below this is not
+    * certifiable no matter how cheap (sizing then tries the next
+    * budget, or falls back to the constants). 0.50 = "the approximate
+    * family still finds the majority of what the exact twin finds" —
+    * an independent, corpus-agnostic bound, deliberately below every
+    * committed curve's certified rows (gates/r15: 0.596-0.935) so it
+    * binds only on genuine collapse.
+    */
+  private[graft] val GateSecondaryMin = 0.50
+
   private[graft] def gateTarget: Double =
     sys.env.get("SPARK_GRAFT_GATE_TARGET").map { v =>
       val t = scala.util.Try(v.trim.toDouble).getOrElse(
@@ -1930,7 +1946,17 @@ object VectorQueries {
   private def stampPastCorpus(f: java.io.File, dir: String): Unit = {
     val src = graft.sources.HadoopFs.newestMtime(
       new org.apache.hadoop.conf.Configuration(), s"$dir/embeddings.parquet")
-    f.setLastModified(math.max(f.lastModified, src + 1000L))
+    // ADVICE r15: anchor the stamp to wall-clock too — src+1000 alone
+    // leaves a ~1 s hole where a corpus regenerated JUST after the
+    // write still reads older than the stamp (and a mid-probe FNF
+    // sentinel Long.MaxValue would overflow the addition). The sweep
+    // finished measuring at `now`, so now is always a true witness; a
+    // vanished corpus gets NO bump — the natural write mtime loses the
+    // strict-> staleness check against whatever replaces the corpus,
+    // which is the safe side for a measurement of deleted data.
+    if (src != Long.MaxValue)
+      f.setLastModified(math.max(f.lastModified,
+        math.max(System.currentTimeMillis, src + 1000L)))
   }
 
   /** A persisted sweep is only valid for the corpus it was measured on:
@@ -1949,11 +1975,60 @@ object VectorQueries {
   // silently drop (review r14)
   private val SweepNum = """-?[0-9.]+(?:[eE][-+]?[0-9]+)?"""
 
-  def readGateSweep(dir: String): Option[Seq[SweepRow]] = {
-    val f = new java.io.File(gateSweepPath(dir))
-    if (!f.exists() || !sweepCurrent(f, dir)) None
+  /** Repo-committed curve registry (r16, VERDICT r15 item 2): the
+    * persisted sweeps lived only in the tmpdir, so a clean machine
+    * silently built the constant fallback where the round's receipts
+    * built the certified-cheaper budget — gate sizing was correct
+    * either way (the oracle adapts), but the ARTIFACT a driver or user
+    * got differed by what had run on the box before. The registry is a
+    * conf'd directory of committed curves (`SPARK_GRAFT_CURVE_REGISTRY`,
+    * default `gates/curves` — resolved against the process working
+    * directory, i.e. the repo root under sbt) that the sweep readers
+    * fall back to when no current tmpdir cache exists: committed curves
+    * are the source of truth a clean checkout reproduces from, the
+    * tmpdir is the measurement cache in front of them (a fresh local
+    * sweep of the same corpus + fit parameters is deterministic, so
+    * precedence cannot change values — only availability).
+    *
+    * Registry entries are keyed by the same FIT-parameter fingerprint
+    * as the tmpdir paths plus the corpus's total byte size
+    * ([[graft.sources.HadoopFs.totalBytes]]) instead of the cache's
+    * mtime rule — checkout mtimes are meaningless, content is the
+    * witness. `graft.tools.CurvePublish <sfDir>...` copies the current
+    * tmpdir curves into the registry under those names.
+    */
+  private[graft] def curveRegistryDir: String =
+    sys.env.get("SPARK_GRAFT_CURVE_REGISTRY")
+      .orElse(sys.props.get("graft.curve.registry")) // spec hook (env is process-fixed)
+      .getOrElse("gates/curves")
+
+  private[graft] def registryCurveFile(family: String, dir: String): Option[java.io.File] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val bytes = graft.sources.HadoopFs.totalBytes(conf, s"$dir/embeddings.parquet")
+    // an absent/empty corpus has no content identity — it must never
+    // alias a committed entry (and CurvePublish refuses to write one)
+    if (bytes == 0L) None
     else {
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val fp = graft.sources.HadoopFs.paramFingerprint(
+        GateFitIters, GateFitPerCell, "sqrtK")
+      Some(new java.io.File(s"$curveRegistryDir/graft_${family}_${fp}_$bytes.json"))
+    }
+  }
+
+  /** The curve text for `family`/`dir`: the tmpdir cache when current
+    * (same mtime staleness rule as ever), else the committed registry
+    * entry content-keyed to this corpus, else None.
+    */
+  private def curveText(family: String, tmpFile: java.io.File,
+      dir: String): Option[String] = {
+    val src =
+      if (tmpFile.exists() && sweepCurrent(tmpFile, dir)) Some(tmpFile)
+      else registryCurveFile(family, dir).filter(_.exists())
+    src.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
+  def readGateSweep(dir: String): Option[Seq[SweepRow]] =
+    curveText("gatesweep", new java.io.File(gateSweepPath(dir)), dir).flatMap { txt =>
       val row = (s"""\\{"probes":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
         s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
       val rows = row.findAllMatchIn(txt).map(m =>
@@ -1961,7 +2036,6 @@ object VectorQueries {
           m.group(4).toDouble, m.group(5).toDouble)).toSeq
       if (rows.isEmpty) None else Some(rows)
     }
-  }
 
   /** One measured mass-sweep row: (mass_frac, cand_rows, recall15,
     * recall22, agree25) — the mass-budget twin of [[SweepRow]].
@@ -1986,19 +2060,16 @@ object VectorQueries {
     stampPastCorpus(f, dir)
   }
 
-  def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] = {
-    val f = new java.io.File(gateMassSweepPath(dir))
-    if (!f.exists() || !sweepCurrent(f, dir)) None
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val row = (s"""\\{"mass_frac":($SweepNum),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
-        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
-      val rows = row.findAllMatchIn(txt).map(m =>
-        (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
-          m.group(4).toDouble, m.group(5).toDouble)).toSeq
-      if (rows.isEmpty) None else Some(rows)
-    }
-  }
+  def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] =
+    curveText("gatemasssweep", new java.io.File(gateMassSweepPath(dir)), dir)
+      .flatMap { txt =>
+        val row = (s"""\\{"mass_frac":($SweepNum),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+          s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+        val rows = row.findAllMatchIn(txt).map(m =>
+          (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
+            m.group(4).toDouble, m.group(5).toDouble)).toSeq
+        if (rows.isEmpty) None else Some(rows)
+      }
 
   /** Recall-targeted gate sizing from the persisted measurement (the
     * policy the r14 envelope note committed to: sizing reads corpus-
@@ -2008,10 +2079,14 @@ object VectorQueries {
     * reaches the target — the caller escalates (re-sweep wider, or
     * accept the largest measured budget explicitly); silently handing
     * back a budget that MISSES the target is the one wrong answer.
+    * ADVICE r15: the certified row must also clear [[GateSecondaryMin]]
+    * on recall22/agree25 — the budget serves all three gated families,
+    * so the primary target alone must not certify a secondary collapse.
     */
   def gateProbesFor(dir: String, targetRecall15: Double): Option[Int] =
     readGateSweep(dir).flatMap(rows =>
-      rows.sortBy(_._1).find(_._3 >= targetRecall15).map(_._1))
+      rows.sortBy(_._1).find(r => r._3 >= targetRecall15 &&
+        r._4 >= GateSecondaryMin && r._5 >= GateSecondaryMin).map(_._1))
 
   /** [[gateProbesFor]]'s mass-budget twin: the smallest swept scanned-
     * mass fraction meeting the recall target — i.e. the cheapest
@@ -2019,7 +2094,8 @@ object VectorQueries {
     */
   def gateMassFracFor(dir: String, targetRecall15: Double): Option[Double] =
     readGateMassSweep(dir).flatMap(rows =>
-      rows.sortBy(_._1).find(_._3 >= targetRecall15).map(_._1))
+      rows.sortBy(_._1).find(r => r._3 >= targetRecall15 &&
+        r._4 >= GateSecondaryMin && r._5 >= GateSecondaryMin).map(_._1))
 
   /** Directed, labeled, cosine-scored candidate frame shared by the
     * three gated twins: (ida, la, idb, lb, cos) where idb's home cell
@@ -2244,7 +2320,12 @@ object VectorQueries {
     * (recall ROSE with n at fixed P because K grew), so the K rule
     * deserves its own measured curve. Each swept K is a FULL refit
     * (unlike the probe/mass sweeps, which share one fit) probed at the
-    * production [[GateProbes]]; the curve answers "would a
+    * budget the production build ACTUALLY resolves for this corpus
+    * ([[resolvedGateProbes]] — ADVICE r15: a corpus already curve-sized
+    * away from the [[GateProbes]] constant must sweep K at ITS budget,
+    * or the curve answers a question production never asks; the budget
+    * used is recorded in the persisted artifact); the curve answers
+    * "would a
     * coarser/finer quantizer at the same probe budget deliver the
     * recall cheaper on this corpus". The complexity trade is explicit:
     * assignment cost is n·K (rises with K), candidate volume is
@@ -2255,11 +2336,12 @@ object VectorQueries {
     val e = embs(s, dir)
     val n = Tables.embeddings(s, dir).count()
     val measure = gateSweepAnchors(s, dir)
+    val p = resolvedGateProbes(dir)
     val s2 = s
     import s2.implicits._
     ks.map { k =>
       val cents = gateFitCents(e, k, n)
-      val (rows, r15, r22, r25) = measure(gateCandsWithCents(e, cents, GateProbes))
+      val (rows, r15, r22, r25) = measure(gateCandsWithCents(e, cents, p))
       Seq((k, rows, r15, r22, r25))
         .toDF("k_cells", "cand_rows", "recall15", "recall22", "agree25")
     }.reduce(_.unionByName(_))
@@ -2276,29 +2358,54 @@ object VectorQueries {
 
   type KSweepRow = (Int, Long, Double, Double, Double)
 
-  def writeGateKSweep(dir: String, rows: Seq[KSweepRow]): Unit = {
+  def writeGateKSweep(dir: String, rows: Seq[KSweepRow],
+      probes: Int = GateProbes): Unit = {
     val f = new java.io.File(gateKSweepPath(dir))
     f.getParentFile.mkdirs()
+    // ADVICE r15: record the probe budget the sweep actually measured
+    // at — a later reader must be able to tell a constant-budget curve
+    // from one swept at a corpus-resolved budget
     val json = rows.map { case (k, n, r15, r22, r25) =>
-      s"""{"k_cells":$k,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
+      s"""{"k_cells":$k,"probes":$probes,"cand_rows":$n,""" +
+        s""""recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
     stampPastCorpus(f, dir)
   }
 
-  def readGateKSweep(dir: String): Option[Seq[KSweepRow]] = {
-    val f = new java.io.File(gateKSweepPath(dir))
-    if (!f.exists() || !sweepCurrent(f, dir)) None
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val row = (s"""\\{"k_cells":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
-        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
-      val rows = row.findAllMatchIn(txt).map(m =>
-        (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
-          m.group(4).toDouble, m.group(5).toDouble)).toSeq
-      if (rows.isEmpty) None else Some(rows)
+  /** Onboarding contradiction check for the K rule (r16, VERDICT r15
+    * item 7): K = ⌈√n⌉ owns the gate's complexity class and the r15
+    * K-sweeps KEPT it with receipts at three corpora (equal-scanned-
+    * mass recall equivalence across the K axis). A persisted K curve
+    * CONTRADICTS the rule when some swept K strictly dominates the
+    * rule's own swept row — at least the recall15 for strictly fewer
+    * candidate rows; on an equivalence-shaped curve (recall a function
+    * of scanned mass alone) that cannot happen, so a hit means this
+    * corpus's geometry genuinely breaks the rule. Same philosophy as
+    * [[gateRuleFor]]: a measured check with a receipt, consulted at
+    * onboarding (tools/GateSweep prints it after every K sweep) — not
+    * an auto-resize.
+    */
+  def gateKRuleWarning(dir: String, n: Long): Option[String] =
+    readGateKSweep(dir).flatMap { rows =>
+      val k0 = gateK(n)
+      // the sweeps bracket the rule (K/2, K, 2K) — judge its nearest row
+      val base = rows.minBy(r => math.abs(r._1 - k0))
+      rows.find(r => r._1 != base._1 && r._2 < base._2 && r._3 >= base._3).map(r =>
+        s"K-sweep contradicts K=ceil(sqrt(n))=$k0: K=${r._1} dominates " +
+          s"K=${base._1} (cand_rows ${r._2} < ${base._2}, recall15 ${r._3} >= ${base._3})")
     }
-  }
+
+  def readGateKSweep(dir: String): Option[Seq[KSweepRow]] =
+    curveText("gateksweep", new java.io.File(gateKSweepPath(dir)), dir)
+      .flatMap { txt =>
+        val row = (s"""\\{"k_cells":(\\d+),"probes":\\d+,"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+          s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+        val rows = row.findAllMatchIn(txt).map(m =>
+          (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
+            m.group(4).toDouble, m.group(5).toDouble)).toSeq
+        if (rows.isEmpty) None else Some(rows)
+      }
 
   /** The corpus gate at its production sizing (K = ⌈√n⌉, P =
     * [[resolvedGateProbes]] — curve-sized when a current sweep exists
@@ -2451,6 +2558,21 @@ object VectorQueries {
     */
   def qe15d(s: SparkSession, dir: String): DataFrame =
     if (gateUseMass(s, dir)) qe15c(s, dir) else qe15b(s, dir)
+
+  /** The mutual-NN family's auto-dispatched entry (r16, VERDICT r15
+    * item 4: qe15d recorded the rule's decision for the density family
+    * only — a corpus onboarding should read ONE oracle-checked receipt
+    * per gated family). The dispatch signal is corpus-level (the
+    * production fit's home-mass skew), so all three families share the
+    * memoized decision; what this entry adds is the hash-checked
+    * receipt that the mutual-NN TAIL routes through it too.
+    */
+  def qe22d(s: SparkSession, dir: String): DataFrame =
+    if (gateUseMass(s, dir)) qe22c(s, dir) else qe22b(s, dir)
+
+  /** The confusion family's auto-dispatched entry — see [[qe22d]]. */
+  def qe25d(s: SparkSession, dir: String): DataFrame =
+    if (gateUseMass(s, dir)) qe25c(s, dir) else qe25b(s, dir)
 
   /** qe22b's mass-budgeted sibling: identical mutual-top-1 ratio-margin
     * tail over the [[GateMassFrac]] candidate frame (one shared
@@ -3652,13 +3774,23 @@ object VectorQueries {
       "qe15c_massgated_density" -> densityTailSql(gateMassCtes(f)),
       "qe22c_massgated_mutual_nn" -> mutualTailSql(gateMassCtes(f)),
       "qe25c_massgated_confusion" -> confusionTailSql(gateMassCtes(f)),
-      // the auto-dispatched twin's oracle mirrors the decision the
+      // the auto-dispatched twins' oracles mirror the decision the
       // engine memoized for this corpus earlier in the same JVM
-      // (unset = the fixed-P default the engine would also take)
+      // (unset = the fixed-P default the engine would also take);
+      // r16: one dispatched receipt per gated family (VERDICT r15
+      // item 4) — the corpus-level rule routes all three
       "qe15d_autogated_density" ->
         (if (sfDir.flatMap(gateRuleDecided).getOrElse(false))
           densityTailSql(gateMassCtes(f))
-        else densityTailSql(gateCtes(p))))
+        else densityTailSql(gateCtes(p))),
+      "qe22d_autogated_mutual_nn" ->
+        (if (sfDir.flatMap(gateRuleDecided).getOrElse(false))
+          mutualTailSql(gateMassCtes(f))
+        else mutualTailSql(gateCtes(p))),
+      "qe25d_autogated_confusion" ->
+        (if (sfDir.flatMap(gateRuleDecided).getOrElse(false))
+          confusionTailSql(gateMassCtes(f))
+        else confusionTailSql(gateCtes(p))))
   }
 
   def qe28bOracle(sfDir: Option[String]): Map[String, String] =
@@ -3930,6 +4062,8 @@ object VectorQueries {
     "qe15b_gated_density" -> (qe15b _),
     "qe15c_massgated_density" -> (qe15c _),
     "qe15d_autogated_density" -> (qe15d _),
+    "qe22d_autogated_mutual_nn" -> (qe22d _),
+    "qe25d_autogated_confusion" -> (qe25d _),
     "qe22c_massgated_mutual_nn" -> (qe22c _),
     "qe25c_massgated_confusion" -> (qe25c _),
     "qe16_cluster_sample" -> (qe16 _),

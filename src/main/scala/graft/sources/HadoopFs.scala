@@ -90,10 +90,38 @@ object HadoopFs {
     * `_SUCCESS`-last commit means a reader never sees a torn write as
     * fresh.
     */
-  def indexPath(family: String, dir: String, params: Any*): String = {
-    val fp = (scala.util.hashing.MurmurHash3.stringHash(
+  /** The parameter fingerprint [[indexPath]] embeds — exposed so the
+    * curve REGISTRY (r16) can key committed artifacts by the same
+    * build-parameter identity the tmpdir cache uses.
+    */
+  def paramFingerprint(params: Any*): String =
+    (scala.util.hashing.MurmurHash3.stringHash(
       params.mkString("|")) & 0x7fffffff).toHexString
+
+  def indexPath(family: String, dir: String, params: Any*): String = {
+    val fp = paramFingerprint(params: _*)
     s"${sys.props("java.io.tmpdir")}/graft_${family}_${fp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
+
+  /** Total byte size of every file under `path` (0 if absent) — the
+    * content fingerprint the curve registry keys corpora by: a
+    * checkout's mtimes are meaningless (git stamps them at checkout
+    * time), so committed curves can't use the tmpdir cache's mtime
+    * staleness rule; a regenerated corpus virtually never byte-matches
+    * its predecessor, so size is the cheap content witness.
+    */
+  def totalBytes(conf: Configuration, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(conf, p)
+    try {
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var sum = 0L
+        while (it.hasNext) sum += it.next().getLen
+        sum
+      }
+    } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** True when a persisted index at `indexDir` is missing or NOT NEWER

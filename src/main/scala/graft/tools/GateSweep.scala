@@ -48,7 +48,11 @@ object GateSweep {
       .map(_.split(",").map(_.trim.toInt).toSeq)
     kBudgets.foreach { ks =>
       for (dir <- dirs) {
-        println(s"== gate K sweep @ $dir (P = production, Ks ${ks.mkString("/")}) ==")
+        // ADVICE r15: the sweep probes at the budget production
+        // RESOLVES for this corpus (curve-sized when a current probe
+        // curve exists), not the GateProbes constant
+        val p = graft.queries.VectorQueries.resolvedGateProbes(dir)
+        println(s"== gate K sweep @ $dir (P = $p resolved, Ks ${ks.mkString("/")}) ==")
         val t0 = System.nanoTime()
         val rows = graft.queries.VectorQueries.gateKSweep(spark, dir, ks).collect()
         println(f"${"k_cells"}%8s ${"cand_rows"}%10s ${"recall15"}%9s ${"recall22"}%9s ${"agree25"}%9s")
@@ -57,8 +61,15 @@ object GateSweep {
         }
         println(f"K sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
         graft.queries.VectorQueries.writeGateKSweep(dir, rows.toSeq.map(r =>
-          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))), p)
         println(s"K sweep persisted: ${graft.queries.VectorQueries.gateKSweepPath(dir)}")
+        // r16 (VERDICT r15 item 7): the onboarding check — does the
+        // curve we just measured contradict the sqrt-n rule?
+        val n = graft.Tables.embeddings(spark, dir).count()
+        graft.queries.VectorQueries.gateKRuleWarning(dir, n) match {
+          case Some(w) => println(s"K RULE WARNING: $w")
+          case None => println(s"K rule check: ceil(sqrt($n)) undominated on the swept axis — KEEP")
+        }
       }
       spark.stop()
       return

@@ -141,15 +141,30 @@ object Sf1Skew {
       case Some("all") => skewQs ++ textQs
       case _ => skewQs
     }
+    // r16 (VERDICT r15 item 3): the receipts this prints carry the same
+    // self-adjudication key the Bench artifacts grew in r14 — the
+    // machine 1-min load average at [start, end] of each query's reps.
+    // The skew corpus's 80 g sessions showed 2-3× back-to-back variance
+    // (qe15b read 80-129 s where a controlled same-session A/B read
+    // 38.9 s), and every round burned an A/B re-adjudicating the
+    // instrument; a receipt line whose load reads hot now names its own
+    // contamination. Read rule (BENCH_NOTES): trust a line only when
+    // both samples sit ≲ 0.2 over the session's own width.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    for ((name, fn) <- qs) {
+    val onlyQ = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    for ((name, fn) <- qs if onlyQ.forall(_.contains(name))) {
+      val l0 = loadAvg()
       var best = Double.MaxValue
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         fn(spark, OutDir).write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      println(f"[sf1] $name%-24s min-of-$reps ${best}%.2f s")
+      println(f"[sf1] $name%-24s min-of-$reps ${best}%.2f s load [$l0%.1f, ${loadAvg()}%.1f]")
     }
     spark.stop()
   }

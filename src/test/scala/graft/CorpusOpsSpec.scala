@@ -314,6 +314,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"boilerplate-only overlap must not report containment: ${out.keySet.filter(_._1 <= 70L).take(5)}")
   }
 
+  test("qd17 posting cap: hot-term lists truncate to top-tf, cold terms and idf untouched") {
+    import SparkSpecBase.spark.implicits._
+    // doc 0 is the one query (doc_id % 100 == 0); "hot" appears in 5
+    // docs with distinct tfs, "a" in 2. At cap=2 the hot posting list
+    // keeps only docs 1 (tf=3) and 2 (tf=2): docs 3 and 4 — whose ONLY
+    // query-term posting was truncated — must leave the result, while
+    // every cold-term contribution (a/b/c) survives untouched.
+    val planted = Seq(
+      (0L, "hot a b c"),
+      (1L, "hot hot hot"),
+      (2L, "hot hot"),
+      (3L, "hot"),
+      (4L, "hot z"),
+      (5L, "a a")).toDF("doc_id", "text")
+    val capped = queries.TextQueries.bm25From(planted, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet.map(_._2) == Set(0L, 1L, 2L, 5L),
+      s"cap=2 must keep exactly the surviving-posting docs: ${capped.keySet}")
+    // a cap at/above the max df is the identity: same rows, same scores
+    val loose = queries.TextQueries.bm25From(planted, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val tight = queries.TextQueries.bm25From(planted, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(loose == tight, "cap >= max df must be the identity")
+    assert(loose.keySet.map(_._2) == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // surviving scores are IDENTICAL capped vs uncapped (true df feeds
+    // idf, so truncation removes rows without re-weighting the rest) —
+    // except the query's own multi-term sum where a truncated term
+    // drops one addend; doc 2's single hot term checks score equality
+    assert(math.abs(capped((0L, 2L)) - loose((0L, 2L))) < 1e-12,
+      "a surviving single-term doc's score must not move under the cap")
+
+    // the production cap never bites at tested sfs: qd17 == uncapped
+    val prod = queries.TextQueries.qd17(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val uncapped = queries.TextQueries.bm25From(
+        Tables.documents(spark, dir), Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(prod.sameElements(uncapped),
+      "Bm25PostingDfCap must sit above every tested-sf df (bit-identical outputs)")
+  }
+
   test("q34 RFM: quintile scores balanced, segment echoes the three digits") {
     val out = queries.EventQueries.q34(spark, dir).cache()
     val n = out.count()

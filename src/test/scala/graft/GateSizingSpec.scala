@@ -44,8 +44,11 @@ class GateSizingSpec extends AnyFunSuite {
     (0.2, 839988L, 0.6118, 0.4656, 0.4855),
     (0.35, 1440819L, 0.7811, 0.7166, 0.6505),
     (0.5, 2043242L, 0.8812, 0.8381, 0.7945))
+  // (r16: the 0.2 row's secondaries sit above GateSecondaryMin — a row
+  // that cleared recall15 but collapsed a secondary would no longer
+  // certify; that arm has its own test below)
   private val sf001Mass: Seq[VectorQueries.MassSweepRow] = Seq(
-    (0.2, 55365L, 0.7052, 0.5072, 0.422),
+    (0.2, 55365L, 0.7052, 0.5672, 0.522),
     (0.35, 92619L, 0.7448, 0.6377, 0.606))
 
   test("no curve → static constants; oracle matches the static map byte-for-byte") {
@@ -110,6 +113,35 @@ class GateSizingSpec extends AnyFunSuite {
     VectorQueries.clearGateSizing()
   }
 
+  test("a budget whose curve row collapses a secondary measure is not certifiable (ADVICE r15)") {
+    // the r15 sizing certified recall15 alone, and the sized budget's
+    // sweep row then REPLACED the static floors of qe22b/qe25b — the
+    // same sweep that picked the budget set the pass criterion for the
+    // measures it never certified. Now the certified row must also
+    // clear GateSecondaryMin on recall22/agree25; a cheap budget with a
+    // collapsed secondary is skipped for the next fully-certified one.
+    VectorQueries.clearGateSizing()
+    val dir = tmpDir().toString
+    VectorQueries.writeGateSweep(dir, Seq(
+      (8, 90527L, 0.7376, 0.42, 0.596), // primary certifies, recall22 collapsed
+      (16, 177485L, 0.9452, 0.9348, 0.902)))
+    VectorQueries.writeGateMassSweep(dir, Seq(
+      (0.2, 55365L, 0.7052, 0.5672, 0.43), // agree25 collapsed
+      (0.35, 92619L, 0.7448, 0.6377, 0.606)))
+    assert(VectorQueries.resolvedGateProbes(dir) == 16,
+      "P=8's collapsed recall22 must push sizing to the next certified budget")
+    assert(VectorQueries.resolvedGateMassFrac(dir) == 0.35,
+      "frac=0.2's collapsed agree25 must push sizing to the next certified fraction")
+    VectorQueries.clearGateSizing()
+    // and when NO swept budget clears the secondary minimums, the
+    // fallback is the constants — same contract as a missed target
+    val dir2 = tmpDir().toString
+    VectorQueries.writeGateSweep(dir2,
+      Seq((8, 1000L, 0.95, 0.45, 0.45), (16, 2000L, 0.99, 0.49, 0.48)))
+    assert(VectorQueries.resolvedGateProbes(dir2) == VectorQueries.GateProbes)
+    VectorQueries.clearGateSizing()
+  }
+
   test("stale curve (corpus regenerated after the sweep) → constants") {
     VectorQueries.clearGateSizing()
     val dirP = tmpDir()
@@ -136,6 +168,49 @@ class GateSizingSpec extends AnyFunSuite {
     VectorQueries.clearGateSizing()
   }
 
+  test("curve registry: clean-machine resolution (no tmpdir state) equals the committed-curve resolution") {
+    // VERDICT r15 item 2: before the registry, `rm -rf /tmp/graft_gate*`
+    // silently flipped a sized P=8 build back to the P=16 constant.
+    // Both arms of the new contract: (a) with ONLY a committed registry
+    // entry the sizing resolves the same budget a tmpdir curve would;
+    // (b) the registry entry is content-keyed — a corpus whose bytes
+    // changed does not match it.
+    VectorQueries.clearGateSizing()
+    val dirP = tmpDir()
+    val dir = dirP.toString
+    Files.write(dirP.resolve("embeddings.parquet"), Array.fill[Byte](1234)(7))
+    val reg = tmpDir()
+    System.setProperty("graft.curve.registry", reg.toString)
+    try {
+      // publish a curve into the registry ONLY (no tmpdir write)
+      val entry = VectorQueries.registryCurveFile("gatesweep", dir)
+        .getOrElse(fail("a non-empty corpus must have a registry identity"))
+      Files.write(entry.toPath, sf001Probe.map { case (p, n, r15, r22, r25) =>
+        s"""{"probes":$p,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
+      }.mkString("[", ",", "]").getBytes("UTF-8"))
+      assert(!new java.io.File(VectorQueries.gateSweepPath(dir)).exists(),
+        "precondition: no tmpdir cache for this corpus")
+      assert(VectorQueries.readGateSweep(dir).contains(sf001Probe),
+        "the committed entry must resolve with zero tmpdir state")
+      assert(VectorQueries.resolvedGateProbes(dir) == 8,
+        "clean-machine sizing must equal the committed-curve sizing")
+      VectorQueries.clearGateSizing()
+      // a tmpdir cache of the same (deterministic) measurement resolves
+      // identically — cache presence cannot change the answer
+      VectorQueries.writeGateSweep(dir, sf001Probe)
+      assert(VectorQueries.resolvedGateProbes(dir) == 8)
+      VectorQueries.clearGateSizing()
+      // content key: grow the corpus → the old entry no longer applies
+      Files.write(dirP.resolve("embeddings.parquet"), Array.fill[Byte](5678)(7))
+      new java.io.File(VectorQueries.gateSweepPath(dir)).delete()
+      assert(VectorQueries.readGateSweep(dir).isEmpty,
+        "a registry entry keyed to other bytes must not serve this corpus")
+    } finally {
+      System.clearProperty("graft.curve.registry")
+      VectorQueries.clearGateSizing()
+    }
+  }
+
   test("dispatch rule: megacell fit → mass-budget, balanced fit → fixed-P, K ≤ P → fixed-P") {
     // VERDICT r14 item 2, both arms as pure functions of the home-mass
     // distribution. Balanced K=142 fit: top-16 fraction = 16/142 ≈
@@ -160,9 +235,17 @@ class GateSizingSpec extends AnyFunSuite {
       "the tiny near-balanced fixture must dispatch to the fixed-P gate")
     val b = VectorQueries.qe15b(spark, dir)
     assert(auto.collect().toSet == b.collect().toSet)
+    // r16 (VERDICT r15 item 4): the corpus-level decision routes ALL
+    // three gated families, each with its own oracle-checked receipt
+    assert(VectorQueries.qe22d(spark, dir).collect().toSet
+      == VectorQueries.qe22b(spark, dir).collect().toSet)
+    assert(VectorQueries.qe25d(spark, dir).collect().toSet
+      == VectorQueries.qe25b(spark, dir).collect().toSet)
     // and the dump-time oracle mirrors the memoized decision
     val sql = VectorQueries.gateOracle(Some(dir))
     assert(sql("qe15d_autogated_density") == sql("qe15b_gated_density"))
+    assert(sql("qe22d_autogated_mutual_nn") == sql("qe22b_gated_mutual_nn"))
+    assert(sql("qe25d_autogated_confusion") == sql("qe25b_gated_confusion"))
     VectorQueries.clearGateSizing()
   }
 

@@ -128,6 +128,16 @@ object GraftProperties extends Properties("graft") {
       snap(two = false) == snap(two = true)
     }
 
+  property("rankCumBy refuses output names that collide with its two-phase internals (ADVICE r15)") =
+    forAll(Gen.oneOf("_pid", "_lrn", "_lcum", "_soff", "_coff")) { bad =>
+      val df = Seq(("a", 1.0)).toDF("k", "v")
+      scala.util.Try(operators.Pareto.rankCumBy(
+        df, Seq(col("v").desc), col("v"), "rnk", bad, "tot", "n")).isFailure &&
+      // abc's own intermediates (_cum/_tot/_n) stay legal output names
+      scala.util.Try(operators.Pareto.rankCumBy(
+        df, Seq(col("v").desc), col("v"), "rnk", "_cum", "_tot", "_n")).isSuccess
+    }
+
   property("denseRankBy: two-phase dense rank == global-window dense rank exactly") =
     forAll(Gen.chooseNum(1, 80), Gen.chooseNum(0L, 500L)) { (n, seed) =>
       val rnd = new scala.util.Random(seed)

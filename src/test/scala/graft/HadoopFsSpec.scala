@@ -106,12 +106,33 @@ class HadoopFsSpec extends AnyFunSuite {
       (71, 2800000L, 0.91, 0.88, 0.85), (142, 1400000L, 0.867, 0.806, 0.775),
       (284, 700000L, 0.78, 0.7, 0.66))
     assert(graft.queries.VectorQueries.readGateKSweep(dir).isEmpty)
-    graft.queries.VectorQueries.writeGateKSweep(dir, rows)
+    graft.queries.VectorQueries.writeGateKSweep(dir, rows, probes = 16)
     assert(graft.queries.VectorQueries.gateKSweepPath(dir).endsWith("/_ksweep.json"))
+    // ADVICE r15: the artifact records the probe budget it measured at
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(graft.queries.VectorQueries.gateKSweepPath(dir)).toPath), "UTF-8")
+      .contains(""""probes":16"""))
     // shares the probe curve's fit-fingerprinted home, distinct file
     assert(new java.io.File(graft.queries.VectorQueries.gateKSweepPath(dir)).getParent
       == new java.io.File(graft.queries.VectorQueries.gateSweepPath(dir)).getParent)
     assert(graft.queries.VectorQueries.readGateKSweep(dir).contains(rows))
+    // r16 (VERDICT r15 item 7): the committed r15-shaped curve is a
+    // monotone cost/recall trade — the sqrt-n rule is undominated
+    assert(graft.queries.VectorQueries.gateKRuleWarning(dir, 20164L).isEmpty,
+      "an equivalence-shaped K curve must not flag the sqrt-n rule")
+  }
+
+  test("K-rule onboarding check flags a curve where another K dominates sqrt-n (VERDICT r15 item 7)") {
+    val dir = tmpDir().toString
+    // K=284 reaches MORE recall15 than the rule's own K=142 row at
+    // HALF the candidate rows — this corpus's geometry breaks the
+    // equal-scanned-mass equivalence, so onboarding must hear about it
+    graft.queries.VectorQueries.writeGateKSweep(dir, Seq(
+      (71, 2800000L, 0.91, 0.88, 0.85),
+      (142, 1400000L, 0.80, 0.75, 0.72),
+      (284, 700000L, 0.85, 0.80, 0.77)), probes = 16)
+    val w = graft.queries.VectorQueries.gateKRuleWarning(dir, 20164L)
+    assert(w.exists(_.contains("K=284 dominates K=142")), s"got $w")
   }
 
   test("sweep readers parse scientific-notation doubles and refuse curves older than the corpus") {

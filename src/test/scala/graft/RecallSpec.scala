@@ -166,15 +166,29 @@ class RecallSpec extends AnyFunSuite {
       val p = queries.VectorQueries.resolvedGateProbes(sf.dir)
       queries.VectorQueries.readGateSweep(sf.dir)
         .flatMap(_.find(_._1 == p))
-        .map(r => (pick(c, r), p != queries.VectorQueries.GateProbes))
+        .map(r => (pick(c, r), c, p != queries.VectorQueries.GateProbes))
     }.orElse(massCol.flatMap { c =>
       val f = queries.VectorQueries.resolvedGateMassFrac(sf.dir)
       queries.VectorQueries.readGateMassSweep(sf.dir)
         .flatMap(_.find(_._1 == f))
-        .map(r => (pick(c, r), f != queries.VectorQueries.GateMassFrac))
+        .map(r => (pick(c, r), c, f != queries.VectorQueries.GateMassFrac))
     })
-    measured.map { case (m, sized) =>
-      (math.floor((m - 0.10) * 100) / 100, sized)
+    // ADVICE r15 (medium): when sizing chose a non-constant budget, the
+    // sweep-derived floor is measured-minus-margin AT the budget the
+    // same sweep picked — self-certifying on its own. There the sizing
+    // rule's own promises (recall15 >= target, secondaries >=
+    // GateSecondaryMin, both checked by gateProbesFor/gateMassFracFor)
+    // become an ABSOLUTE backstop, derated by the same 0.10 margin: a
+    // sized build may never floor below what certification guaranteed,
+    // no matter what the curve says. Constant-fallback builds keep the
+    // plain derated sweep — max()ed against the static floor in
+    // record(), which is already an independent bound (and the mass
+    // trio's recall legitimately floats below target by design there).
+    measured.map { case (m, c, sized) =>
+      val derated = math.floor((m - 0.10) * 100) / 100
+      val backstop = (if (c == 3) queries.VectorQueries.GateRecallTarget
+                      else queries.VectorQueries.GateSecondaryMin) - 0.10
+      (if (sized) math.max(derated, backstop) else derated, sized)
     }
   }
 

@@ -16,13 +16,20 @@
 #   3. tools/GateSweep      — probe-budget recall curve, persisted as
 #                             _sweep.json (drives recall-targeted sizing)
 #   4. tools/GateSweep mass — scanned-mass recall curve, ditto
+#   5. tools/GateSweep K    — cell-count recall curve (_ksweep.json);
+#                             the COSTLIEST mode: every swept K is a
+#                             full quantizer refit, ~30+ min for 3 Ks
 #
-# Wall-clock: ~30 min probe sweep + ~20 min mass sweep + ~10 min suite
-# on a 32-core box (BENCH_NOTES r14). Artifacts print to stdout; commit
-# them under gates/r<N>/ like gates/r14/sf1skew_suite.txt.
+# Wall-clock: ~30 min probe sweep + ~20 min mass sweep + ~30 min K
+# sweep + ~10 min suite on a 32-core box (BENCH_NOTES r14/r15).
+# Artifacts print to stdout; commit them under gates/r<N>/ like
+# gates/r14/sf1skew_suite.txt.
 #
-# Usage: tools/skew_suite.sh [suite|balance|sweep|masssweep|all]
-# (default: all)
+# Usage: tools/skew_suite.sh [suite|balance|sweep|masssweep|ksweep|all]
+# (default: all). Suite lines carry per-query "load [start, end]"
+# samples — the Bench artifacts' self-adjudication key (trust a line
+# only when both samples read idle); SPARK_GRAFT_ONLY=name,name
+# narrows the suite step to the named queries.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -60,4 +67,5 @@ if [[ "$STEP" == "ksweep" || "$STEP" == "all" ]]; then
 fi
 echo ">>> done; persisted curves:"
 ls -la "${TMPDIR:-/tmp}"/graft_gatesweep_*_sf1_skew/_sweep.json \
+  "${TMPDIR:-/tmp}"/graft_gatesweep_*_sf1_skew/_ksweep.json \
   "${TMPDIR:-/tmp}"/graft_gatemasssweep_*_sf1_skew/_sweep.json 2>/dev/null || true
