@@ -720,12 +720,20 @@ object TextQueries {
     * sub-maxdf cap): `d` carries (doc_id, text).
     */
   private[graft] def bm25From(d: DataFrame, cap: Int): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
-    val topK = 10
-    val corpus = d
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val corpus = bm25Corpus(d)
+    val (capped, stats) = bm25Postings(corpus, cap)
+    bm25Tail(capped, bm25Queries(corpus), stats)
+  }
+
+  private def bm25Corpus(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+
+  /** The capped posting list (doc_id, dl, term, tf, df) + the 1-row
+    * (n, avgdl) stats frame — everything the scoring needs that is
+    * query-independent, i.e. the OFFLINE index qd17b persists.
+    */
+  private def bm25Postings(corpus: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     val tf = corpus
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -733,10 +741,7 @@ object TextQueries {
     // long sum / long count: association-free inputs, one double divide
     val stats = corpus.agg(count(lit(1)).as("n"),
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
-    val qterms = corpus.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
-    // posting-truncation stage (scaladoc above): cold terms pass
+    // posting-truncation stage (qd17 scaladoc): cold terms pass
     // through untouched; hot terms rank within their posting list on
     // the exchange the df join already keyed by term, keeping only the
     // top-cap impacts. df rides along — it is the TRUE df either way.
@@ -747,6 +752,19 @@ object TextQueries {
       withDf.filter(col("df") > cap)
         .withColumn("pr", row_number().over(hotRank))
         .filter(col("pr") <= cap).drop("pr"))
+    (capped, stats)
+  }
+
+  private def bm25Queries(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
+
+  private def bm25Tail(capped: DataFrame, qterms: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val topK = 10
     val contrib = capped
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
@@ -806,6 +824,45 @@ object TextQueries {
       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
       |  FROM scored)
       |WHERE rank <= 10""".stripMargin
+
+  // -------------------------------------------------------------- qd17b
+  /** BM25 over a PERSISTED posting index — qd6b's offline-artifact
+    * lifecycle applied to lexical retrieval, making real the scale
+    * shape qd17's scaladoc promised in prose: the df-capped posting
+    * list and the 1-row (n, avgdl) stats frame are a write-once,
+    * staleness-probed parquet artifact, and the probe tokenizes ONLY
+    * the query slice (doc_id % 100, 1% of the corpus) — the corpus is
+    * never re-read, re-tokenized, or re-aggregated at query time. At
+    * 100 TB this is the only viable shape: the tf/df pass is the
+    * expensive corpus scan, amortized across every retrieval batch.
+    * Scores equal qd17's by construction (the artifact IS qd17's
+    * capped posting stage, [[bm25Postings]]), so the twin shares
+    * qd17's DuckDB oracle and is hash-matched end-to-end at 3 sfs.
+    *
+    * Commit order: stats first, postings last — the postings dir's
+    * `_SUCCESS` is the freshness witness [[indexStale]] probes, so a
+    * half-finished build can never read as fresh.
+    */
+  def bm25IndexPath(dir: String): String =
+    graft.sources.HadoopFs.indexPath("bm25", dir, Bm25PostingDfCap, "cappedtfdf")
+
+  def bm25Build(s: SparkSession, dir: String, path: String): Unit = {
+    val (capped, stats) = bm25Postings(bm25Corpus(docs(s, dir)), Bm25PostingDfCap)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    capped.write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  private def bm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = bm25IndexPath(dir)
+    if (indexStale(s, s"$path/postings", s"$dir/documents.parquet"))
+      bm25Build(s, dir, path)
+    (s.read.parquet(s"$path/postings"), s.read.parquet(s"$path/stats"))
+  }
+
+  def qd17b(s: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = bm25Index(s, dir)
+    bm25Tail(postings, bm25Queries(bm25Corpus(docs(s, dir))), stats)
+  }
 
   // --------------------------------------------------------------- qd18
   /** Cross-document duplicate-SPAN detection — the doc-granular
@@ -3540,6 +3597,7 @@ object TextQueries {
     "qd15_sequence_pack" -> (qd15 _),
     "qd16_repetition" -> (qd16 _),
     "qd17_bm25" -> (qd17 _),
+    "qd17b_bm25_index" -> (qd17b _),
     "qd18_dup_spans" -> (qd18 _),
     "qd19_domain_cap" -> (qd19 _),
     "qd20_token_ndv" -> (qd20 _),
@@ -3604,6 +3662,9 @@ object TextQueries {
     "qd15_sequence_pack" -> qd15Sql,
     "qd16_repetition" -> qd16Sql,
     "qd17_bm25" -> qd17Sql,
+    // the persisted-index probe is score-identical to the fused qd17
+    // by construction — one oracle serves both (the qe5/qe5b pattern)
+    "qd17b_bm25_index" -> qd17Sql,
     "qd18_dup_spans" -> qd18Sql,
     "qd19_domain_cap" -> qd19Sql,
     "qd20_token_ndv" -> qd20Sql,

@@ -123,6 +123,9 @@ object Sf1Skew {
       // per-pair), the dup-cluster join tail, and the LM perplexity
       // gram chain (the widest cold-vs-warm bench spread in the family)
       "qd17_bm25" -> (graft.queries.TextQueries.qd17 _),
+      // r16: the persisted-postings probe — rep 1 pays the one-off
+      // index build, so the min-of-reps line is the amortized probe
+      "qd17b_bm25_index" -> (graft.queries.TextQueries.qd17b _),
       "qd22_dup_clusters" -> (graft.queries.TextQueries.qd22 _),
       "qd27_lm_perplexity" -> (graft.queries.TextQueries.qd27 _))
     val skewQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

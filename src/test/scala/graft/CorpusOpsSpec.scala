@@ -356,6 +356,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       "Bm25PostingDfCap must sit above every tested-sf df (bit-identical outputs)")
   }
 
+  test("qd17b persisted-postings probe equals the fused qd17 row-for-row") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val probe = snap(queries.TextQueries.qd17b(spark, dir))
+    assert(probe.sameElements(snap(queries.TextQueries.qd17(spark, dir))),
+      "the offline artifact IS qd17's capped posting stage — scores must match")
+    // the artifact has the two-part layout with the postings committed
+    // last (its _SUCCESS is the staleness witness)
+    val path = queries.TextQueries.bm25IndexPath(dir)
+    assert(new java.io.File(s"$path/postings/_SUCCESS").exists())
+    assert(new java.io.File(s"$path/stats/_SUCCESS").exists())
+  }
+
   test("q34 RFM: quintile scores balanced, segment echoes the three digits") {
     val out = queries.EventQueries.q34(spark, dir).cache()
     val n = out.count()

@@ -276,6 +276,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "corpus must never cartesian-join")
   }
 
+  test("qd17b probe reads the persisted postings — documents are scanned only for the query slice") {
+    // the offline artifact exists once qd17b has run; the PROBE plan
+    // must contain the postings parquet scan and exactly one documents
+    // scan (tokenizing the 1% query slice) — a second documents scan
+    // would mean the probe is silently re-building tf/df at query time
+    val p = finalPlan(queries.TextQueries.qd17b(spark, sf))
+    assert(p.contains("postings"), "probe must scan the persisted posting index")
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 1, s"probe must scan documents once (queries), saw $docScans")
+  }
+
   test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
     val df = queries.CoreQueries.q10(spark, sf)
     df.collect()
