@@ -54,7 +54,10 @@ object GateResolve {
         println(s"[resolve] $dir n=$n K=${VectorQueries.gateK(n)} dispatch=$rule")
         VectorQueries.gateKRuleWarning(dir, n) match {
           case Some(w) => println(s"[resolve] $dir K RULE WARNING: $w")
-          case None => println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve (or no curve)")
+          case None if VectorQueries.readGateKSweep(dir).isDefined =>
+            println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve — KEEP")
+          case None =>
+            println(s"[resolve] $dir K rule: no persisted K curve (run the GateSweep K mode to measure)")
         }
       }
     }
