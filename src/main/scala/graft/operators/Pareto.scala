@@ -62,8 +62,14 @@ object Pareto {
     * a silent collision would corrupt ranks, so both entry points check
     * loudly instead of renaming behind the caller's back.
     */
-  private val tempCols = Seq("_pid", "_lrn", "_lcum", "_coff", "_soff",
-    "_cum", "_cum_raw", "_tot", "_n")
+  /** The two-phase reconstruction's own working columns — also the
+    * names [[rankCumBy]] refuses as caller-chosen OUTPUT names (the
+    * trailing .drop would silently eat them; review r16: one shared
+    * definition, not two lists to keep in sync).
+    */
+  private val twoPhaseInternal = Seq("_pid", "_lrn", "_lcum", "_coff", "_soff")
+
+  private val tempCols = twoPhaseInternal ++ Seq("_cum", "_cum_raw", "_tot", "_n")
 
   private def requireNoTempCollision(df: DataFrame): Unit = {
     val clash = df.columns.intersect(tempCols)
@@ -114,8 +120,7 @@ object Pareto {
     // instead. Only the five two-phase internals are reserved here:
     // the rest of tempCols are [[abc]]'s own intermediates, which abc
     // legitimately passes as output names and renames afterwards.
-    val internal = Seq("_pid", "_lrn", "_lcum", "_soff", "_coff")
-    val clash = Seq(rankCol, cumCol, totCol, nCol).filter(internal.contains)
+    val clash = Seq(rankCol, cumCol, totCol, nCol).filter(twoPhaseInternal.contains)
     require(clash.isEmpty,
       s"rankCumBy output names collide with two-phase internals: ${clash.mkString(", ")}")
     if (twoPhase.getOrElse(autoTwoPhase(df)))

@@ -2011,31 +2011,44 @@ object VectorQueries {
     else {
       val fp = graft.sources.HadoopFs.paramFingerprint(
         GateFitIters, GateFitPerCell, "sqrtK")
-      Some(new java.io.File(s"$curveRegistryDir/graft_${family}_${fp}_$bytes.json"))
+      // review r16: key by PATH SLUG and byte size — byte size alone
+      // let two corpora whose parquet happened to total the same bytes
+      // share one certified curve (sf0.001/sf0.01 both hold n=500 and
+      // differ by 8 bytes of compression noise). The slug pins which
+      // corpus the measurement was taken on; the byte size is the
+      // content staleness witness for THAT corpus.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Some(new java.io.File(
+        s"$curveRegistryDir/graft_${family}_${fp}_${slug}_$bytes.json"))
     }
   }
 
-  /** The curve text for `family`/`dir`: the tmpdir cache when current
-    * (same mtime staleness rule as ever), else the committed registry
-    * entry content-keyed to this corpus, else None.
+  /** Candidate curve texts for `family`/`dir`, most-authoritative
+    * first: the tmpdir cache when current (same mtime staleness rule
+    * as ever), then the committed registry entry keyed to this corpus.
+    * Both are returned so a reader can fall through to the registry
+    * when the cache text exists but no longer parses (an older-format
+    * artifact must not SHADOW a valid committed curve — review r16).
     */
-  private def curveText(family: String, tmpFile: java.io.File,
-      dir: String): Option[String] = {
-    val src =
-      if (tmpFile.exists() && sweepCurrent(tmpFile, dir)) Some(tmpFile)
-      else registryCurveFile(family, dir).filter(_.exists())
-    src.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  private def curveTexts(family: String, tmpFile: java.io.File,
+      dir: String): Seq[String] = {
+    val srcs =
+      (if (tmpFile.exists() && sweepCurrent(tmpFile, dir)) Seq(tmpFile) else Nil) ++
+        registryCurveFile(family, dir).filter(_.exists()).toSeq
+    srcs.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
+  private[graft] def parseSweepRows(txt: String): Seq[SweepRow] = {
+    val row = (s"""\\{"probes":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+      s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+    row.findAllMatchIn(txt).map(m =>
+      (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
+        m.group(4).toDouble, m.group(5).toDouble)).toSeq
   }
 
   def readGateSweep(dir: String): Option[Seq[SweepRow]] =
-    curveText("gatesweep", new java.io.File(gateSweepPath(dir)), dir).flatMap { txt =>
-      val row = (s"""\\{"probes":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
-        s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
-      val rows = row.findAllMatchIn(txt).map(m =>
-        (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
-          m.group(4).toDouble, m.group(5).toDouble)).toSeq
-      if (rows.isEmpty) None else Some(rows)
-    }
+    curveTexts("gatesweep", new java.io.File(gateSweepPath(dir)), dir)
+      .map(parseSweepRows).find(_.nonEmpty)
 
   /** One measured mass-sweep row: (mass_frac, cand_rows, recall15,
     * recall22, agree25) — the mass-budget twin of [[SweepRow]].
@@ -2060,16 +2073,17 @@ object VectorQueries {
     stampPastCorpus(f, dir)
   }
 
+  private[graft] def parseMassSweepRows(txt: String): Seq[MassSweepRow] = {
+    val row = (s"""\\{"mass_frac":($SweepNum),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+      s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+    row.findAllMatchIn(txt).map(m =>
+      (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
+        m.group(4).toDouble, m.group(5).toDouble)).toSeq
+  }
+
   def readGateMassSweep(dir: String): Option[Seq[MassSweepRow]] =
-    curveText("gatemasssweep", new java.io.File(gateMassSweepPath(dir)), dir)
-      .flatMap { txt =>
-        val row = (s"""\\{"mass_frac":($SweepNum),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
-          s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
-        val rows = row.findAllMatchIn(txt).map(m =>
-          (m.group(1).toDouble, m.group(2).toLong, m.group(3).toDouble,
-            m.group(4).toDouble, m.group(5).toDouble)).toSeq
-        if (rows.isEmpty) None else Some(rows)
-      }
+    curveTexts("gatemasssweep", new java.io.File(gateMassSweepPath(dir)), dir)
+      .map(parseMassSweepRows).find(_.nonEmpty)
 
   /** Recall-targeted gate sizing from the persisted measurement (the
     * policy the r14 envelope note committed to: sizing reads corpus-
@@ -2396,16 +2410,32 @@ object VectorQueries {
           s"K=${base._1} (cand_rows ${r._2} < ${base._2}, recall15 ${r._3} >= ${base._3})")
     }
 
+  /** K rows + the probe budget the sweep was measured at (review r16:
+    * the recorded budget must be READABLE, not write-only — a K curve
+    * swept at a budget production no longer resolves is answering a
+    * question production never asks, and GateResolve warns on it).
+    */
+  private[graft] def parseKSweepRows(txt: String): (Option[Int], Seq[KSweepRow]) = {
+    val row = (s"""\\{"k_cells":(\\d+),"probes":(\\d+),"cand_rows":(\\d+),"recall15":($SweepNum),""" +
+      s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
+    val ms = row.findAllMatchIn(txt).toSeq
+    (ms.headOption.map(_.group(2).toInt),
+      ms.map(m => (m.group(1).toInt, m.group(3).toLong, m.group(4).toDouble,
+        m.group(5).toDouble, m.group(6).toDouble)))
+  }
+
+  /** (probe budget, rows) of the current K curve — tmpdir cache first,
+    * committed registry second, skipping any source that fails to
+    * parse (pre-r16 artifacts lack the probes field by design: the
+    * budget they measured at is unknowable, so they are re-sweep bait,
+    * not data).
+    */
+  def readGateKSweepFull(dir: String): Option[(Option[Int], Seq[KSweepRow])] =
+    curveTexts("gateksweep", new java.io.File(gateKSweepPath(dir)), dir)
+      .map(parseKSweepRows).find(_._2.nonEmpty)
+
   def readGateKSweep(dir: String): Option[Seq[KSweepRow]] =
-    curveText("gateksweep", new java.io.File(gateKSweepPath(dir)), dir)
-      .flatMap { txt =>
-        val row = (s"""\\{"k_cells":(\\d+),"probes":\\d+,"cand_rows":(\\d+),"recall15":($SweepNum),""" +
-          s""""recall22":($SweepNum),"agree25":($SweepNum)\\}""").r
-        val rows = row.findAllMatchIn(txt).map(m =>
-          (m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
-            m.group(4).toDouble, m.group(5).toDouble)).toSeq
-        if (rows.isEmpty) None else Some(rows)
-      }
+    readGateKSweepFull(dir).map(_._2)
 
   /** The corpus gate at its production sizing (K = ⌈√n⌉, P =
     * [[resolvedGateProbes]] — curve-sized when a current sweep exists

@@ -15,17 +15,7 @@ object CellBalance {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", s"${sys.props("java.io.tmpdir")}/graft_sf1_skew")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local()
     val iterGrid = sys.env.get("SPARK_GRAFT_ITERS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(3))
     for (dir <- dirs; it <- iterGrid) {

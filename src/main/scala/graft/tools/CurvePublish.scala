@@ -44,8 +44,24 @@ object CurvePublish {
             val conf = new org.apache.hadoop.conf.Configuration()
             val fresh = Files.getLastModifiedTime(src).toMillis >
               graft.sources.HadoopFs.newestMtime(conf, s"$dir/embeddings.parquet")
+            // review r16: a registry entry that doesn't parse with its
+            // reader is worse than none — the clean-machine build
+            // would silently fall back to constants while the registry
+            // claims the curve is published. Validate BEFORE copying.
+            lazy val txt = new String(Files.readAllBytes(src), "UTF-8")
+            lazy val parses = family match {
+              case "gatesweep" =>
+                graft.queries.VectorQueries.parseSweepRows(txt).nonEmpty
+              case "gatemasssweep" =>
+                graft.queries.VectorQueries.parseMassSweepRows(txt).nonEmpty
+              case _ =>
+                graft.queries.VectorQueries.parseKSweepRows(txt)._2.nonEmpty
+            }
             if (!fresh)
               println(s"[publish] REFUSE $family @ $dir — tmpdir curve is stale vs the corpus")
+            else if (!parses)
+              println(s"[publish] REFUSE $family @ $dir — tmpdir curve does not parse " +
+                "with its reader (pre-r16 format or corrupt); re-sweep before publishing")
             else {
               Files.copy(src, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
               println(s"[publish] $family @ $dir -> $dst")

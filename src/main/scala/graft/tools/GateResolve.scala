@@ -26,22 +26,16 @@ object GateResolve {
     val sizingOnly = sys.env.contains("SPARK_GRAFT_RESOLVE_ONLY")
     val spark =
       if (sizingOnly) None
-      else Some {
-        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-        val s = SparkSession.builder()
-          .config("spark.sql.extensions", "graft.GraftExtensions")
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .config(graft.GraftConf.contextDefaults)
-          .getOrCreate()
-        s.sparkContext.setLogLevel("WARN")
-        graft.GraftConf.bootstrap(s)
-        s
-      }
+      else Some(ToolSession.local(defaultCpus = "8"))
     import graft.queries.VectorQueries
     println(s"[resolve] curve registry: ${VectorQueries.curveRegistryDir}")
+    // review r16: the default registry path resolves against the
+    // process cwd (repo root under sbt) — a run launched elsewhere
+    // silently loses the committed curves, so say so loudly
+    if (!new java.io.File(VectorQueries.curveRegistryDir).isDirectory)
+      println(s"[resolve] WARNING: registry dir not found from cwd " +
+        s"${sys.props("user.dir")} — sizing will use tmpdir cache/constants " +
+        "only (set SPARK_GRAFT_CURVE_REGISTRY to the committed gates/curves)")
     for (dir <- args) {
       val p = VectorQueries.resolvedGateProbes(dir)
       val f = VectorQueries.resolvedGateMassFrac(dir)
@@ -54,10 +48,15 @@ object GateResolve {
         println(s"[resolve] $dir n=$n K=${VectorQueries.gateK(n)} dispatch=$rule")
         VectorQueries.gateKRuleWarning(dir, n) match {
           case Some(w) => println(s"[resolve] $dir K RULE WARNING: $w")
-          case None if VectorQueries.readGateKSweep(dir).isDefined =>
-            println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve — KEEP")
-          case None =>
-            println(s"[resolve] $dir K rule: no persisted K curve (run the GateSweep K mode to measure)")
+          case None => VectorQueries.readGateKSweepFull(dir) match {
+            case Some((Some(pk), _)) if pk != p =>
+              println(s"[resolve] $dir K curve was swept at P=$pk but production " +
+                s"resolves P=$p — re-sweep (GateSweep K mode) before trusting KEEP")
+            case Some(_) =>
+              println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve (P=$p) — KEEP")
+            case None =>
+              println(s"[resolve] $dir K rule: no persisted K curve (run the GateSweep K mode to measure)")
+          }
         }
       }
     }

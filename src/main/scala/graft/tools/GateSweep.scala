@@ -24,18 +24,7 @@ object GateSweep {
     // than its heap share. Fewer concurrent tasks + more (smaller)
     // shuffle partitions keep the same wall-clock shape inside memory;
     // both knobs default to the production values.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local(honorShuffleEnv = true)
     // r14: the decay study at the 10× corpus (n=20k, K=142) needs
     // budgets past the sf0.1 knee — override via SPARK_GRAFT_BUDGETS
     val budgets = sys.env.get("SPARK_GRAFT_BUDGETS")

@@ -12,16 +12,7 @@ import org.apache.spark.sql.SparkSession
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local(defaultCpus = "8", logLevel = "ERROR")
     for (name <- args.tail) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()

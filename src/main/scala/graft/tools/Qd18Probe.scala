@@ -16,17 +16,7 @@ import graft.operators.Rounding.dround
 object Qd18Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local()
 
     def rollup(fps: DataFrame, flagged: DataFrame): DataFrame =
       flagged

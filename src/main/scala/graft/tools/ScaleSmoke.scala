@@ -26,18 +26,7 @@ object ScaleSmoke {
     }.reduce(_.unionByName(_))
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local()
 
     val plans: Seq[(String, Seq[String])] = Seq(
       "lineitem" -> Seq("l_orderkey", "l_partkey"),

@@ -51,18 +51,7 @@ object Sf1Skew {
     xxhash64(cols: _*).cast("double") / 1.8446744073709552e19
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.GraftConf.contextDefaults)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftConf.bootstrap(spark)
+    val spark = ToolSession.local()
     def src(t: String) = spark.read.parquet(s"$SrcDir/$t.parquet")
 
     if (!new java.io.File(s"$OutDir/embeddings.parquet").exists()) {

@@ -135,9 +135,11 @@ class GateSizingSpec extends AnyFunSuite {
     VectorQueries.clearGateSizing()
     // and when NO swept budget clears the secondary minimums, the
     // fallback is the constants — same contract as a missed target
+    // swept budgets deliberately != GateProbes so the assertion can
+    // tell the constants FALLBACK from wrongly certifying a swept row
     val dir2 = tmpDir().toString
     VectorQueries.writeGateSweep(dir2,
-      Seq((8, 1000L, 0.95, 0.45, 0.45), (16, 2000L, 0.99, 0.49, 0.48)))
+      Seq((8, 1000L, 0.95, 0.45, 0.45), (24, 2000L, 0.99, 0.49, 0.48)))
     assert(VectorQueries.resolvedGateProbes(dir2) == VectorQueries.GateProbes)
     VectorQueries.clearGateSizing()
   }
