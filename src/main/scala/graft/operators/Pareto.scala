@@ -58,10 +58,6 @@ object Pareto {
     else abcGlobalWindow(perKey, keyCol, valueCol)
   }
 
-  /** Internal working columns. Public API frames must not carry these —
-    * a silent collision would corrupt ranks, so both entry points check
-    * loudly instead of renaming behind the caller's back.
-    */
   /** The two-phase reconstruction's own working columns — also the
     * names [[rankCumBy]] refuses as caller-chosen OUTPUT names (the
     * trailing .drop would silently eat them; review r16: one shared
@@ -69,6 +65,11 @@ object Pareto {
     */
   private val twoPhaseInternal = Seq("_pid", "_lrn", "_lcum", "_coff", "_soff")
 
+  /** ALL internal working columns (two-phase + abc's intermediates).
+    * Public API frames must not carry these — a silent collision would
+    * corrupt ranks, so both entry points check loudly instead of
+    * renaming behind the caller's back.
+    */
   private val tempCols = twoPhaseInternal ++ Seq("_cum", "_cum_raw", "_tot", "_n")
 
   private def requireNoTempCollision(df: DataFrame): Unit = {

@@ -1991,11 +1991,13 @@ object VectorQueries {
     * precedence cannot change values — only availability).
     *
     * Registry entries are keyed by the same FIT-parameter fingerprint
-    * as the tmpdir paths plus the corpus's total byte size
-    * ([[graft.sources.HadoopFs.totalBytes]]) instead of the cache's
-    * mtime rule — checkout mtimes are meaningless, content is the
-    * witness. `graft.tools.CurvePublish <sfDir>...` copies the current
-    * tmpdir curves into the registry under those names.
+    * and normalized dir slug as the tmpdir paths, plus the corpus's
+    * total byte size ([[graft.sources.HadoopFs.totalBytes]]) instead
+    * of the cache's mtime rule — checkout mtimes are meaningless,
+    * content is the witness, and the slug keeps two same-sized corpora
+    * from aliasing one curve. `graft.tools.CurvePublish <sfDir>...`
+    * copies the current tmpdir curves into the registry under those
+    * names.
     */
   private[graft] def curveRegistryDir: String =
     sys.env.get("SPARK_GRAFT_CURVE_REGISTRY")
@@ -2014,10 +2016,11 @@ object VectorQueries {
       // review r16: key by PATH SLUG and byte size — byte size alone
       // let two corpora whose parquet happened to total the same bytes
       // share one certified curve (sf0.001/sf0.01 both hold n=500 and
-      // differ by 8 bytes of compression noise). The slug pins which
-      // corpus the measurement was taken on; the byte size is the
-      // content staleness witness for THAT corpus.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // differ by 8 bytes of compression noise). The slug (shared with
+      // the tmpdir cache via HadoopFs.dirSlug, path-normalized) pins
+      // which corpus the measurement was taken on; the byte size is
+      // the content staleness witness for THAT corpus.
+      val slug = graft.sources.HadoopFs.dirSlug(dir)
       Some(new java.io.File(
         s"$curveRegistryDir/graft_${family}_${fp}_${slug}_$bytes.json"))
     }
@@ -2026,16 +2029,21 @@ object VectorQueries {
   /** Candidate curve texts for `family`/`dir`, most-authoritative
     * first: the tmpdir cache when current (same mtime staleness rule
     * as ever), then the committed registry entry keyed to this corpus.
-    * Both are returned so a reader can fall through to the registry
+    * Both are offered so a reader can fall through to the registry
     * when the cache text exists but no longer parses (an older-format
     * artifact must not SHADOW a valid committed curve — review r16).
+    * LAZY on purpose: the registry candidate costs a recursive corpus
+    * byte listing, which a current-and-parsing cache hit — the common
+    * case on a working box — must never pay.
     */
   private def curveTexts(family: String, tmpFile: java.io.File,
-      dir: String): Seq[String] = {
-    val srcs =
-      (if (tmpFile.exists() && sweepCurrent(tmpFile, dir)) Seq(tmpFile) else Nil) ++
-        registryCurveFile(family, dir).filter(_.exists()).toSeq
-    srcs.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      dir: String): Iterator[String] = {
+    val tmp = Iterator(tmpFile)
+      .filter(f => f.exists() && sweepCurrent(f, dir))
+    val reg = Iterator(()).flatMap(_ =>
+      registryCurveFile(family, dir).filter(_.exists()).iterator)
+    (tmp ++ reg).map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
   }
 
   private[graft] def parseSweepRows(txt: String): Seq[SweepRow] = {

@@ -98,9 +98,21 @@ object HadoopFs {
     (scala.util.hashing.MurmurHash3.stringHash(
       params.mkString("|")) & 0x7fffffff).toHexString
 
+  /** The slug a data dir contributes to cache/registry names — shared
+    * by [[indexPath]] and the curve registry so the two key the same
+    * corpus identically (review r16). Normalized first: a trailing
+    * slash or redundant `.` segment must not silently derail a lookup
+    * onto a different name (for already-clean absolute paths the
+    * normalization is the identity, so existing artifact names are
+    * unchanged).
+    */
+  def dirSlug(dir: String): String =
+    java.nio.file.Paths.get(dir).normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+
   def indexPath(family: String, dir: String, params: Any*): String = {
     val fp = paramFingerprint(params: _*)
-    s"${sys.props("java.io.tmpdir")}/graft_${family}_${fp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_${family}_${fp}_${dirSlug(dir)}"
   }
 
   /** Total byte size of every file under `path` (0 if absent) — the

@@ -42,22 +42,33 @@ object GateResolve {
       val pSrc = if (p == VectorQueries.GateProbes) "constant-or-curve" else "curve-sized"
       val fSrc = if (f == VectorQueries.GateMassFrac) "constant-or-curve" else "curve-sized"
       println(s"[resolve] $dir probes=$p ($pSrc) massFrac=$f ($fSrc)")
+      // K-curve budget audit — pure filesystem reads, so it runs in
+      // RESOLVE_ONLY mode too (review r16: the one audit this receipt
+      // adds must not vanish in the auditing mode)
+      val kCurve = VectorQueries.readGateKSweepFull(dir)
+      val kBudgetMismatch = kCurve.flatMap(_._1).filter(_ != p)
+      (kCurve, kBudgetMismatch) match {
+        case (None, _) =>
+          println(s"[resolve] $dir K curve: none persisted (run the GateSweep K mode to measure)")
+        case (_, Some(pk)) =>
+          println(s"[resolve] $dir K curve was swept at P=$pk but production " +
+            s"resolves P=$p — re-sweep (GateSweep K mode) before trusting it")
+        case _ => () // budget-matched; the rule check below adjudicates it
+      }
       spark.foreach { s =>
         val n = graft.Tables.embeddings(s, dir).count()
         val rule = if (VectorQueries.gateUseMass(s, dir)) "MASS-BUDGET" else "FIXED-P"
         println(s"[resolve] $dir n=$n K=${VectorQueries.gateK(n)} dispatch=$rule")
-        VectorQueries.gateKRuleWarning(dir, n) match {
-          case Some(w) => println(s"[resolve] $dir K RULE WARNING: $w")
-          case None => VectorQueries.readGateKSweepFull(dir) match {
-            case Some((Some(pk), _)) if pk != p =>
-              println(s"[resolve] $dir K curve was swept at P=$pk but production " +
-                s"resolves P=$p — re-sweep (GateSweep K mode) before trusting KEEP")
-            case Some(_) =>
-              println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve (P=$p) — KEEP")
+        // the contradiction check only speaks for curves measured at
+        // the budget production actually resolves — a wrong-budget
+        // curve answers a question production never asks (the audit
+        // above already told the operator to re-sweep)
+        if (kCurve.isDefined && kBudgetMismatch.isEmpty)
+          VectorQueries.gateKRuleWarning(dir, n) match {
+            case Some(w) => println(s"[resolve] $dir K RULE WARNING: $w")
             case None =>
-              println(s"[resolve] $dir K rule: no persisted K curve (run the GateSweep K mode to measure)")
+              println(s"[resolve] $dir K rule: sqrt-n undominated on the persisted curve (P=$p) — KEEP")
           }
-        }
       }
     }
     spark.foreach(_.stop())

@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = ToolSession.local(defaultCpus = "8", logLevel = "ERROR")
+    // width pinned: the dumped plan must be the one the pinned-width
+    // PlanSpec session produces, not whatever SPARK_GRAFT_CPUS says
+    val spark = ToolSession.local(defaultCpus = "8", honorCpusEnv = false,
+      logLevel = "ERROR")
     for (name <- args.tail) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()

@@ -16,7 +16,9 @@ import graft.operators.Rounding.dround
 object Qd18Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = ToolSession.local()
+    // width pinned at the measurement's documented 32 (its committed
+    // numbers are only comparable at that width)
+    val spark = ToolSession.local(honorCpusEnv = false)
 
     def rollup(fps: DataFrame, flagged: DataFrame): DataFrame =
       flagged

@@ -12,9 +12,16 @@ import org.apache.spark.sql.SparkSession
   */
 private[tools] object ToolSession {
 
+  /** `honorCpusEnv = false` pins the session width to `defaultCpus`
+    * regardless of SPARK_GRAFT_CPUS — for the plan-dump tools whose
+    * OUTPUT depends on session width (review r16: an exported sweep
+    * knob must not silently change the plan shape PlanProbe reports).
+    */
   def local(defaultCpus: String = "32", honorShuffleEnv: Boolean = false,
-      logLevel: String = "WARN"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+      honorCpusEnv: Boolean = true, logLevel: String = "WARN"): SparkSession = {
+    val cpus =
+      if (honorCpusEnv) sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+      else defaultCpus
     val shuffle =
       if (honorShuffleEnv) sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) else cpus
     val s = SparkSession.builder()
