@@ -1925,15 +1925,24 @@ object VectorQueries {
     graft.sources.HadoopFs.indexPath(
       "gatesweep", dir, GateFitIters, GateFitPerCell, "sqrtK") + "/_sweep.json"
 
-  def writeGateSweep(dir: String, rows: Seq[SweepRow]): Unit = {
+  def writeGateSweep(dir: String, rows: Seq[SweepRow],
+      srcAtStart: Long = -1L): Unit = {
     val f = new java.io.File(gateSweepPath(dir))
     f.getParentFile.mkdirs()
     val json = rows.map { case (p, n, r15, r22, r25) =>
       s"""{"probes":$p,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
-    stampPastCorpus(f, dir)
+    stampPastCorpus(f, dir, srcAtStart)
   }
+
+  /** Newest corpus mtime — captured by the sweep TOOLS before they
+    * start measuring, so [[stampPastCorpus]] can refuse to freshness-
+    * stamp a curve whose corpus was regenerated mid-sweep (ADVICE r16).
+    */
+  def corpusMtime(dir: String): Long =
+    graft.sources.HadoopFs.newestMtime(
+      new org.apache.hadoop.conf.Configuration(), s"$dir/embeddings.parquet")
 
   /** ADVICE r14: on filesystems with coarse (1 s) mtime granularity a
     * sweep persisted in the same tick as the corpus it just measured
@@ -1943,20 +1952,28 @@ object VectorQueries {
     * write HAS just measured this corpus, so the claim the stamp makes
     * is true by construction.
     */
-  private def stampPastCorpus(f: java.io.File, dir: String): Unit = {
-    val src = graft.sources.HadoopFs.newestMtime(
-      new org.apache.hadoop.conf.Configuration(), s"$dir/embeddings.parquet")
-    // ADVICE r15: anchor the stamp to wall-clock too — src+1000 alone
-    // leaves a ~1 s hole where a corpus regenerated JUST after the
-    // write still reads older than the stamp (and a mid-probe FNF
-    // sentinel Long.MaxValue would overflow the addition). The sweep
-    // finished measuring at `now`, so now is always a true witness; a
-    // vanished corpus gets NO bump — the natural write mtime loses the
-    // strict-> staleness check against whatever replaces the corpus,
-    // which is the safe side for a measurement of deleted data.
-    if (src != Long.MaxValue)
+  private def stampPastCorpus(f: java.io.File, dir: String,
+      srcAtStart: Long = -1L): Unit = {
+    val src = corpusMtime(dir)
+    // ADVICE r16, closing two holes the r15 form left open: (1) the
+    // sweep tools capture the corpus mtime at sweep START and pass it
+    // here — a corpus regenerated mid-sweep gets NO stamp (the curve
+    // measured replaced data; its natural write mtime then loses the
+    // strict-> staleness check, the safe side). (2) src+1000 future-
+    // dated the stamp by up to ~1 s past wall-clock, so a corpus
+    // regenerated in that window still read older than the stamp; the
+    // bump is now ONE millisecond past the corpus, applied only for
+    // the same-tick-orphan case this stamp exists for — on a coarse
+    // (1 s) mtime filesystem that degrades to a same-tick orphan,
+    // which is false-STALE (a re-sweep), never false-fresh. A vanished
+    // corpus (FNF sentinel Long.MaxValue) also gets no bump.
+    if (src != Long.MaxValue && (srcAtStart < 0L || src == srcAtStart))
       f.setLastModified(math.max(f.lastModified,
-        math.max(System.currentTimeMillis, src + 1000L)))
+        math.max(System.currentTimeMillis, src + 1L)))
+    else if (srcAtStart >= 0L && src != srcAtStart)
+      System.err.println(s"[sweep] REFUSING freshness stamp for $f — " +
+        s"corpus $dir changed during the sweep (mtime $srcAtStart -> $src); " +
+        "the curve measured replaced data and will read stale")
   }
 
   /** A persisted sweep is only valid for the corpus it was measured on:
@@ -1992,10 +2009,10 @@ object VectorQueries {
     *
     * Registry entries are keyed by the same FIT-parameter fingerprint
     * and normalized dir slug as the tmpdir paths, plus the corpus's
-    * total byte size ([[graft.sources.HadoopFs.totalBytes]]) instead
-    * of the cache's mtime rule — checkout mtimes are meaningless,
-    * content is the witness, and the slug keeps two same-sized corpora
-    * from aliasing one curve. `graft.tools.CurvePublish <sfDir>...`
+    * content key ([[graft.sources.HadoopFs.contentKey]]: total bytes +
+    * file count + largest-file size) instead of the cache's mtime rule
+    * — checkout mtimes are meaningless, content is the witness, and
+    * the slug keeps two same-sized corpora from aliasing one curve. `graft.tools.CurvePublish <sfDir>...`
     * copies the current tmpdir curves into the registry under those
     * names.
     */
@@ -2006,23 +2023,22 @@ object VectorQueries {
 
   private[graft] def registryCurveFile(family: String, dir: String): Option[java.io.File] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    val bytes = graft.sources.HadoopFs.totalBytes(conf, s"$dir/embeddings.parquet")
     // an absent/empty corpus has no content identity — it must never
-    // alias a committed entry (and CurvePublish refuses to write one)
-    if (bytes == 0L) None
-    else {
+    // alias a committed entry (and CurvePublish refuses to write one).
+    // review r16: key by PATH SLUG and content — size alone let two
+    // corpora whose parquet happened to total the same bytes share one
+    // certified curve (sf0.001/sf0.01 both hold n=500 and differ by 8
+    // bytes of compression noise). The slug (shared with the tmpdir
+    // cache via HadoopFs.dirSlug, path-normalized) pins which corpus
+    // the measurement was taken on; the content key (ADVICE r16:
+    // total bytes + file count + largest-file size, see
+    // [[graft.sources.HadoopFs.contentKey]]) is the staleness witness
+    // for THAT corpus.
+    graft.sources.HadoopFs.contentKey(conf, s"$dir/embeddings.parquet").map { key =>
       val fp = graft.sources.HadoopFs.paramFingerprint(
         GateFitIters, GateFitPerCell, "sqrtK")
-      // review r16: key by PATH SLUG and byte size — byte size alone
-      // let two corpora whose parquet happened to total the same bytes
-      // share one certified curve (sf0.001/sf0.01 both hold n=500 and
-      // differ by 8 bytes of compression noise). The slug (shared with
-      // the tmpdir cache via HadoopFs.dirSlug, path-normalized) pins
-      // which corpus the measurement was taken on; the byte size is
-      // the content staleness witness for THAT corpus.
       val slug = graft.sources.HadoopFs.dirSlug(dir)
-      Some(new java.io.File(
-        s"$curveRegistryDir/graft_${family}_${fp}_${slug}_$bytes.json"))
+      new java.io.File(s"$curveRegistryDir/graft_${family}_${fp}_${slug}_$key.json")
     }
   }
 
@@ -2071,14 +2087,15 @@ object VectorQueries {
     graft.sources.HadoopFs.indexPath(
       "gatemasssweep", dir, GateFitIters, GateFitPerCell, "sqrtK") + "/_sweep.json"
 
-  def writeGateMassSweep(dir: String, rows: Seq[MassSweepRow]): Unit = {
+  def writeGateMassSweep(dir: String, rows: Seq[MassSweepRow],
+      srcAtStart: Long = -1L): Unit = {
     val f = new java.io.File(gateMassSweepPath(dir))
     f.getParentFile.mkdirs()
     val json = rows.map { case (fr, n, r15, r22, r25) =>
       s"""{"mass_frac":$fr,"cand_rows":$n,"recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
-    stampPastCorpus(f, dir)
+    stampPastCorpus(f, dir, srcAtStart)
   }
 
   private[graft] def parseMassSweepRows(txt: String): Seq[MassSweepRow] = {
@@ -2381,7 +2398,7 @@ object VectorQueries {
   type KSweepRow = (Int, Long, Double, Double, Double)
 
   def writeGateKSweep(dir: String, rows: Seq[KSweepRow],
-      probes: Int = GateProbes): Unit = {
+      probes: Int = GateProbes, srcAtStart: Long = -1L): Unit = {
     val f = new java.io.File(gateKSweepPath(dir))
     f.getParentFile.mkdirs()
     // ADVICE r15: record the probe budget the sweep actually measured
@@ -2392,7 +2409,7 @@ object VectorQueries {
         s""""recall15":$r15,"recall22":$r22,"agree25":$r25}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
-    stampPastCorpus(f, dir)
+    stampPastCorpus(f, dir, srcAtStart)
   }
 
   /** Onboarding contradiction check for the K rule (r16, VERDICT r15
@@ -2413,9 +2430,16 @@ object VectorQueries {
       val k0 = gateK(n)
       // the sweeps bracket the rule (K/2, K, 2K) — judge its nearest row
       val base = rows.minBy(r => math.abs(r._1 - k0))
-      rows.find(r => r._1 != base._1 && r._2 < base._2 && r._3 >= base._3).map(r =>
+      // ADVICE r16: dominance must hold on ALL THREE measures — the
+      // GateSecondaryMin philosophy is that a budget is only certified
+      // when recall22/agree25 hold too, so a K that beats sqrt-n on
+      // recall15 while collapsing the secondaries is a trade, not a
+      // domination, and must not flag the rule
+      rows.find(r => r._1 != base._1 && r._2 < base._2 &&
+          r._3 >= base._3 && r._4 >= base._4 && r._5 >= base._5).map(r =>
         s"K-sweep contradicts K=ceil(sqrt(n))=$k0: K=${r._1} dominates " +
-          s"K=${base._1} (cand_rows ${r._2} < ${base._2}, recall15 ${r._3} >= ${base._3})")
+          s"K=${base._1} (cand_rows ${r._2} < ${base._2}, recall15/22/agree25 " +
+          s"${r._3}/${r._4}/${r._5} >= ${base._3}/${base._4}/${base._5})")
     }
 
   /** K rows + the probe budget the sweep was measured at (review r16:

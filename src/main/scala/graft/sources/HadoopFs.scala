@@ -106,34 +106,53 @@ object HadoopFs {
     * normalization is the identity, so existing artifact names are
     * unchanged).
     */
-  def dirSlug(dir: String): String =
-    java.nio.file.Paths.get(dir).normalize.toString
-      .replaceAll("[^A-Za-z0-9]", "_")
+  def dirSlug(dir: String): String = {
+    // ADVICE r16: Paths.get collapses the "//" in URI-style dirs
+    // (hdfs://, s3a://), which would shift their slug vs the pre-r16
+    // raw form and orphan existing registry/cache entries for remote
+    // roots — only scheme-less local paths get path-normalized (where
+    // normalization of an already-clean path is the identity)
+    val norm =
+      if (dir.contains("://")) dir
+      else java.nio.file.Paths.get(dir).normalize.toString
+    norm.replaceAll("[^A-Za-z0-9]", "_")
+  }
 
   def indexPath(family: String, dir: String, params: Any*): String = {
     val fp = paramFingerprint(params: _*)
     s"${sys.props("java.io.tmpdir")}/graft_${family}_${fp}_${dirSlug(dir)}"
   }
 
-  /** Total byte size of every file under `path` (0 if absent) — the
-    * content fingerprint the curve registry keys corpora by: a
-    * checkout's mtimes are meaningless (git stamps them at checkout
-    * time), so committed curves can't use the tmpdir cache's mtime
-    * staleness rule; a regenerated corpus virtually never byte-matches
-    * its predecessor, so size is the cheap content witness.
+  /** Content fingerprint the curve registry keys corpora by
+    * (`<totalBytes>b<fileCount>f<maxFileBytes>`): a checkout's mtimes
+    * are meaningless (git stamps them at checkout time), so committed
+    * curves can't use the tmpdir cache's mtime staleness rule — file
+    * sizes are the cheap content witness. ADVICE r16: total bytes
+    * ALONE let a corpus regenerated in place with coincidentally equal
+    * totals silently serve the old committed curve (same-shape parquet
+    * totals differ by only a few bytes of compression noise); the file
+    * count and the largest file's exact size now have to collide too.
+    * None for an absent/empty corpus — no content, no identity.
     */
-  def totalBytes(conf: Configuration, path: String): Long = {
+  def contentKey(conf: Configuration, path: String): Option[String] = {
     val p = new Path(path)
     val fs = fsOf(conf, p)
     try {
-      if (!fs.exists(p)) 0L
+      if (!fs.exists(p)) None
       else {
         val it = fs.listFiles(p, true)
         var sum = 0L
-        while (it.hasNext) sum += it.next().getLen
-        sum
+        var n = 0L
+        var mx = 0L
+        while (it.hasNext) {
+          val len = it.next().getLen
+          sum += len
+          n += 1
+          mx = math.max(mx, len)
+        }
+        if (sum == 0L) None else Some(s"${sum}b${n}f$mx")
       }
-    } catch { case _: java.io.FileNotFoundException => 0L }
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** True when a persisted index at `indexDir` is missing or NOT NEWER

@@ -10,10 +10,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * budget back to the constants. This copies each corpus's CURRENT
   * tmpdir curves into `SPARK_GRAFT_CURVE_REGISTRY` (default
   * `gates/curves`) under the names the readers resolve
-  * (`graft_<family>_<fitFingerprint>_<dirSlug>_<corpusBytes>.json` —
-  * the slug pins the corpus, the byte size is its content staleness
-  * witness), making the sized build reproducible from the committed
-  * tree alone.
+  * (`graft_<family>_<fitFingerprint>_<dirSlug>_<contentKey>.json` —
+  * the slug pins the corpus, the content key (total bytes + file
+  * count + largest-file size, ADVICE r16) is its staleness witness),
+  * making the sized build reproducible from the committed tree alone.
   *
   * No Spark session: the curves are small JSON files and the corpus
   * fingerprint is a filesystem stat. Usage:

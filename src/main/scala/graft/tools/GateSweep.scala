@@ -42,6 +42,9 @@ object GateSweep {
         // curve exists), not the GateProbes constant
         val p = graft.queries.VectorQueries.resolvedGateProbes(dir)
         println(s"== gate K sweep @ $dir (P = $p resolved, Ks ${ks.mkString("/")}) ==")
+        // ADVICE r16: capture the corpus identity at sweep START so the
+        // persist step can refuse the freshness stamp if it moved
+        val srcAtStart = graft.queries.VectorQueries.corpusMtime(dir)
         val t0 = System.nanoTime()
         val rows = graft.queries.VectorQueries.gateKSweep(spark, dir, ks).collect()
         println(f"${"k_cells"}%8s ${"cand_rows"}%10s ${"recall15"}%9s ${"recall22"}%9s ${"agree25"}%9s")
@@ -50,7 +53,8 @@ object GateSweep {
         }
         println(f"K sweep wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
         graft.queries.VectorQueries.writeGateKSweep(dir, rows.toSeq.map(r =>
-          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))), p)
+          (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))),
+          p, srcAtStart)
         println(s"K sweep persisted: ${graft.queries.VectorQueries.gateKSweepPath(dir)}")
         // r16 (VERDICT r15 item 7): the onboarding check — does the
         // curve we just measured contradict the sqrt-n rule?
@@ -70,6 +74,7 @@ object GateSweep {
     massFracs.foreach { fracs =>
       for (dir <- dirs) {
         println(s"== gate MASS-BUDGET sweep @ $dir (fracs ${fracs.mkString("/")}) ==")
+        val srcAtStart = graft.queries.VectorQueries.corpusMtime(dir)
         val t0 = System.nanoTime()
         val rows = graft.queries.VectorQueries.gateMassSweep(spark, dir, fracs)
           .collect()
@@ -81,7 +86,8 @@ object GateSweep {
         // persist alongside the mass-gate index (same contract as the
         // probe sweep: RecallSpec floors + gateMassFracFor read it)
         graft.queries.VectorQueries.writeGateMassSweep(dir, rows.toSeq.map(r =>
-          (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+          (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))),
+          srcAtStart)
         println(s"mass sweep persisted: ${graft.queries.VectorQueries.gateMassSweepPath(dir)}")
       }
       spark.stop()
@@ -89,6 +95,7 @@ object GateSweep {
     }
     for (dir <- dirs) {
       println(s"== gate probe sweep @ $dir (K = ceil(sqrt(n)), budgets ${budgets.mkString("/")}) ==")
+      val srcAtStart = graft.queries.VectorQueries.corpusMtime(dir)
       val t0 = System.nanoTime()
       val rows = graft.queries.VectorQueries.gateProbeSweep(spark, dir, budgets)
         .collect()
@@ -100,7 +107,8 @@ object GateSweep {
       // persist the measured curve alongside the gate index (VERDICT
       // r13 item 8): RecallSpec and future sizing read this state
       graft.queries.VectorQueries.writeGateSweep(dir, rows.toSeq.map(r =>
-        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))),
+        srcAtStart)
       println(s"sweep persisted: ${graft.queries.VectorQueries.gateSweepPath(dir)}")
     }
     spark.stop()

@@ -23,6 +23,21 @@ class GateSizingSpec extends AnyFunSuite {
 
   private def tmpDir(): JPath = Files.createTempDirectory("graft_sizing")
 
+  /** ADVICE r16: `graft.curve.registry` is a JVM-global system
+    * property — any test that points it at a temp dir must hold this
+    * lock for the whole set→use→clear span, so a parallel suite can
+    * never observe (or race another mutation of) the redirected
+    * registry mid-test. Shared here because this spec is the only
+    * mutator today; a future spec that redirects the registry must
+    * synchronize on [[GateSizingSpec.registryPropLock]] too.
+    */
+  private def withRegistryProp[A](dir: String)(body: => A): A =
+    GateSizingSpec.registryPropLock.synchronized {
+      System.setProperty("graft.curve.registry", dir)
+      try body
+      finally System.clearProperty("graft.curve.registry")
+    }
+
   private def touch(p: JPath, mtimeMs: Long): Unit = {
     if (!Files.exists(p)) Files.createFile(p)
     Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
@@ -182,8 +197,7 @@ class GateSizingSpec extends AnyFunSuite {
     val dir = dirP.toString
     Files.write(dirP.resolve("embeddings.parquet"), Array.fill[Byte](1234)(7))
     val reg = tmpDir()
-    System.setProperty("graft.curve.registry", reg.toString)
-    try {
+    try withRegistryProp(reg.toString) {
       // publish a curve into the registry ONLY (no tmpdir write)
       val entry = VectorQueries.registryCurveFile("gatesweep", dir)
         .getOrElse(fail("a non-empty corpus must have a registry identity"))
@@ -207,10 +221,17 @@ class GateSizingSpec extends AnyFunSuite {
       new java.io.File(VectorQueries.gateSweepPath(dir)).delete()
       assert(VectorQueries.readGateSweep(dir).isEmpty,
         "a registry entry keyed to other bytes must not serve this corpus")
-    } finally {
-      System.clearProperty("graft.curve.registry")
-      VectorQueries.clearGateSizing()
-    }
+      // ADVICE r16 content key: same TOTAL bytes, different file shape
+      // (a second file) — the old bytes-only witness aliased this
+      Files.delete(dirP.resolve("embeddings.parquet"))
+      Files.createDirectory(dirP.resolve("embeddings.parquet"))
+      Files.write(dirP.resolve("embeddings.parquet").resolve("part-0"),
+        Array.fill[Byte](1000)(7))
+      Files.write(dirP.resolve("embeddings.parquet").resolve("part-1"),
+        Array.fill[Byte](234)(7))
+      assert(VectorQueries.readGateSweep(dir).isEmpty,
+        "equal total bytes with a different file shape must not alias the entry")
+    } finally VectorQueries.clearGateSizing()
   }
 
   test("dispatch rule: megacell fit → mass-budget, balanced fit → fixed-P, K ≤ P → fixed-P") {
@@ -262,4 +283,29 @@ class GateSizingSpec extends AnyFunSuite {
     assert(VectorQueries.resolvedGateProbes(dir) == 8)
     VectorQueries.clearGateSizing()
   }
+
+  test("a sweep whose corpus changed mid-sweep is refused the freshness stamp (ADVICE r16)") {
+    VectorQueries.clearGateSizing()
+    val dirP = tmpDir()
+    val dir = dirP.toString
+    touch(dirP.resolve("embeddings.parquet"), System.currentTimeMillis() - 60_000)
+    val srcAtStart = VectorQueries.corpusMtime(dir)
+    // the corpus is regenerated while the (long) sweep measures it — a
+    // deliberately future mtime so the natural write mtime alone could
+    // never accidentally clear the strict-> check: only a (wrongly
+    // granted) stamp would read fresh, which is what the test pins
+    touch(dirP.resolve("embeddings.parquet"), System.currentTimeMillis() + 5_000)
+    VectorQueries.writeGateSweep(dir, sf001Probe, srcAtStart)
+    assert(VectorQueries.readGateSweep(dir).isEmpty,
+      "a curve measured across a corpus regeneration must read stale")
+    assert(VectorQueries.resolvedGateProbes(dir) == VectorQueries.GateProbes)
+    VectorQueries.clearGateSizing()
+  }
+}
+
+object GateSizingSpec {
+  /** Guards every set/clear of the JVM-global `graft.curve.registry`
+    * system property across suites (ADVICE r16).
+    */
+  val registryPropLock = new Object
 }

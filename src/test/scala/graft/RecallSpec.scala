@@ -425,19 +425,25 @@ class RecallSpec extends AnyFunSuite {
   }
 
   test("write RECALL.json artifact") {
-    val bySf = sfs.map { sf =>
-      val body = results.collect { case ((k, l), (r, f, vs)) if l == sf.label =>
-        f""""$k": {"recall": $r%.4f, "floor": $f%.2f, "exact_twin": "$vs"}"""
-      }.mkString(",\n    ")
-      s""""${sf.label}": {\n    $body\n  }"""
-    }.mkString(",\n  ")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/RECALL.json"),
-      s"{\n  $bySf\n}\n")
+    // VERDICT r16 item 1: MERGE with the on-disk artifact by (sf, name)
+    // instead of rebuilding it from this run alone — a partial or
+    // interrupted run (a driver-side subset run erased 17 of 20 sf0.1
+    // entries in round 16) now refreshes only what it measured and
+    // every other committed entry survives. Keys outside the floors map
+    // are dropped so a renamed operator can't linger.
+    val current = results.map { case ((k, l), (r, f, vs)) =>
+      (l, k) -> f"""{"recall": $r%.4f, "floor": $f%.2f, "exact_twin": "$vs"}"""
+    }.toMap
+    val path = java.nio.file.Paths.get("/root/repo/RECALL.json")
+    java.nio.file.Files.writeString(path,
+      RecallArtifact.mergedText(path, current,
+        key => floors.contains((key._2, key._1)), sfs.map(_.label)))
     // every floored operator must have recorded at BOTH sfs — derive
     // the expected count from the floors map so adding an operator
     // can't silently leave the artifact partial (and the count can't
-    // go stale the way the hard-coded 14 did when qd13b landed)
+    // go stale the way the hard-coded 14 did when qd13b landed).
+    // Asserting AFTER the write is safe now: the merge is lossless, so
+    // a partial run fails loudly without destroying committed entries.
     assert(results.size == floors.size,
       s"recorded ${results.size} measurements, floors define ${floors.size}")
     assert(floors.keySet.forall(results.contains),
