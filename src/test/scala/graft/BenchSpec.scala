@@ -67,6 +67,22 @@ class BenchSpec extends AnyFunSuite {
     assert(!without.contains("load"))
   }
 
+  test("a hot-start take self-flags with load_warn; the END sample alone does not (it includes the bench's own load)") {
+    // VERDICT r16 item 4: three rounds of driver artifacts started hot
+    // and each cost an adjudication cycle — the verdict now rides in
+    // the artifact. Threshold pinned so a silent change re-opens this.
+    val hot = Bench.renderLine(
+      Seq("q1" -> 1.0), Seq.empty, "/root/testdata/sf0.1", Seq(6.8, 3.8))
+    assert(hot.contains(""""load":[6.8,3.8],"load_warn":"start 6.8 > 3"""),
+      s"hot start must self-flag: $hot")
+    // the line must stay machine-parseable JSON with the flag present
+    assert(hot.matches("""\{.*"load_warn":"[^"]*".*\}"""))
+    val endOnly = Bench.renderLine(
+      Seq("q1" -> 1.0), Seq.empty, "/x", Seq(0.1, 27.4))
+    assert(!endOnly.contains("load_warn"))
+    assert(Bench.LoadWarnThreshold == 3.0)
+  }
+
   test("full-precision doubles are rendered at fixed precision, zeros stripped") {
     val line = Bench.renderLine(
       Seq("q1" -> 0.552002599, "q2" -> 12.0000001, "q3" -> 0.6), Seq.empty, "/x")

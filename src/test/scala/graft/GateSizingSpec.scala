@@ -284,6 +284,26 @@ class GateSizingSpec extends AnyFunSuite {
     VectorQueries.clearGateSizing()
   }
 
+  test("committed registry covers the tested corpora under the CURRENT key scheme (VERDICT r16 item 6)") {
+    // Resolves through the REAL gates/curves registry (cwd = repo root
+    // under sbt's forked test JVM): the committed entries must exist
+    // under whatever key scheme the reader currently computes and must
+    // parse with the current reader — a silent key or format drift
+    // would quietly revert clean-machine sizing to constants while the
+    // registry still LOOKS populated. Fails on zero registry hit for a
+    // corpus with a committed curve; fix by re-running CurvePublish.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val f = VectorQueries.registryCurveFile("gatesweep", dir)
+        .getOrElse(fail(s"$dir corpus must have a registry identity"))
+      assert(f.exists,
+        s"no committed curve at ${f.getPath} — key scheme drifted vs the " +
+          "committed entries? re-publish with graft.tools.CurvePublish")
+      val rows = VectorQueries.parseSweepRows(
+        Files.readString(f.toPath))
+      assert(rows.nonEmpty, s"committed curve ${f.getName} must parse with its reader")
+    }
+  }
+
   test("a sweep whose corpus changed mid-sweep is refused the freshness stamp (ADVICE r16)") {
     VectorQueries.clearGateSizing()
     val dirP = tmpDir()

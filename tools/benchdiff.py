@@ -224,6 +224,30 @@ def rerun_cmd(fails, sf_dir="/root/testdata/sf0.1"):
             f"SPARK_GRAFT_SF_DIR={sf_dir} sbt \"runMain graft.Bench\"")
 
 
+def load_info(obj):
+    """(load, load_warn) from an artifact — wrapper-aware like extract():
+    the driver shape nests the Bench line under "parsed", or only in
+    "tail" when front-truncated. load_warn is the r17 self-flag a
+    hot-start take carries (see Bench.LoadWarnThreshold)."""
+    ld = warn = None
+    if isinstance(obj, dict):
+        ld = obj.get("load")
+        warn = obj.get("load_warn")
+        if isinstance(obj.get("parsed"), dict):
+            ld = obj["parsed"].get("load") if ld is None else ld
+            warn = obj["parsed"].get("load_warn") if warn is None else warn
+        tail = obj.get("tail", "") or ""
+        if ld is None:
+            m = re.search(r'"load":(\[[-+0-9.eE,\s]*\])', tail)
+            if m:
+                ld = m.group(1)
+        if warn is None:
+            m = re.search(r'"load_warn":"([^"]*)"', tail)
+            if m:
+                warn = m.group(1)
+    return ld, warn
+
+
 def selftest():
     ok = {"rc": 0, "queries": {"q1": 1.0, "q2": 0.1, "q3": 2.0}}
     # planted regression must trip
@@ -322,6 +346,15 @@ def selftest():
     # full names instead of corrupting the map
     coll = {"qd26_chunking": 1.0, "qd26_chunki": 2.0}
     assert normalize_names(coll) == coll
+    # r17: the hot-start self-flag surfaces from all three artifact
+    # shapes (raw line, driver wrapper, front-truncated tail)
+    raw_warn = {"load": [6.8, 3.8], "load_warn": "start 6.8 > 3 — x"}
+    assert load_info(raw_warn) == ([6.8, 3.8], "start 6.8 > 3 — x")
+    wrapped_warn = {"parsed": {"load": [6.8, 3.8], "load_warn": "w"}}
+    assert load_info(wrapped_warn) == ([6.8, 3.8], "w")
+    tail_warn = {"tail": '…,"load":[6.8,3.8],"load_warn":"start 6.8 > 3","sf":0.1}'}
+    assert load_info(tail_warn) == ("[6.8,3.8]", "start 6.8 > 3")
+    assert load_info({"load": [0.1, 2.0]}) == ([0.1, 2.0], None)
     print("selftest OK")
 
 
@@ -362,17 +395,15 @@ def main():
     # extract(): the driver shape nests the line under "parsed" (or
     # only in "tail" when front-truncated).
     for label, obj in (("new", new_obj), ("old", old_obj)):
-        ld = None
-        if isinstance(obj, dict):
-            ld = obj.get("load")
-            if ld is None and isinstance(obj.get("parsed"), dict):
-                ld = obj["parsed"].get("load")
-            if ld is None:
-                m = re.search(r'"load":(\[[-+0-9.eE,\s]*\])', obj.get("tail", "") or "")
-                if m:
-                    ld = m.group(1)
+        ld, warn = load_info(obj)
         if ld:
             print(f"load avg ({label}, [start, end]): {ld}")
+        # r17 (VERDICT r16 item 4): the artifact self-flags a hot start —
+        # per-query flags from an annotated take are contention evidence,
+        # not regression evidence; re-take before adjudicating
+        if warn:
+            print(f"LOAD-CONTAMINATED TAKE ({label}): {warn} — "
+                  "do not adjudicate flags from this artifact")
     cmd = rerun_cmd(fails)
     if cmd:
         print(f"adjudicate flagged regressions (re-measure subset, idle machine):\n  {cmd}")
