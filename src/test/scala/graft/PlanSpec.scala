@@ -285,6 +285,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("postings"), "probe must scan the persisted posting index")
     val docScans = "documents\\.parquet".r.findAllIn(p).length
     assert(docScans == 1, s"probe must scan documents once (queries), saw $docScans")
+    // r17 (VERDICT r16 item 3): the postings are partitioned by term-
+    // hash bucket and the probe's IN filter must reach the scan as a
+    // PARTITION filter — pruning cold buckets' file groups, the
+    // standard inverted-index layout — not as a post-scan row filter
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probe must prune posting partitions by query-vocab bucket: $p")
   }
 
   test("q10 top-k plans as TakeOrderedAndProject, not a global window") {
