@@ -50,9 +50,65 @@ object Sf1Skew {
   private def u(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     xxhash64(cols: _*).cast("double") / 1.8446744073709552e19
 
+  /** Zipfian vocabulary for the regenerated text copies (r17, VERDICT
+    * r16 "what's missing" #1): rank r = ⌊V^u⌋ with u uniform[0,1) puts
+    * P(r) ≈ 1/(r·ln V) — Zipf's law with exponent ~1, the empirical
+    * shape of real text — over a 50k-token vocabulary. At the 50k-doc
+    * corpus this yields ~60 df-saturated head terms (where the qd17
+    * posting cap actually bites) and a ~50k-term cold tail, vs the
+    * verbatim fan-out's 31 words with every term saturated.
+    */
+  private val ZipfVocab = 50000
+
+  private def zipfTok(docId: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("zt"), floor(exp((u(docId, pos, lit("zipf")) + 0.5) *
+      math.log(ZipfVocab.toDouble))).cast("long").cast("string"))
+
+  /** Documents carry their own generation marker: the text recipe can
+    * change (zipfv2) without rebuilding the OTHER tables — embeddings
+    * especially, whose byte identity keys the committed curve registry
+    * (a rebuild under a different session width re-splits the source
+    * and would orphan the committed skew curves for nothing).
+    */
+  private val DocsGen = "zipfv2"
+  private def docsGenMarker = new java.io.File(s"$OutDir/_docs_gen_$DocsGen")
+
+  private def writeDocuments(spark: SparkSession): Unit = {
+    def src(t: String) = spark.read.parquet(s"$SrcDir/$t.parquet")
+    // documents ×10 (r17, VERDICT r16 missing #1): copies 0-4 keep the
+    // source text VERBATIM — every doc stays a 5-way exact-dup cluster,
+    // preserving the duplication-heavy regime the dedup family's 10×
+    // receipts measure — while copies 5-9 regenerate text from the
+    // seeded zipfian vocabulary above, so the BM25 cap, stop-list, PMI
+    // and TF-IDF operators measure on a realistically shaped df
+    // distribution (saturated head + long cold tail) instead of the
+    // degenerate everything-saturated 31-word fan-out. Token length
+    // keeps the source marginal (10-100); n_chars tracks the new text.
+    val len = lit(10L) + pmod(xxhash64(col("doc_id"), lit("len")), lit(91L))
+    val newText = concat_ws(" ",
+      transform(sequence(lit(1L), len), p => zipfTok(col("doc_id"), p)))
+    fanOut(src("documents"))
+      .withColumn("doc_id", col("doc_id") * 16 + col("_c"))
+      .withColumn("text", when(col("_c") < 5, col("text")).otherwise(newText))
+      .withColumn("n_chars",
+        when(col("_c") < 5, col("n_chars"))
+          .otherwise(length(col("text")).cast("long")))
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$OutDir/documents.parquet")
+    docsGenMarker.createNewFile()
+    println(s"[sf1] documents written ($DocsGen)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = ToolSession.local()
     def src(t: String) = spark.read.parquet(s"$SrcDir/$t.parquet")
+
+    // text-generation upgrade on an existing corpus: refresh ONLY the
+    // documents table (see DocsGen)
+    if (new java.io.File(s"$OutDir/embeddings.parquet").exists()
+        && !docsGenMarker.exists())
+      writeDocuments(spark)
 
     if (!new java.io.File(s"$OutDir/embeddings.parquet").exists()) {
       // orders ×10: same customers (o_custkey untouched → 10× orders per
@@ -74,12 +130,7 @@ object Sf1Skew {
         .withColumn("ts", timestamp_seconds(unix_timestamp(col("ts")) + col("_c")))
         .drop("_c")
         .write.mode("overwrite").parquet(s"$OutDir/events.parquet")
-      // documents ×10 (id-respaced only — text ops aren't in this
-      // smoke's query list, but qe15b's dir contract reads the dir)
-      fanOut(src("documents"))
-        .withColumn("doc_id", col("doc_id") * 16 + col("_c"))
-        .drop("_c")
-        .write.mode("overwrite").parquet(s"$OutDir/documents.parquet")
+      writeDocuments(spark)
       // embeddings ×10: copy 0 is the source vector, copies 1..9 are
       // fresh draws from the same uniform family (labels keep the
       // source's label so the 10-label marginal is unchanged)
@@ -116,7 +167,14 @@ object Sf1Skew {
       // index build, so the min-of-reps line is the amortized probe
       "qd17b_bm25_index" -> (graft.queries.TextQueries.qd17b _),
       "qd22_dup_clusters" -> (graft.queries.TextQueries.qd22 _),
-      "qd27_lm_perplexity" -> (graft.queries.TextQueries.qd27 _))
+      "qd27_lm_perplexity" -> (graft.queries.TextQueries.qd27 _),
+      // r17 (VERDICT r16 item 2): the df-distribution-shaped operators
+      // join the smoke now that the corpus has a realistic vocabulary
+      // (zipfv2) — stop-list saturation, PMI bigram stats and TF-IDF
+      // keyword extraction all measure on the 49k-term zipf df axis
+      "qd31_stop_terms" -> (graft.queries.TextQueries.qd31 _),
+      "qd33_pmi_collocations" -> (graft.queries.TextQueries.qd33 _),
+      "qd37_tfidf_keywords" -> (graft.queries.TextQueries.qd37 _))
     val skewQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q38_basket_rules" -> (graft.queries.CoreQueries.q38 _),
       "q42_skew_report" -> (graft.queries.CoreQueries.q42 _),
@@ -148,15 +206,38 @@ object Sf1Skew {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // r17 (VERDICT r16 item 7): record post-AQE stage widths alongside
+    // each timing — the advisory check on the 192-shuffle knob. The
+    // listener collects completed-stage task counts across the reps;
+    // the min/med/max summary shows what AQE actually RAN (coalesced
+    // widths included), not what the knob asked for, so the receipts
+    // themselves say when a grown corpus outruns the knob.
+    val stageWidths = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageWidths.add(sc.stageInfo.numTasks)
+    })
     for ((name, fn) <- qs if onlyQ.forall(_.contains(name))) {
       val l0 = loadAvg()
+      stageWidths.clear()
       var best = Double.MaxValue
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         fn(spark, OutDir).write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      println(f"[sf1] $name%-24s min-of-$reps ${best}%.2f s load [$l0%.1f, ${loadAvg()}%.1f]")
+      // the listener bus is async — give it a beat before summarizing
+      Thread.sleep(300)
+      val ws = {
+        import scala.jdk.CollectionConverters._
+        stageWidths.asScala.map(_.toInt).toSeq.sorted
+      }
+      val aqe =
+        if (ws.isEmpty) "aqe n/a"
+        else s"aqe stages ${ws.size} width ${ws.head}/${ws(ws.size / 2)}/${ws.last}"
+      println(f"[sf1] $name%-24s min-of-$reps ${best}%.2f s " +
+        f"load [$l0%.1f, ${loadAvg()}%.1f] $aqe")
     }
     spark.stop()
   }
