@@ -109,8 +109,38 @@ object Bench {
     */
   private[graft] val LoadWarnThreshold = 3.0
 
+  /** Machine-state canary (r17): a fixed, data-independent workload —
+    * refill 8M longs from a seeded xorshift and sort them, min of 2 —
+    * timed BEFORE the Spark session exists. The post-80g/post-suite
+    * residue class (page cache + GC debris) inflates untouched queries
+    * 15-35% uniformly while the 1-min load reads idle (BENCH_NOTES
+    * r16/r17: a take at load [0.7, 1.7] read 1.35× smear), so the
+    * load_warn gate cannot see it; the canary gives two artifacts a
+    * direct machine-state ratio, and benchdiff prints it next to the
+    * flags — a uniform smear now adjudicates itself from the artifacts
+    * alone, no idle re-measure cycle.
+    */
+  private def canarySeconds(): Double = {
+    val a = new Array[Long](8 << 20)
+    var best = Double.MaxValue
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < a.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
   def renderLine(results: Seq[(String, Double)], errors: Seq[String],
-      sfDir: String, loads: Seq[Double] = Nil): String = {
+      sfDir: String, loads: Seq[Double] = Nil,
+      canary: Option[Double] = None): String = {
     def mk(prec: Int, ids: Boolean = false): String = {
       val qs = results.map { case (k, v) =>
         "\"" + jesc(if (ids) idOf(k) else k) + "\":" + sN(v, prec)
@@ -135,7 +165,10 @@ object Bench {
           (if (loads.head > LoadWarnThreshold)
             s""","load_warn":"start ${sN(loads.head, 1)} > ${sN(LoadWarnThreshold, 1)} — contaminated take, re-run idle""""
           else "")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs$loadJson,"sf":$sfJson}"""
+      // ~14 chars; centiseconds suffice (the ratio between artifacts is
+      // the signal, and residue inflation is 15-35%)
+      val canaryJson = canary.map(c => s""","canary":${sN(c, 2)}""").getOrElse("")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errs$loadJson$canaryJson,"sf":$sfJson}"""
     }
     val two = mk(2)
     if (two.length <= LineBudget) two
@@ -160,6 +193,9 @@ object Bench {
         f"$LoadWarnThreshold%.1f — this take will self-flag as contaminated " +
         "(wait for load decay; see BENCH_NOTES read rule)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // before the session: the canary must see the machine, not the JVM
+    // the bench is about to fill
+    val canary = canarySeconds()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -233,7 +269,7 @@ object Bench {
     // key is all-or-nothing.
     val loads = Seq(load0, loadAvg())
     println(renderLine(results, errors, sfDir,
-      if (loads.forall(_ >= 0)) loads else Nil))
+      if (loads.forall(_ >= 0)) loads else Nil, Some(canary)))
     spark.stop()
   }
 }

@@ -81,6 +81,12 @@ class BenchSpec extends AnyFunSuite {
       Seq("q1" -> 1.0), Seq.empty, "/x", Seq(0.1, 27.4))
     assert(!endOnly.contains("load_warn"))
     assert(Bench.LoadWarnThreshold == 3.0)
+    // r17: the machine canary rides next to the loads — two artifacts'
+    // canary ratio is the residue-class signal 1-min load cannot see
+    val withCanary = Bench.renderLine(
+      Seq("q1" -> 1.0), Seq.empty, "/x", Seq(0.1, 0.2), Some(0.517))
+    assert(withCanary.contains(""""load":[0.1,0.2],"canary":0.52,"""),
+      s"canary must render at centiseconds: $withCanary")
   }
 
   test("full-precision doubles are rendered at fixed precision, zeros stripped") {

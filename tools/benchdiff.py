@@ -225,17 +225,20 @@ def rerun_cmd(fails, sf_dir="/root/testdata/sf0.1"):
 
 
 def load_info(obj):
-    """(load, load_warn) from an artifact — wrapper-aware like extract():
-    the driver shape nests the Bench line under "parsed", or only in
-    "tail" when front-truncated. load_warn is the r17 self-flag a
-    hot-start take carries (see Bench.LoadWarnThreshold)."""
-    ld = warn = None
+    """(load, load_warn, canary) from an artifact — wrapper-aware like
+    extract(): the driver shape nests the Bench line under "parsed", or
+    only in "tail" when front-truncated. load_warn is the r17 self-flag
+    a hot-start take carries (see Bench.LoadWarnThreshold); canary is
+    the r17 fixed-workload machine-state probe."""
+    ld = warn = canary = None
     if isinstance(obj, dict):
         ld = obj.get("load")
         warn = obj.get("load_warn")
+        canary = obj.get("canary")
         if isinstance(obj.get("parsed"), dict):
             ld = obj["parsed"].get("load") if ld is None else ld
             warn = obj["parsed"].get("load_warn") if warn is None else warn
+            canary = obj["parsed"].get("canary") if canary is None else canary
         tail = obj.get("tail", "") or ""
         if ld is None:
             m = re.search(r'"load":(\[[-+0-9.eE,\s]*\])', tail)
@@ -245,7 +248,11 @@ def load_info(obj):
             m = re.search(r'"load_warn":"([^"]*)"', tail)
             if m:
                 warn = m.group(1)
-    return ld, warn
+        if canary is None:
+            m = re.search(r'"canary":([0-9.eE+-]+)', tail)
+            if m:
+                canary = float(m.group(1))
+    return ld, warn, canary
 
 
 def selftest():
@@ -346,15 +353,15 @@ def selftest():
     # full names instead of corrupting the map
     coll = {"qd26_chunking": 1.0, "qd26_chunki": 2.0}
     assert normalize_names(coll) == coll
-    # r17: the hot-start self-flag surfaces from all three artifact
-    # shapes (raw line, driver wrapper, front-truncated tail)
+    # r17: the hot-start self-flag and the machine canary surface from
+    # all three artifact shapes (raw line, driver wrapper, truncated tail)
     raw_warn = {"load": [6.8, 3.8], "load_warn": "start 6.8 > 3 — x"}
-    assert load_info(raw_warn) == ([6.8, 3.8], "start 6.8 > 3 — x")
-    wrapped_warn = {"parsed": {"load": [6.8, 3.8], "load_warn": "w"}}
-    assert load_info(wrapped_warn) == ([6.8, 3.8], "w")
-    tail_warn = {"tail": '…,"load":[6.8,3.8],"load_warn":"start 6.8 > 3","sf":0.1}'}
-    assert load_info(tail_warn) == ("[6.8,3.8]", "start 6.8 > 3")
-    assert load_info({"load": [0.1, 2.0]}) == ([0.1, 2.0], None)
+    assert load_info(raw_warn) == ([6.8, 3.8], "start 6.8 > 3 — x", None)
+    wrapped_warn = {"parsed": {"load": [6.8, 3.8], "load_warn": "w", "canary": 0.71}}
+    assert load_info(wrapped_warn) == ([6.8, 3.8], "w", 0.71)
+    tail_warn = {"tail": '…,"load":[6.8,3.8],"load_warn":"start 6.8 > 3","canary":0.52,"sf":0.1}'}
+    assert load_info(tail_warn) == ("[6.8,3.8]", "start 6.8 > 3", 0.52)
+    assert load_info({"load": [0.1, 2.0], "canary": 0.5}) == ([0.1, 2.0], None, 0.5)
     print("selftest OK")
 
 
@@ -394,16 +401,29 @@ def main():
     # phantom load clusters motivated this). Wrapper-aware like
     # extract(): the driver shape nests the line under "parsed" (or
     # only in "tail" when front-truncated).
+    canaries = {}
     for label, obj in (("new", new_obj), ("old", old_obj)):
-        ld, warn = load_info(obj)
+        ld, warn, canary = load_info(obj)
         if ld:
             print(f"load avg ({label}, [start, end]): {ld}")
+        if canary:
+            canaries[label] = canary
         # r17 (VERDICT r16 item 4): the artifact self-flags a hot start —
         # per-query flags from an annotated take are contention evidence,
         # not regression evidence; re-take before adjudicating
         if warn:
             print(f"LOAD-CONTAMINATED TAKE ({label}): {warn} — "
                   "do not adjudicate flags from this artifact")
+    # r17: when both artifacts carry the fixed-workload canary, their
+    # ratio IS the machine-state delta — the post-80g residue class
+    # that 1-min load cannot see (BENCH_NOTES r17). A canary ratio
+    # comparable to the flagged queries' ratios means machine, not code.
+    if "new" in canaries and "old" in canaries and canaries["old"] > 0:
+        r = canaries["new"] / canaries["old"]
+        note = " — uniform query inflation at this ratio is MACHINE STATE, not code" \
+            if fails and r >= 1.15 else ""
+        print(f"machine canary: {canaries['old']:.2f}s -> {canaries['new']:.2f}s "
+              f"({r:.2f}x){note}")
     cmd = rerun_cmd(fails)
     if cmd:
         print(f"adjudicate flagged regressions (re-measure subset, idle machine):\n  {cmd}")
