@@ -238,6 +238,12 @@ object Bench {
           spark, s"$midx/signatures", s"$sfDir/documents.parquet"))
         graft.queries.TextQueries.minhashBuild(spark, sfDir, midx)
     } catch { case e: Throwable => System.err.println(s"[bench] minhash build failed: $e") }
+    try {
+      val bidx = graft.queries.TextQueries.bm25IndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$bidx/postings", s"$sfDir/documents.parquet"))
+        graft.queries.TextQueries.bm25Build(spark, sfDir, bidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] bm25 build failed: $e") }
     // Local-iteration filter: SPARK_GRAFT_ONLY=qe4b_...,q22_... runs a
     // subset. Unset (the driver's invocation) → full suite. Names are
     // trimmed and validated so a typo fails loudly instead of silently
