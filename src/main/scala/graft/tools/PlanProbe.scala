@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * picks, not the one the author imagines.
   *
   * Usage: runMain graft.tools.PlanProbe <sfDir> <queryName> [...]
+  *
+  * GRAFT_PLAN_MODE=formatted additionally prints the
+  * `explain("formatted")` rendering (numbered operator list with
+  * PushedFilters/ReadSchema/join details) AFTER execution, so AQE's
+  * final plan — the one the session actually ran — is what the
+  * committed plans/rNN receipts show, not the isFinalPlan=false
+  * initial sketch.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -16,11 +23,16 @@ object PlanProbe {
     // PlanSpec session produces, not whatever SPARK_GRAFT_CPUS says
     val spark = ToolSession.local(defaultCpus = "8", honorCpusEnv = false,
       logLevel = "ERROR")
+    val formatted = sys.env.get("GRAFT_PLAN_MODE").contains("formatted")
     for (name <- args.tail) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
