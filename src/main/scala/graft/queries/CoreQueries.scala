@@ -604,7 +604,15 @@ object CoreQueries {
     * (ok, pk) membership rows; duplicates are collapsed here.
     */
   private[graft] def basketRulesFrom(items: DataFrame): DataFrame = {
-    val op = items.select("ok", "pk").distinct()
+    // r17 (guide §2.4): materialize the distinct basket membership ONCE.
+    // `op` feeds THREE consumers (n_orders, item supports, both sides of
+    // the pair self-join); without the cut the r16-close executed plan
+    // re-ran the scan+distinct up to 5 times (5 distinct parquet-scan
+    // nodes, plans/r17/q38_before.txt) because AQE re-plans each branch
+    // and exchange reuse only survives for the two join sides. One
+    // ~2-long-column materialization replaces four recomputes.
+    val op = graft.operators.Checkpoints.cut(
+      items.select("ok", "pk").distinct())
     val nOrders = op.agg(count_distinct(col("ok")).as("n_orders"))
     val item = op.groupBy("pk").agg(count(lit(1)).as("item_cnt"))
     val pairs = op.as("a")
@@ -800,8 +808,13 @@ object CoreQueries {
     * orders — the graph under q43 (PageRank) and q44 (triangles).
     */
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // r17 (guide §2.4): same materialize-once as q38's `op` — both
+    // sides of the basket self-join re-derived the scan+distinct when
+    // AQE's per-branch re-planning dropped the exchange reuse, so
+    // q43/q44/q45 each paid the lineitem scan twice.
+    val op = graft.operators.Checkpoints.cut(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     op.as("a")
       .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -823,6 +836,13 @@ object CoreQueries {
     * Frame-parameterized so tests can plant graphs.
     */
   private[graft] def pagerankMass(pairs: DataFrame): DataFrame = {
+    // r17: measured and deliberately NOT cutting `pairs` here — the
+    // union's two branches do re-run the pair join+aggregate, but they
+    // run inside ONE job and overlap, while an extra eager cut adds a
+    // serial job barrier that costs more than the duplicate at bench
+    // scale (A/B in OPTIMIZATION_r17.md §1); the corpus-scale
+    // duplication (the lineitem scan+distinct) is already cut inside
+    // copurchasePairs, which is the piece that matters at 100 TB.
     val edges = graft.operators.Checkpoints.cut(
       pairs.select(col("p1").as("u"), col("p2").as("v"))
         .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))
@@ -968,6 +988,7 @@ object CoreQueries {
     * edges in, (part, community, community_size) out after 5 rounds.
     */
   private[graft] def lpaFrom(pairs: DataFrame): DataFrame = {
+    // r17: `pairs` deliberately not cut — see the pagerankMass comment
     val edges = graft.operators.Checkpoints.cut(
       pairs.select(col("p1").as("u"), col("p2").as("v"))
         .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))

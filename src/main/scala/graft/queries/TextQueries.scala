@@ -1641,7 +1641,15 @@ object TextQueries {
     val g = docs(s, dir)
       .withColumn("grams", array_distinct(wordGrams(tokens(col("text")), 3)))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("ng"))
-    val inv = g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+    // r17 (guide §2.4): materialize the exploded posting list ONCE —
+    // both sides of the gram self-join re-ran the documents scan +
+    // tokenize + gram-ify + explode otherwise (2 documents scans in the
+    // r16-close edge plan; AQE re-plans each side so the scan-level
+    // reuse is not guaranteed). The cut also makes the two join inputs
+    // the same LogicalRDD, so the gram exchange is reusable by
+    // construction.
+    val inv = graft.operators.Checkpoints.cut(
+      g.select(col("doc_id"), col("ng"), explode(col("grams")).as("gram")))
     inv.as("a").join(inv.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       // J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb): lossless size pruning before

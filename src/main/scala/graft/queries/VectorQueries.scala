@@ -3569,19 +3569,37 @@ object VectorQueries {
     // loop-invariant: the number of query vectors present is the same at
     // every sweep point (VERDICT r12 item 6 — was re-counted per probe)
     val scanned = cached.filter(col("vec_id") < NQUERIES).count()
-    Seq(1, 2, 4, IVF_NPROBE * 2, IVF_NLIST).distinct.sorted.map { p =>
-      val ann = ivfProbe(cached, centDf, p)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = ann.join(exact, Seq("query_id", "neighbor_id")).count()
-      // scanned fraction: probed-list sizes summed over queries
-      val listRows = ivfProbeListRows(cached, centDf, p)
-      val s2 = s
-      import s2.implicits._
-      Seq((p, graft.operators.Rounding.droundD(hits.toDouble / nExact, 6),
-        graft.operators.Rounding.droundD(
-          listRows.toDouble / (scanned.toDouble * corpus), 6)))
-        .toDF("nprobe", "recall", "scanned_frac")
-    }.reduce(_.unionByName(_))
+    // r17 (guide §2.6): the five sweep points are INDEPENDENT jobs over
+    // the same checkpointed frames — submitted sequentially, each
+    // point's stage tail left most of the session idle. Three driver
+    // threads keep the scheduler back-filled (FIFO: earlier points get
+    // resources first, later ones use the tail's idle slots); results
+    // are assembled in sweep order regardless of completion order, so
+    // the output frame is byte-identical to the sequential form.
+    val pts = Seq(1, 2, 4, IVF_NPROBE * 2, IVF_NLIST).distinct.sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val rows =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = pts.map { p =>
+          scala.concurrent.Future {
+            val ann = ivfProbe(cached, centDf, p)
+              .select(col("query_id"), col("neighbor_id"))
+            val hits = ann.join(exact, Seq("query_id", "neighbor_id")).count()
+            // scanned fraction: probed-list sizes summed over queries
+            val listRows = ivfProbeListRows(cached, centDf, p)
+            (p, graft.operators.Rounding.droundD(hits.toDouble / nExact, 6),
+              graft.operators.Rounding.droundD(
+                listRows.toDouble / (scanned.toDouble * corpus), 6))
+          }
+        }
+        futs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    val s2 = s
+    import s2.implicits._
+    rows.toDF("nprobe", "recall", "scanned_frac")
   }
 
   /** qe26 oracle (r13): with the quantizer deterministic, the whole

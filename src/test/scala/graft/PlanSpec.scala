@@ -552,6 +552,26 @@ class PlanSpec extends AnyFunSuite {
       "the overlap matrix must candidate through the gram inverted index")
   }
 
+  test("q38 reads the materialized basket membership — no parquet scan in the final plan") {
+    // r17: `op` (distinct orderkey/partkey) is Checkpoints.cut once and
+    // feeds all three consumers; before the cut the final plan re-ran
+    // the lineitem scan+distinct up to 5 times (plans/r17/
+    // q38_before.txt). A parquet scan reappearing here means the
+    // materialize-once was lost and every consumer pays a corpus pass.
+    val p = finalPlan(queries.CoreQueries.q38(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      "q38's consumers must read the one cut `op`, not re-scan lineitem")
+  }
+
+  test("qd22 edge plan starts at the materialized posting list — no re-tokenize per join side") {
+    // r17: `inv` (doc_id, ng, gram) is cut once; both self-join sides
+    // read the same LogicalRDD instead of re-running scan+tokenize+
+    // gram-ify+explode (2 documents scans in the r16-close edge plan)
+    val p = finalPlan(queries.TextQueries.qd22Edges(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      "qd22's gram self-join must read the one cut posting list")
+  }
+
   test("q38 basket pairs come from the order-key equi-join; supports broadcast") {
     val p = finalPlan(queries.CoreQueries.q38(spark, sf))
     // the only sanctioned non-equi element is the scalar n_orders cross

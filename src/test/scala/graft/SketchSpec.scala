@@ -191,8 +191,16 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("qe26 probe sweep: monotone curve, exact endpoints at nprobe = nlist") {
-    val rows = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
-      .orderBy("nprobe").collect()
+    // r17: the sweep points run on concurrent driver threads; the frame
+    // must still come out in ascending-nprobe sweep order BEFORE any
+    // re-sort — completion order leaking into assembly would be the
+    // concurrency bug this pins against
+    val raw = queries.VectorQueries.qe26(SparkSpecBase.spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(raw.map(_.getAs[Int]("nprobe")).toSeq ==
+      raw.map(_.getAs[Int]("nprobe")).toSeq.sorted,
+      "sweep rows must be assembled in sweep order, not completion order")
+    val rows = raw.sortBy(_.getAs[Int]("nprobe"))
     assert(rows.length >= 4)
     // recall and scanned fraction are monotone non-decreasing in nprobe
     rows.sliding(2).foreach {
