@@ -244,6 +244,46 @@ object Bench {
           spark, s"$bidx/postings", s"$sfDir/documents.parquet"))
         graft.queries.TextQueries.bm25Build(spark, sfDir, bidx)
     } catch { case e: Throwable => System.err.println(s"[bench] bm25 build failed: $e") }
+    // VERDICT r17 item 2: the REMAINING persisted indexes were built
+    // lazily inside the first timed query that touched a cold tmpdir
+    // (gate cands, PQ codes, merged IVFADC layout, PCA basis, decontam
+    // Bloom filter), so a cold run and a warm run measured different
+    // work — the r17 driver's 32-core take paid multi-second builds
+    // inside qe14b/qe18–21/qe27–30 that its 8-core rerun reused,
+    // producing impossible <1 scaling ratios. Pre-build them all here,
+    // each in its own try/catch like the three above.
+    try {
+      val pidx = graft.queries.VectorQueries.pqIndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$pidx/codes", s"$sfDir/embeddings.parquet"))
+        graft.queries.VectorQueries.pqBuild(spark, sfDir, pidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] pq build failed: $e") }
+    try graft.queries.VectorQueries.ivfPqBuildIfStale(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] ivfpq build failed: $e") }
+    try {
+      val gidx = graft.queries.VectorQueries.gateIndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$gidx/cands", s"$sfDir/embeddings.parquet"))
+        graft.queries.VectorQueries.gateBuild(spark, sfDir, gidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] gate build failed: $e") }
+    try {
+      val gmidx = graft.queries.VectorQueries.gateMassIndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$gmidx/cands", s"$sfDir/embeddings.parquet"))
+        graft.queries.VectorQueries.gateMassBuild(spark, sfDir, gmidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] gatemass build failed: $e") }
+    try {
+      val pcaidx = graft.queries.VectorQueries.pcaIndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$pcaidx/basis", s"$sfDir/embeddings.parquet"))
+        graft.queries.VectorQueries.pcaBuild(spark, sfDir, pcaidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] pca build failed: $e") }
+    try {
+      val blidx = graft.queries.TextQueries.bloomIndexPath(sfDir)
+      if (graft.queries.TextQueries.indexStale(
+          spark, s"$blidx/filter", s"$sfDir/documents.parquet"))
+        graft.queries.TextQueries.bloomBuild(spark, sfDir, blidx)
+    } catch { case e: Throwable => System.err.println(s"[bench] bloom build failed: $e") }
     // Local-iteration filter: SPARK_GRAFT_ONLY=qe4b_...,q22_... runs a
     // subset. Unset (the driver's invocation) → full suite. Names are
     // trimmed and validated so a typo fails loudly instead of silently

@@ -1519,20 +1519,32 @@ object VectorQueries {
     graft.sources.HadoopFs.indexPath(
       "ivfpq", dir, IVF_NLIST, IvfFitIters, "lloyd6dp", PqM, PqKs, PqIters, "m6dp")
 
-  def qe20(s: SparkSession, dir: String): DataFrame = {
-    registerNative(s)
+  /** Rebuild-if-stale of qe20's offline artifacts: the upstream IVF
+    * assignments and PQ codes, then the merged per-list codes layout
+    * (faiss stores codes PER inverted list) — the assignments⋈codes
+    * join happens ONCE at build time; the probe-path scan then reads
+    * (vec_id, list_id, codes) rows and never shuffles. Callable from
+    * Bench's offline stage so a cold tmpdir never pays the build
+    * inside the timed query.
+    */
+  def ivfPqBuildIfStale(s: SparkSession, dir: String): Unit = {
     val ivfPath = ivfIndexPath(dir)
     if (TextQueries.indexStale(s, s"$ivfPath/assignments", s"$dir/embeddings.parquet"))
       ivfBuild(s, dir, ivfPath)
-    val (cb, codes) = pqReadIndex(s, dir)
-    // merged on-disk layout (faiss stores codes PER inverted list): the
-    // assignments⋈codes join happens ONCE at build time; the probe-path
-    // scan then reads (vec_id, list_id, codes) rows and never shuffles
+    val (_, codes) = pqReadIndex(s, dir)
     val merged = ivfPqIndexPath(dir)
     if (TextQueries.indexStale(s, s"$merged/codes", s"$dir/embeddings.parquet"))
       s.read.parquet(s"$ivfPath/assignments").select("vec_id", "list_id")
         .join(codes, Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$merged/codes")
+  }
+
+  def qe20(s: SparkSession, dir: String): DataFrame = {
+    registerNative(s)
+    ivfPqBuildIfStale(s, dir)
+    val ivfPath = ivfIndexPath(dir)
+    val (cb, _) = pqReadIndex(s, dir)
+    val merged = ivfPqIndexPath(dir)
     val centDf = s.read.parquet(s"$ivfPath/centroids")
     val probes = embs(s, dir).filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
