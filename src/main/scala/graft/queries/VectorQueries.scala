@@ -1592,32 +1592,185 @@ object VectorQueries {
     */
   private val DensityK = 5
 
-  def qe15(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
-    densityFrom(a.join(b, col("ida") < col("idb")))
+  // ------------------------------------------ blocked all-pairs kernel
+  /** Tile side of the blocked exact all-pairs kernel: vectors per
+    * block. 512 keeps one tile at 512² = 262k dot products (~17 MFLOP,
+    * milliseconds of tight primitive loop) and one packed block at
+    * ~270 KB of (id, label, vec, nrm) — the granularity is a function
+    * of the block size, never of the corpus (n/512 blocks at any n).
+    */
+  private val PairBlock = 512
+
+  /** Bounded top-k buffer over (key, id): keeps the k smallest (asc
+    * mode) or largest (desc mode) keys with the id-ascending tiebreak.
+    * Comparison is java.lang.Double.compare — the same total order
+    * Spark SQL sorts doubles by (NaN greatest, NaN = NaN) — and keys
+    * are normalized with +0.0 at offer so -0.0 ties +0.0 exactly as
+    * Spark's comparison does. k ≤ 5 here, so insertion into a sorted
+    * array beats any heap.
+    */
+  private final class TopKBuf(k: Int, desc: Boolean) {
+    val keys = new Array[Double](k)
+    val ids = new Array[Long](k)
+    val labs = new Array[Int](k)
+    val raws = new Array[Double](k)
+    var size = 0
+    private def before(k1: Double, i1: Long, k2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(k1, k2)
+      (if (desc) c > 0 else c < 0) || (c == 0 && i1 < i2)
+    }
+    def offer(key0: Double, id: Long, lab: Int, raw: Double): Unit = {
+      val key = key0 + 0.0 // -0.0 → +0.0; NaN/everything else unchanged
+      if (size == k && !before(key, id, keys(k - 1), ids(k - 1))) return
+      var i = if (size < k) size else k - 1
+      while (i > 0 && before(key, id, keys(i - 1), ids(i - 1))) {
+        keys(i) = keys(i - 1); ids(i) = ids(i - 1)
+        labs(i) = labs(i - 1); raws(i) = raws(i - 1)
+        i -= 1
+      }
+      keys(i) = key; ids(i) = id; labs(i) = lab; raws(i) = raw
+      if (size < k) size += 1
+    }
   }
 
-  /** Shared qe15/qe15b tail: score each unordered candidate pair once
-    * (cosine is symmetric — half the dot products), checkpoint the slim
-    * (ida, idb, dist) frame, mirror it, take the K-th neighbor distance
-    * per vector, flag the global top-2%.
+  /** Exact directed top-k candidates via blocked tile products (guide
+    * §2.3 aggregate-before-shuffle + §5 no per-row object churn): pack
+    * the corpus into ⌈n/[[PairBlock]]⌉ blocks of primitive arrays (one
+    * exchange keyed on the deterministic block id), enumerate block
+    * pairs, and inside each tile run the n_x·n_y dot products as tight
+    * double-array loops, keeping only each vector's per-tile top-k —
+    * so the frame the downstream window/agg tails consume shrinks from
+    * n² directed rows to n·⌈n/B⌉·k while every dot product is still
+    * computed (the anchors stay honestly O(n²) in FLOPs; what the
+    * kernel removes is materializing, checkpointing and SORTING n²
+    * rows).
+    *
+    * Bit-identity with the theta-join formulation it replaces:
+    *  - the per-pair dot is the same left-to-right `s += a(d)*b(d)`
+    *    fold as the native DotProduct expression, and rawcos is the
+    *    same `dot / (na * nb)` — identical IEEE op sequence;
+    *  - the per-tile cut key is [[graft.operators.Rounding.droundD]]
+    *    (the Column dround's scalar twin, parity-pinned) of the SAME
+    *    rounded value the downstream window orders by — dist
+    *    round(1-raw,6) asc in dist mode, cos round(raw,6) desc
+    *    otherwise — with the idb-asc tiebreak, under Spark's double
+    *    total order (see [[TopKBuf]]);
+    *  - a union of per-tile top-k is a superset of the global top-k
+    *    under the same total order, so row_number ≤ k / = k selections
+    *    downstream return exactly the theta-join rows (each ida keeps
+    *    min(n-1, k) ≥ k candidates whenever the full frame had them).
+    * VectorKernelSpec pins output equality against the retired
+    * theta-join formulation at sf0.001/sf0.01.
+    *
+    * Emits (ida, la, idb, lb, rawcos) — raw UNROUNDED cosine, so every
+    * caller applies its own existing dround expression — checkpointed
+    * (the n·⌈n/B⌉·k frame is what the old code cut, ~B/k times larger).
     */
-  private def densityFrom(pairJoin: DataFrame): DataFrame = {
-    val half = pairJoin
-      .withColumn("dist", dround(lit(1.0) -
-        cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      .select("ida", "idb", "dist")
-      .localCheckpoint()
-    oodFrom(half
-      .unionByName(half.select(
-        col("idb").as("ida"), col("ida").as("idb"), col("dist")))
+  private def blockedTopKCands(s: SparkSession, dir: String, k: Int,
+      distKey: Boolean): DataFrame =
+    graft.operators.Checkpoints.cut(blockedTopKCandsUncut(s, dir, k, distKey))
+
+  /** The kernel frame BEFORE the lineage cut — separated so PlanSpec
+    * can pin the packed-exchange shape and plans/r18 can show it (the
+    * cut hides the build job from every consumer's executed plan).
+    */
+  private[graft] def blockedTopKCandsUncut(s: SparkSession, dir: String,
+      k: Int, distKey: Boolean): DataFrame = {
+    registerNative(s)
+    val sess = s
+    import sess.implicits._
+    val n = Tables.embeddings(s, dir).count()
+    val nb = math.max(1L, (n + PairBlock - 1) / PairBlock).toInt
+    val packed = embs(s, dir)
+      // deterministic synthetic block id (guide §2.5): balanced in
+      // expectation for arbitrary id spaces, reproducible under retries
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nb)).cast("int"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("vec"),
+        col("nrm"))).as("rows"))
+    val tiles = packed.select(col("blk").as("xblk"), col("rows").as("xrows"))
+      .join(packed.select(col("blk").as("yblk"), col("rows").as("yrows")),
+        col("xblk") <= col("yblk"))
+    val cands = tiles.flatMap { row =>
+      // unpack once per tile into primitive arrays; list order within a
+      // block is shuffle-dependent and provably irrelevant (the cut key
+      // (key, id) is duplicate-free, dots are order-independent)
+      def unpack(rs: scala.collection.Seq[org.apache.spark.sql.Row]) = {
+        val m = rs.length
+        val ids = new Array[Long](m); val labs = new Array[Int](m)
+        val nrms = new Array[Double](m)
+        val dim = if (m == 0) 0 else rs.head.getSeq[Double](2).length
+        val flat = new Array[Double](m * dim)
+        var i = 0
+        while (i < m) {
+          val r = rs(i)
+          ids(i) = r.getLong(0); labs(i) = r.getInt(1); nrms(i) = r.getDouble(3)
+          val v = r.getSeq[Double](2)
+          require(v.length == dim, s"dimension mismatch (${v.length} vs $dim)")
+          var d = 0
+          while (d < dim) { flat(i * dim + d) = v(d); d += 1 }
+          i += 1
+        }
+        (ids, labs, flat, nrms, dim)
+      }
+      val diag = row.getInt(0) == row.getInt(2)
+      val (xid, xlab, xv, xn, dim) =
+        unpack(row.getSeq[org.apache.spark.sql.Row](1))
+      val (yid, ylab, yv, yn, dimY) =
+        if (diag) (xid, xlab, xv, xn, dim)
+        else unpack(row.getSeq[org.apache.spark.sql.Row](3))
+      require(dimY == dim || xid.length == 0 || yid.length == 0,
+        s"dimension mismatch across blocks ($dim vs $dimY)")
+      val hx = Array.fill(xid.length)(new TopKBuf(k, !distKey))
+      val hy = if (diag) hx else Array.fill(yid.length)(new TopKBuf(k, !distKey))
+      var i = 0
+      while (i < xid.length) {
+        val bi = i * dim
+        var j = if (diag) i + 1 else 0
+        while (j < yid.length) {
+          val bj = j * dim
+          var sdot = 0.0
+          var d = 0
+          while (d < dim) { sdot += xv(bi + d) * yv(bj + d); d += 1 }
+          val raw = sdot / (xn(i) * yn(j))
+          val key = if (distKey) graft.operators.Rounding.droundD(1.0 - raw, 6)
+                    else graft.operators.Rounding.droundD(raw, 6)
+          hx(i).offer(key, yid(j), ylab(j), raw)
+          hy(j).offer(key, xid(i), xlab(i), raw)
+          j += 1
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int, Double)]()
+      def emit(ids: Array[Long], labs: Array[Int], hs: Array[TopKBuf]): Unit = {
+        var i = 0
+        while (i < ids.length) {
+          val h = hs(i)
+          var r = 0
+          while (r < h.size) {
+            out += ((ids(i), labs(i), h.ids(r), h.labs(r), h.raws(r)))
+            r += 1
+          }
+          i += 1
+        }
+      }
+      emit(xid, xlab, hx)
+      if (!diag) emit(yid, ylab, hy)
+      out
+    }.toDF("ida", "la", "idb", "lb", "rawcos")
+    cands
+  }
+
+  def qe15(s: SparkSession, dir: String): DataFrame =
+    // blocked-kernel form of the retired theta self-join (r18): same
+    // rounded distances, same window selection — the kernel's per-tile
+    // top-k frame provably contains each vector's true top-k
+    oodFrom(blockedTopKCands(s, dir, DensityK, distKey = true)
+      .withColumn("dist", dround(lit(1.0) - col("rawcos"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("ida").orderBy(col("dist").asc, col("idb").asc)))
       .filter(col("rnk") === DensityK)
       .select(col("ida").as("vec_id"), col("dist").as("knn_dist")))
-  }
 
   /** Shared qe15/qe15b OOD tail: global top-2% rank over the per-vector
     * K-th-neighbor distances (two-phase-capable rankBy, 1-row count
@@ -3270,17 +3423,13 @@ object VectorQueries {
     * check is a self-equi-join on the (nn, id) pair — candidate-local,
     * never corpus x corpus.
     */
-  def qe22(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    val a = e.select(col("vec_id").as("ida"), col("vec").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("idb"), col("vec").as("vb"), col("nrm").as("nb"))
-    val half = a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
-      .select("ida", "idb", "cos")
-      .localCheckpoint()
-    mutualMarginFrom(half
-      .unionByName(half.select(col("idb").as("ida"), col("ida").as("idb"), col("cos"))))
-  }
+  def qe22(s: SparkSession, dir: String): DataFrame =
+    // blocked-kernel form of the retired theta self-join (r18): the
+    // tail's rn ≤ K sums and rn = 1 picks read only each ida's true
+    // top-K, which the kernel frame contains by construction
+    mutualMarginFrom(blockedTopKCands(s, dir, K, distKey = false)
+      .withColumn("cos", dround(col("rawcos"), 6))
+      .select("ida", "idb", "cos"))
 
   /** Shared qe22/qe22b tail: `scored` is a directed candidate frame
     * (ida, idb, cos) — each row "idb is a scored candidate of ida".
@@ -3480,24 +3629,17 @@ object VectorQueries {
   def qe25(s: SparkSession, dir: String): DataFrame =
     confusionFrom(knnPredFrom(labeledSymExact(s, dir)))
 
-  /** Exact mirrored labeled candidate frame shared by qe25 and the
-    * qe25b recall measurement: each unordered pair scored once (the
-    * qe15 trick), mirrored to directed (ida, la, idb, lb, cos).
+  /** Exact directed labeled candidate frame shared by qe25 and the
+    * qe25b recall measurement — the blocked-kernel form (r18) of the
+    * retired mirrored theta self-join: every consumer (knnPredFrom's
+    * rn ≤ K votes, knnPairsExact's rn ≤ DensityK pairs, K = DensityK)
+    * reads only each ida's true top-K under (cos desc, idb asc), which
+    * the per-tile top-K union contains by construction.
     */
-  private def labeledSymExact(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
-      col("vec").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
-      col("vec").as("vb"), col("nrm").as("nb"))
-    val half = a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", dround(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+  private def labeledSymExact(s: SparkSession, dir: String): DataFrame =
+    blockedTopKCands(s, dir, K, distKey = false)
+      .withColumn("cos", dround(col("rawcos"), 6))
       .select("ida", "la", "idb", "lb", "cos")
-      .localCheckpoint()
-    half.unionByName(half.select(
-      col("idb").as("ida"), col("lb").as("la"),
-      col("ida").as("idb"), col("la").as("lb"), col("cos")))
-  }
 
   /** Shared qe25/qe25b vote stage: top-K by cosine per vector, majority
     * label with the (votes desc, label asc) tiebreak. Keeps ida so the

@@ -25,7 +25,15 @@ object PlanProbe {
       logLevel = "ERROR")
     val formatted = sys.env.get("GRAFT_PLAN_MODE").contains("formatted")
     for (name <- args.tail) {
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // "kernel:dist" / "kernel:cos" dump the r18 blocked all-pairs
+      // kernel frame BEFORE its lineage cut — the packed exchange and
+      // tile flatMap are otherwise invisible in every consumer's
+      // executed plan (they run inside the checkpoint job)
+      val df =
+        if (name.startsWith("kernel:"))
+          graft.queries.VectorQueries.blockedTopKCandsUncut(
+            spark, sfDir, 5, distKey = name.endsWith("dist"))
+        else graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       println(s"==== $name ====")
       if (formatted)

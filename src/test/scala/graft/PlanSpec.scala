@@ -766,4 +766,24 @@ class PlanSpec extends AnyFunSuite {
       s"per-cluster rank needs exactly one shuffle (got $exchanges)")
     assert(p.contains("hashpartitioning(cid"), "the one shuffle must key on cid")
   }
+
+  test("r18 blocked all-pairs kernel: one corpus scan, packed exchange on blk, tile flatMap") {
+    // the exact-anchor kernel (qe15/qe22/qe25): the corpus is scanned
+    // ONCE and packed into blocks via one exchange keyed on the
+    // deterministic blk id; the n² dot products run inside the tile
+    // MapPartitions, never as a theta self-join of two corpus scans
+    for (distKey <- Seq(true, false)) {
+      val df = queries.VectorQueries.blockedTopKCandsUncut(spark, sf, 5, distKey)
+      val p = finalPlan(df)
+      val scans = "Scan parquet".r.findAllMatchIn(p).size
+      assert(scans == 1,
+        s"kernel(distKey=$distKey) must scan embeddings exactly once (got $scans)")
+      assert(p.contains("hashpartitioning(blk"),
+        s"kernel(distKey=$distKey): packed exchange on blk missing")
+      assert(p.contains("collect_list"),
+        s"kernel(distKey=$distKey): block packing aggregate missing")
+      assert(p.contains("MapPartitions"),
+        s"kernel(distKey=$distKey): tile flatMap missing")
+    }
+  }
 }

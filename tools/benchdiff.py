@@ -189,6 +189,22 @@ def diff(new_obj, old_obj, threshold=THRESHOLD, min_sec=MIN_SEC):
             f"doubled this round (then re-run against a fuller baseline or "
             f"accept the reduced coverage explicitly)")
         return fails
+    # r18 (VERDICT r17 item 8): an artifact carrying the load_warn
+    # self-flag is contention evidence, not timing evidence — REFUSE
+    # per-query adjudication from it instead of merely printing the
+    # warning. A contaminated NEW take is itself a gate failure (the
+    # evidence for this round is unusable: re-take idle); a contaminated
+    # OLD baseline voids the per-query comparison but is not the new
+    # code's fault — usability checks above still ran, and main() prints
+    # the refusal.
+    new_warn = load_info(new_obj)[1]
+    old_warn = load_info(old_obj)[1]
+    if new_warn:
+        fails.append(
+            f"new bench self-flagged contaminated ({new_warn}) — not "
+            f"evidence; re-take on an idle machine")
+    if new_warn or old_warn:
+        return fails
     # a query that ERRORED in the old run has a time-to-failure there,
     # not a timing — comparing against it reads any real fix as a
     # regression (r8: q20 "0.08s" was an analysis exception; the r9 fix
@@ -362,6 +378,20 @@ def selftest():
     tail_warn = {"tail": '…,"load":[6.8,3.8],"load_warn":"start 6.8 > 3","canary":0.52,"sf":0.1}'}
     assert load_info(tail_warn) == ("[6.8,3.8]", "start 6.8 > 3", 0.52)
     assert load_info({"load": [0.1, 2.0], "canary": 0.5}) == ([0.1, 2.0], None, 0.5)
+    # r18 (VERDICT r17 item 8): a load_warn artifact gets NO per-query
+    # adjudication. New-side flag: gate fails on the contamination itself
+    # and the planted regression is NOT separately flagged (not evidence).
+    warn_new = {"rc": 0, "queries": {"q1": 1.9, "q2": 0.1, "q3": 2.0},
+                "load": [6.8, 1.0], "load_warn": "start 6.8 > 3 — x"}
+    wn = diff(warn_new, ok)
+    assert any("self-flagged contaminated" in f for f in wn), wn
+    assert not any("regressed" in f for f in wn), wn
+    # Old-side flag: per-query comparison is void (no false regressions
+    # from a hot baseline), usability checks still run, gate passes.
+    warn_old = {"rc": 0, "queries": {"q1": 0.5, "q2": 0.1, "q3": 2.0},
+                "load": [6.8, 1.0], "load_warn": "start 6.8 > 3 — x"}
+    assert diff(bad, warn_old) == [], diff(bad, warn_old)
+    assert any("rc=1" in f for f in diff({"rc": 1, "queries": {"q1": 1.0}}, warn_old))
     print("selftest OK")
 
 
