@@ -848,11 +848,24 @@ object CoreQueries {
         .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val n = deg.count()
-    val edgeDeg = graft.operators.Checkpoints.cut(edges.join(deg, Seq("u")))
+    // r18 (guide §2.4: operations keyed the same way share one
+    // exchange): the static per-edge state is hash-partitioned by the
+    // DESTINATION v once, the checkpoint preserves that partitioning,
+    // and the rank table — node-cardinality, counted above — is
+    // broadcast into each round while it fits the broadcast class. A
+    // round is then scan → BroadcastHashJoin → partial+final agg with
+    // NO exchange: the 10 iterations shuffle nothing. Beyond the
+    // broadcast bound (catalog-scale rank at 100 TB) the join falls
+    // back to the planner's choice and the v-partitioning still feeds
+    // the aggregate. 10M nodes ≈ 160 MB built — the dimJoin class.
+    val bcastRank = n <= 10000000L
+    val edgeDeg = graft.operators.Checkpoints.cut(
+      edges.join(deg, Seq("u")).repartition(col("v")))
     var rank = deg.select(col("u").as("node"), lit(1000000000000L / n).as("mass"))
     for (_ <- 1 to 10) {
       rank = graft.operators.Checkpoints.cut(
-        edgeDeg.join(rank, col("u") === col("node"))
+        edgeDeg.join(if (bcastRank) broadcast(rank) else rank,
+            col("u") === col("node"))
           .select(col("v"), expr("(mass * 85) div (100 * d)").as("c"))
           .groupBy(col("v").as("node"))
           .agg((lit(150000000000L / n) + sum("c")).as("mass")))
@@ -989,14 +1002,21 @@ object CoreQueries {
     */
   private[graft] def lpaFrom(pairs: DataFrame): DataFrame = {
     // r17: `pairs` deliberately not cut — see the pagerankMass comment
+    // r18: same per-round zero-exchange shape as pagerankMass — edges
+    // pre-partitioned by v (HashPartitioning on v satisfies both the
+    // (v, label) aggregate's clustering and the per-v window), labels
+    // broadcast while node-cardinality fits the broadcast class
     val edges = graft.operators.Checkpoints.cut(
       pairs.select(col("p1").as("u"), col("p2").as("v"))
-        .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v"))))
+        .unionByName(pairs.select(col("p2").as("u"), col("p1").as("v")))
+        .repartition(col("v")))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
+    val bcastLabels = labels.count() <= 10000000L
     for (_ <- 1 to 5) {
       labels = graft.operators.Checkpoints.cut(
-        edges.join(labels, col("u") === col("node"))
+        edges.join(if (bcastLabels) broadcast(labels) else labels,
+            col("u") === col("node"))
           .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)))

@@ -174,7 +174,13 @@ object Sf1Skew {
       // keyword extraction all measure on the 49k-term zipf df axis
       "qd31_stop_terms" -> (graft.queries.TextQueries.qd31 _),
       "qd33_pmi_collocations" -> (graft.queries.TextQueries.qd33 _),
-      "qd37_tfidf_keywords" -> (graft.queries.TextQueries.qd37 _))
+      "qd37_tfidf_keywords" -> (graft.queries.TextQueries.qd37 _),
+      // r18 (VERDICT r17 item 6): the BPE family joins the 10x smoke —
+      // 8 serial merge rounds over the zipf word-type table (vocab-sized,
+      // so the zipfv2 49k-term axis is exactly what scales it), to price
+      // the per-round checkpoint cadence question
+      "qd50_bpe_train" -> (graft.queries.TextQueries.qd50 _),
+      "qd51_bpe_encode" -> (graft.queries.TextQueries.qd51 _))
     val skewQs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q38_basket_rules" -> (graft.queries.CoreQueries.q38 _),
       "q42_skew_report" -> (graft.queries.CoreQueries.q42 _),

@@ -767,6 +767,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(cid"), "the one shuffle must key on cid")
   }
 
+  test("unpartitioned windows appear only at allowlisted report-cardinality sites") {
+    // VERDICT r17 item 4: a global (no-PARTITION-BY) window moves all
+    // rows to ONE partition — the classic 100 TB killer if it ever
+    // lands on a corpus-scale frame. Standing adjudications say every
+    // declared instance sits on a report-cardinality frame (fixed
+    // handfuls of buckets/checks/rounds) or behind Pareto.rankBy's
+    // two-phase dispatch (which keeps the global window only below its
+    // row threshold); this test pins that as a closed allowlist over
+    // every declared query's OPTIMIZED plan, so a corpus-scale global
+    // window can never land silently. Windows upstream of an eager
+    // lineage cut are invisible here by construction — those sites are
+    // all rankBy-dispatched (the cut frames are iterative graph/text
+    // states, not window outputs).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val found = scala.collection.mutable.SortedSet[String]()
+    for ((name, fn) <- SparkEntry.queries) {
+      val hasGlobal = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobal) found += name
+    }
+    // each entry's cardinality bound is recorded in
+    // gates/r18/global_window_allowlist.txt (committed receipt); the
+    // Pareto-routed entries show the global-window arm HERE because the
+    // sf0.001 Catalyst size estimate sits under the two-phase dispatch
+    // threshold — at corpus scale the same call plans the distributed
+    // prefix sum (Pareto.autoTwoPhase), which is the adjudication
+    val allow = Set(
+      "q06_aging", "q08_pareto_abc", "q10_topk", "q12_band_groups",
+      "q13_dual_sort", "q27_overdue_split", "q34_rfm_segments",
+      "q41_path_trigrams", "q42_skew_report", "q55_zorder_layout",
+      "qd12_token_histogram", "qd21_heavy_hitters", "qd21b_cms_probe",
+      "qd24_zipf_fit", "qd27_lm_perplexity", "qd33_pmi_collocations",
+      "qd42_bpe_pairs", "qd44_weighted_sample", "qd45_waterfill_mixture",
+      "qd47_vocab_growth")
+    val rogue = found -- allow
+    assert(rogue.isEmpty,
+      s"unpartitioned Window in NON-allowlisted queries (a corpus-scale " +
+        s"global window would be a 100 TB killer — adjudicate and " +
+        s"allowlist with a cardinality bound, or fix): $rogue; full found set: $found")
+    // the list must not rot: an allowlisted query that no longer has a
+    // global window should leave the list (keeps the receipt honest)
+    val stale = allow -- found
+    assert(stale.isEmpty, s"allowlist entries with no global window anymore: $stale")
+  }
+
   test("r18 blocked all-pairs kernel: one corpus scan, packed exchange on blk, tile flatMap") {
     // the exact-anchor kernel (qe15/qe22/qe25): the corpus is scanned
     // ONCE and packed into blocks via one exchange keyed on the

@@ -116,10 +116,29 @@ class RecallSpec extends AnyFunSuite {
           functions.TextFunctions.tokens(col("text")), 3)))
         .filter(size(col("grams")) > 0)
         .select("doc_id", "grams")
-      g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
-        .filter(col("jac") >= 0.5)
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // r18: inverted-index form of the SAME exact ground truth. The
+      // old all-pairs theta join evaluated array_intersect/array_union
+      // on every (n choose 2) doc pair — minutes at sf0.1, the single
+      // largest cost in the whole suite (the r17 driver's `sbt test`
+      // died mid-suite on wall clock). Equivalence is exact, not
+      // approximate: grams are distinct, so |A∪B| = |A|+|B|-|A∩B| with
+      // integer counts, the division is the same double op
+      // TextFunctions.jaccard performs, and any pair with jac >= 0.5
+      // shares >= 1 gram so the gram equi-join reaches every
+      // qualifying pair (a 0-overlap pair has jac 0 and never
+      // qualified). The "exact-Jaccard ground truth" test below pins
+      // the two forms equal at sf0.01.
+      val sizes = g.select(col("doc_id"), size(col("grams")).as("sz"))
+      val posts = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      posts.as("x").join(posts.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double") >= 0.5)
+        .select("doc_a", "doc_b")
         .persist()
     })
 
@@ -203,6 +222,25 @@ class RecallSpec extends AnyFunSuite {
     info(f"$name@${sf.label} recall $recall%.4f (floor $floor%.2f)")
     assert(recall >= floor,
       f"$name@${sf.label} recall $recall%.3f below floor $floor%.2f")
+  }
+
+  test("exact-Jaccard ground truth: inverted-index form == theta-join form [sf0.01]") {
+    // guards the r18 rewrite above: the recall floors are only as good
+    // as their ground truth, so the cheap sf (125k pairs) re-derives it
+    // the retired all-pairs way and demands set equality
+    val dir = "/root/testdata/sf0.01"
+    val g = Tables.documents(spark, dir)
+      .withColumn("grams", array_distinct(functions.TextFunctions.wordGrams(
+        functions.TextFunctions.tokens(col("text")), 3)))
+      .filter(size(col("grams")) > 0)
+      .select("doc_id", "grams")
+    val theta = g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jac", functions.TextFunctions.jaccard(col("x.grams"), col("y.grams")))
+      .filter(col("jac") >= 0.5)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val inv = exactJaccardPairs(dir)
+    assert(inv.exceptAll(theta).isEmpty && theta.exceptAll(inv).isEmpty,
+      "inverted-index exact-Jaccard ground truth diverged from the all-pairs form")
   }
 
   for (sf <- sfs) {
