@@ -2754,11 +2754,15 @@ object TextQueries {
 
   /** Frame-parameterized twin (tests plant docs): (doc_id, text). */
   private[graft] def fuzzyDedupFrom(documents: DataFrame): DataFrame = {
-    val d = documents.select(
+    // r18 (guide §2.4, the qd22/q38 treatment): the slim blocking
+    // projection feeds FOUR consumers (two sides of two blocking
+    // passes) — without the cut each one re-ran the documents scan +
+    // substring projection. ~76 bytes/doc materialized once.
+    val d = graft.operators.Checkpoints.cut(documents.select(
       col("doc_id"),
       substring(col("text"), 1, 60).as("sig"),
       substring(col("text"), 1, 8).as("pre"),
-      expr("substring(text, -8, 8)").as("suf"))
+      expr("substring(text, -8, 8)").as("suf")))
     def pass(key: String): DataFrame =
       d.as("a").join(d.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
@@ -3511,6 +3515,15 @@ object TextQueries {
       if (top.nonEmpty) {
         val (u, v, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, u, v, n))
+        // r18 (VERDICT r17 item 6): checkpoint-every-2nd-round was
+        // measured at 10x and REVERTED — skipping the odd round's cut
+        // makes both the odd argmax job and the even checkpoint job
+        // re-evaluate the pending replace over the type table, and
+        // that re-evaluation costs more than the saved barrier at both
+        // sf0.1 and 10x (paired A/B, gates/r18/sf1skew_ab_text.txt:
+        // qd50 3.73/4.17 -> 4.04/4.08, qd51 4.21/4.74 -> 4.62/5.94).
+        // Per-round cuts stay: the type table is vocab-sized at any
+        // corpus scale, so the barrier never grows with the corpus.
         w = w.select(replace(col("ws"), lit(Sep + u + Sep + Sep + v + Sep),
           lit(Sep + u + v + Sep)).as("ws"), col("freq")).localCheckpoint()
       }
